@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's table registry role (reference:
+  * faexport_db/db.py:53–89 — all reads flow through one Database object);
+  * here every read flows through one parquet loader so path layout,
+  * and any future bucketing/partitioning decisions, live in one place.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one driver table from an sf directory.
+    *
+    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
+    * vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]); we read it as
+    * a raw nanosecond long (exact, no precision loss) and convert at
+    * the edges — the DuckDB oracle uses epoch_ns for the same view.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Similarity-search operators over the `embeddings` table (builder
+  * brief: ANN over an Array[Float] column). This module holds the
+  * oracle-checkable baseline — exact brute-force cosine top-k — and the
+  * norm computation; the LSH-bucketed scale path lives in
+  * [[graft.operators.Similarity]].
+  *
+  * All arithmetic is promoted to double *before* multiplication and
+  * folded in index order on both engines, so cosines agree bit-for-bit
+  * and ranks are stable; only ids/ranks are emitted (tie-break on
+  * neighbor id).
+  *
+  * Scale: queries are broadcast (small side), candidates stream —
+  * brute force is O(Q·N) but shuffle-free; the 100 TB path swaps the
+  * candidate set for LSH buckets with the same scoring code.
+  */
+object EmbeddingsQ {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val q24KnnBrute: Q = (s, d) => {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val qs = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val cands = emb.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    cands.crossJoin(broadcast(qs))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos",
+        dot($"qv", $"nv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"nv", $"nv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank".cast("long").as("rank"), $"nid")
+  }
+
+  private val q25Norms: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "embeddings").select(
+      $"vec_id",
+      round(sqrt(dot($"embedding", $"embedding")), 4).as("l2_norm"),
+      $"label")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q24_knn_brute" -> q24KnnBrute,
+    "q25_vector_norms" -> q25Norms)
+
+  val oracles: Map[String, String] = Map(
+    "q24_knn_brute" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT qs.qid, e.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(qs.qv, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(qs.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS cos
+        |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.qid)
+        |SELECT qid, rank, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 3""".stripMargin,
+    "q25_vector_norms" ->
+      """SELECT vec_id,
+        | round(sqrt(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+        | label
+        |FROM embeddings""".stripMargin)
+}

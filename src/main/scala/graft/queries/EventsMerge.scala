@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.JsonMergeObjects.jsonMergeObjects
+
+/** The merge-on-read operator family M1–M8 (SURVEY §2.1) exercised over
+  * the driver `events` table: entity key = `user_id`, event time = `ts`
+  * (standing in for `scan_datetime`), snapshot payload = `props` JSON
+  * (standing in for `extra_data`). The faexport-shaped pipeline itself
+  * lives in [[graft.engine.Merge]]; these queries put the same operators
+  * under the DuckDB oracle at testdata scale.
+  *
+  * Determinism: the reference orders snapshots by scan_datetime only and
+  * relies on Python sort stability (models/submission.py:27–29); we pin
+  * the total order (ts, event_id) per SURVEY §7.3a.
+  *
+  * Timestamps from `events` are nanosecond-precision parquet, read as
+  * raw nanosecond longs (Tables.t); every emitted time value is
+  * second-truncated via date_format so Spark and the oracle agree
+  * regardless of sub-second representation.
+  */
+object EventsMerge {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ts nanos-long → 'yyyy-MM-dd HH:mm:ss' (UTC, floor to second).
+    * Integral `div` — `/` on longs is double division, which loses
+    * precision above 2^53 and epoch-nanos are ~1.7e18. */
+  private def tsStr(c: org.apache.spark.sql.Column) =
+    date_format(
+      timestamp_seconds(call_function("div", c, lit(1000000000L))),
+      "yyyy-MM-dd HH:mm:ss")
+
+  /** M1+M2 — newest-first ordering and latest-value pick
+    * (submission.py:27–33, user.py:19–25). */
+  private val q15Latest: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("last_type"),
+        $"value".as("last_value"), tsStr($"ts").as("last_ts"))
+  }
+
+  /** M2+M3+M8 — first_scanned / latest_update / snapshot_count in one
+    * grouped pass (submission.py:35–41, 111). */
+  private val q16EntitySummary: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .groupBy($"user_id")
+      .agg(
+        tsStr(min($"ts")).as("first_seen"),
+        tsStr(max($"ts")).as("last_seen"),
+        count(lit(1)).as("n_events"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"))
+  }
+
+  /** M4 — latest-non-null coalesce (submission.py:43–69): scan
+    * newest→oldest, first non-null wins. `value` is nulled for clicks to
+    * manufacture the nulls the operator must skip. */
+  private val q17CoalesceNonNull: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .withColumn("v", when($"event_type" =!= "click", $"value"))
+      .withColumn("latest_value", first($"v", ignoreNulls = true).over(w))
+      .groupBy($"user_id")
+      .agg(round(max($"latest_value"), 6).as("latest_nonclick_value"))
+  }
+
+  /** M5 — ordered JSON-object merge (db.py:10–17 folded per
+    * submission.py:71–77) via the custom [[JsonMergeObjects]]
+    * expression; the merged object's `k` is emitted so the oracle can
+    * check it as latest-wins. */
+  private val q18JsonMerge: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"props")))
+        .as("ordered"))
+      .select($"user_id",
+        get_json_object(
+          jsonMergeObjects($"ordered.props"), "$.k")
+          .cast("long").as("k_final"))
+  }
+
+  /** A7 — in-stream distinct: one row per (entity, type) regardless of
+    * how many snapshots carried it (fa_indexer/main.py:85–93). */
+  private val q19EventDedup: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events").select($"user_id", $"event_type").distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q15_latest_snapshot" -> q15Latest,
+    "q16_entity_summary" -> q16EntitySummary,
+    "q17_coalesce_nonnull" -> q17CoalesceNonNull,
+    "q18_json_merge" -> q18JsonMerge,
+    "q19_event_dedup" -> q19EventDedup)
+
+  val oracles: Map[String, String] = Map(
+    "q15_latest_snapshot" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q16_entity_summary" ->
+      """SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+        | count(*) AS n_events,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q17_coalesce_nonnull" ->
+      """SELECT user_id, round(max(latest_value), 6) AS latest_nonclick_value
+        |FROM (
+        |  SELECT user_id, first_value(
+        |    CASE WHEN event_type <> 'click' THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS latest_value
+        |  FROM events)
+        |GROUP BY user_id""".stripMargin,
+    "q18_json_merge" ->
+      """SELECT user_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_final
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q19_event_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
+}

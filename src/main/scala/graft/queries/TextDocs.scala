@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Text-analysis operators for the LLM-data-pipeline surface (builder
+  * brief; BASELINE.json north_star): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting and exact
+  * deduplication — all over the driver `documents` table, all
+  * oracle-checkable (counts and md5, no engine-specific hashing).
+  *
+  * Scale: every query is a narrow projection (text column read once,
+  * no shuffle except the dedup groupBy on a 32-hex-char key), so at
+  * 100 TB these run scan-bound with full column pruning.
+  */
+object TextDocs {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Canonical text fingerprint: lowercase, whitespace-collapsed, md5.
+    * (Exact-dup family per builder brief; fingerprint stands in for the
+    * reference's per-file content hashes, faexport_db/models/file.py.) */
+  private def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** English function words that appear in the synthetic corpus. */
+  private val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def stopHits(c: Column): Column =
+    size(filter(tokens(c), tk => tk.isin(stop: _*))).cast("long")
+
+  private val q20TokenStats: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "documents").select(
+      $"doc_id",
+      size(tokens($"text")).cast("long").as("n_tokens"),
+      length($"text").cast("long").as("len_chars"),
+      fingerprint($"text").as("fingerprint"))
+  }
+
+  private val q21LangHeuristic: Q = (s, d) => {
+    import s.implicits._
+    val hits = stopHits($"text")
+    t(s, d, "documents").select(
+      $"doc_id", $"lang",
+      hits.as("en_stopword_hits"),
+      when(hits >= 3, "en").otherwise("und").as("lang_guess"))
+  }
+
+  private val q22Quality: Q = (s, d) => {
+    import s.implicits._
+    val tk = tokens($"text")
+    t(s, d, "documents").select(
+      $"doc_id",
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_distinct"),
+      round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("ttr"),
+      array_max(transform(tk, x => length(x))).cast("long").as("max_token_len"))
+  }
+
+  /** Exact dedup: hash-groupBy on the canonical fingerprint; emits each
+    * doc with its duplicate-cluster size (1 = unique). */
+  private val q23ExactDup: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+      .select($"doc_id", fingerprint($"text").as("fp"))
+    val sizes = docs.groupBy($"fp").agg(count(lit(1)).as("cluster_size"))
+    docs.join(sizes, "fp").select($"doc_id", $"cluster_size")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q20_token_stats" -> q20TokenStats,
+    "q21_lang_heuristic" -> q21LangHeuristic,
+    "q22_quality" -> q22Quality,
+    "q23_exact_dup" -> q23ExactDup)
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        | length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | length(text) AS len_chars,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+    "q21_lang_heuristic" ->
+      """SELECT doc_id, lang,
+        | length(list_filter(string_split_regex(trim(text), '\s+'),
+        |   x -> x IN ('the','a','of','and','to','in','is','it'))) AS en_stopword_hits,
+        | CASE WHEN length(list_filter(string_split_regex(trim(text), '\s+'),
+        |   x -> x IN ('the','a','of','and','to','in','is','it'))) >= 3
+        |   THEN 'en' ELSE 'und' END AS lang_guess
+        |FROM documents""".stripMargin,
+    "q22_quality" ->
+      """SELECT doc_id,
+        | length(tk) AS n_tokens,
+        | length(list_distinct(tk)) AS n_distinct,
+        | round(CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk), 4) AS ttr,
+        | list_max(list_transform(tk, x -> length(x))) AS max_token_len
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |      FROM documents)""".stripMargin,
+    "q23_exact_dup" ->
+      """SELECT doc_id, cluster_size FROM (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS cluster_size
+        |  FROM documents)""".stripMargin)
+}
