@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.EventsMerge.queries ++
       graft.queries.TextDocs.queries ++
-      graft.queries.EmbeddingsQ.queries
+      graft.queries.EmbeddingsQ.queries ++
+      graft.queries.Faexport.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.EventsMerge.oracles ++
       graft.queries.TextDocs.oracles ++
-      graft.queries.EmbeddingsQ.oracles
+      graft.queries.EmbeddingsQ.oracles ++
+      graft.queries.Faexport.oracles
 }

@@ -1,0 +1,150 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.JsonMergeObjects.jsonMergeObjects
+import graft.functions.MergeFiles.mergeFiles
+
+/** The merge-on-read pipeline — M1–M8 (SURVEY §2.1) as one DataFrame
+  * DAG per entity kind. The reference merges per-entity in Python at
+  * request time (faexport_db/models/submission.py:27–104, user.py:19–48);
+  * here the same semantics are a single grouped aggregation over the
+  * snapshot tables, so one job merges EVERY entity — no N+1, no
+  * driver-side loops, shuffle only on the entity key.
+  *
+  * Determinism: the reference sorts by scan_datetime alone and leans on
+  * Python sort stability (submission.py:27–29); we pin the total order
+  * (scan_datetime, snapshot_id) — SURVEY §7.3a.
+  *
+  * 100 TB notes: child tables pre-aggregate to per-snapshot nested
+  * arrays BEFORE the entity-level shuffle, so each of the four inputs
+  * is shuffled at most once and the per-entity state is bounded by an
+  * entity's own snapshot count (tens — README.md:34). If the snapshot
+  * tables are written bucketed by entity key (Storage), the final
+  * groupBy becomes shuffle-free.
+  */
+object Merge {
+
+  /** Latest-snapshot value: max over (scan_datetime, id, payload) — the
+    * struct max is the M2 "newest snapshot wins" pick. */
+  private def latest(ord1: Column, ord2: Column, c: Column): Column =
+    max(struct(ord1, ord2, c.as("v"))).getField("v")
+
+  /** M4 latest-non-null coalesce: null payloads drop out of the max by
+    * nulling the whole struct (aggregates skip null inputs), so the
+    * newest non-null value survives (submission.py:43–69). */
+  private def latestNonNull(ord1: Column, ord2: Column, c: Column): Column =
+    max(when(c.isNotNull, struct(ord1, ord2, c.as("v")))).getField("v")
+
+  /** Deterministically-ordered collect: sort_array over (ord1, ord2,
+    * payload) structs, then project the payload back out. collect_list
+    * order is partition-dependent; this pins it. Null payloads are
+    * dropped (collect_list skips the nulled struct). */
+  private def collectOrdered(ord1: Column, ord2: Column, c: Column): Column =
+    transform(
+      sort_array(collect_list(when(c.isNotNull, struct(ord1, ord2, c.as("v"))))),
+      x => x.getField("v"))
+
+  /** Per-snapshot nested hydration: snapshots decorated with ordered
+    * keyword/file(+hash) arrays and the contributor name — the shape
+    * the reference rebuilds on every read via three IN-list queries and
+    * Python regrouping (submission.py:153–184); here it is two
+    * pre-aggregations and three joins, all pushed before the entity
+    * shuffle. Child arrays are ordered by child id (insertion order,
+    * matching the reference's row order).
+    */
+  def nestedSubmissionSnapshots(
+      snapshots: DataFrame,
+      keywords: DataFrame,
+      files: DataFrame,
+      fileHashes: DataFrame,
+      contributors: DataFrame): DataFrame = {
+    val kw = keywords
+      .groupBy("submission_snapshot_id")
+      .agg(collectOrdered(col("keyword_id"), lit(0L),
+        struct(col("keyword"), col("ordinal"))).as("keywords"))
+    val hashesPerFile = fileHashes
+      .groupBy("file_id")
+      .agg(collectOrdered(col("hash_id"), lit(0L),
+        struct(col("algo_id"), col("hash_value"))).as("hashes"))
+    val filesNested = files
+      .join(hashesPerFile, Seq("file_id"), "left")
+      .withColumn("hashes",
+        coalesce(col("hashes"), array().cast("array<struct<algo_id:bigint,hash_value:binary>>")))
+      .groupBy("submission_snapshot_id")
+      .agg(collectOrdered(col("file_id"), lit(0L),
+        struct(col("site_file_id"), col("file_url"), col("file_size"),
+          col("extra_data"), col("hashes"))).as("files"))
+    snapshots
+      .join(kw, Seq("submission_snapshot_id"), "left")
+      .join(filesNested, Seq("submission_snapshot_id"), "left")
+      .join(broadcast(contributors.select(
+        col("contributor_id").as("archive_contributor_id"),
+        col("name").as("contributor_name"))),
+        Seq("archive_contributor_id"), "left")
+  }
+
+  /** M1–M8 entity merge over [[nestedSubmissionSnapshots]] output.
+    * Output: one row per (website_id, site_submission_id) in the web
+    * shape of submission.py:106–125 (flattened columns; keywords and
+    * files as nested arrays).
+    */
+  def mergeSubmissions(nested: DataFrame): DataFrame = {
+    val scan = col("scan_datetime")
+    val sid = col("submission_snapshot_id")
+    nested
+      .groupBy("website_id", "site_submission_id")
+      .agg(
+        count(lit(1)).as("snapshot_count"), // M8
+        min(scan).as("first_scanned"), // M3
+        max(scan).as("latest_update"), // M2
+        latest(scan, sid, col("is_deleted")).as("is_deleted"), // M2
+        latestNonNull(scan, sid, col("uploader_site_user_id")).as("uploader_site_user_id"), // M4
+        latestNonNull(scan, sid, col("title")).as("title"),
+        latestNonNull(scan, sid, col("description")).as("description"),
+        latestNonNull(scan, sid, col("datetime_posted")).as("datetime_posted"),
+        jsonMergeObjects(collectOrdered(scan, sid, col("extra_data"))).as("extra_data"), // M5
+        // M6: newest snapshot with keywords_recorded=true wins wholesale
+        // (latestNonNull: non-recorded snapshots null out and drop;
+        // recorded-but-empty coalesces to [] and still wins —
+        // submission.py:79–87)
+        latestNonNull(scan, sid,
+          when(col("keywords_recorded"),
+            coalesce(col("keywords"),
+              array().cast("array<struct<keyword:string,ordinal:int>>")))).as("kw_raw"),
+        mergeFiles(flatten(collectOrdered(scan, sid, col("files")))).as("files")) // M7
+      .withColumn("keywords", sortKeywords(col("kw_raw")))
+      .drop("kw_raw")
+  }
+
+  /** M6 keyword ordering: (ordinal, keyword) with nulls-last ordinals —
+    * the reference would throw on mixed null/non-null ordinals
+    * (submission.py:83–86); we pin nulls-last (SURVEY Appendix A9). */
+  private def sortKeywords(kw: Column): Column =
+    when(kw.isNull, array().cast("array<struct<keyword:string,ordinal:int>>"))
+      .otherwise(transform(
+        array_sort(transform(kw, k => struct(
+          coalesce(k.getField("ordinal"), lit(Int.MaxValue)).as("o"),
+          k.getField("keyword").as("keyword"),
+          k.getField("ordinal").as("ordinal")))),
+        k => struct(k.getField("keyword").as("keyword"),
+          k.getField("ordinal").as("ordinal"))))
+
+  /** User analog (user.py:19–48) — no children; display_name uses
+    * sorted order (fixing the unsorted-scan bug, SURVEY Appendix A1).
+    */
+  def mergeUsers(snapshots: DataFrame): DataFrame = {
+    val scan = col("scan_datetime")
+    val sid = col("user_snapshot_id")
+    snapshots
+      .groupBy("website_id", "site_user_id")
+      .agg(
+        count(lit(1)).as("snapshot_count"),
+        min(scan).as("first_scanned"),
+        max(scan).as("latest_update"),
+        latest(scan, sid, col("is_deleted")).as("is_deleted"),
+        latestNonNull(scan, sid, col("display_name")).as("display_name"),
+        jsonMergeObjects(collectOrdered(scan, sid, col("extra_data"))).as("extra_data"))
+  }
+}

@@ -41,6 +41,10 @@ case class JsonMergeObjects(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = StringType
+  // Returns null when no object survives the fold (e.g. every snapshot
+  // had null extra_data → empty input array) even if the child is a
+  // non-nullable collect_list result.
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     child.dataType match {
@@ -83,6 +87,25 @@ case class JsonMergeObjects(child: Expression)
 
 object JsonMergeObjects {
   private[functions] val mapper = new ObjectMapper()
+
+  /** Two-object shallow merge, overlay keys win — exact semantics of
+    * reference `merge_dicts` (db.py:10–17) on non-null inputs; output
+    * canonicalized. */
+  def mergePair(base: String, overlay: String): String = {
+    val merged = mapper.createObjectNode()
+    Seq(base, overlay).foreach { s =>
+      mapper.readTree(s) match {
+        case o: ObjectNode =>
+          o.fields().asScala.foreach(e => merged.set[JsonNode](e.getKey, e.getValue))
+        case _ =>
+      }
+    }
+    mapper.writeValueAsString(canonical(merged))
+  }
+
+  /** Re-serialize a JSON text with recursively sorted keys. */
+  def canonicalJson(s: String): String =
+    mapper.writeValueAsString(canonical(mapper.readTree(s)))
 
   /** Recursively sort object keys for byte-stable canonical output. */
   private[functions] def canonical(n: JsonNode): JsonNode = n match {
