@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.EventsMerge.queries ++
       graft.queries.TextDocs.queries ++
       graft.queries.EmbeddingsQ.queries ++
-      graft.queries.Faexport.queries
+      graft.queries.Faexport.queries ++
+      graft.queries.LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.EventsMerge.oracles ++
       graft.queries.TextDocs.oracles ++
       graft.queries.EmbeddingsQ.oracles ++
-      graft.queries.Faexport.oracles
+      graft.queries.Faexport.oracles ++
+      graft.queries.LlmOps.oracles
 }

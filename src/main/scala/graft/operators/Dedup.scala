@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large text corpora (builder brief /
+  * BASELINE.json north_star: dedup as a first-class 100 TB operator,
+  * generalizing the reference's exact-hash file identity checks,
+  * faexport_db/models/file.py:50–63, to fuzzy document identity).
+  *
+  * All hashing uses Spark's codegen'd xxhash64 — no UDFs anywhere; the
+  * whole family stays inside WholeStageCodegen until the LSH-bucket
+  * shuffle.
+  *
+  * Scale design:
+  *  - shingling/signatures are per-row narrow projections (no shuffle);
+  *  - LSH banding shuffles once on (band_id, band_hash) — the classic
+  *    O(n·bands) candidate generation instead of O(n²) pairs;
+  *  - candidate verification joins only within buckets; skewed buckets
+  *    (boilerplate shingles) can be salted or capped upstream.
+  */
+object Dedup {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct w-word shingles (w=3): the unit of MinHash/Jaccard
+    * similarity. Texts shorter than w tokens contribute one whole-text
+    * shingle (guards element_at under ANSI mode). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val tk = tokens(text)
+    when(size(tk) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(tk) - w),
+        i => concat_ws(" ", (0 until w).map(o => element_at(tk, i + o + 1)): _*))))
+      .otherwise(array(array_join(tk, " ")))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64; sig[i] = min over shingles of h_i(shingle). */
+  def minhashSignature(sh: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `rows = k/bands` and hash each; docs sharing any (band, hash) are
+    * candidates. */
+  def bandKeys(sig: Column, k: Int = 32, bands: Int = 8): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band_id"),
+        xxhash64(slice(sig, j * r + 1, lit(r))).as("band_hash")))
+  }
+
+  /** Exact Jaccard over two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** SimHash (64-bit): per-token xxhash64, bit-wise majority vote
+    * weighted by token frequency; near-dups have small Hamming
+    * distance. Built from bit arithmetic on codegen'd functions. */
+  def simhash(text: Column): Column = {
+    val tk = tokens(text)
+    val hashes = transform(tk, t => xxhash64(t))
+    // For each bit position, count votes: +1 if bit set else -1; the
+    // sign of the sum is the output bit. (shiftright/shiftleft via
+    // call_function — the Scala wrappers only take Int literals.)
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val vote = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L)).otherwise(lit(0L))
+    })
+    // pack bits into one long
+    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
+      (bit, pos) => call_function("shiftleft", bit, pos)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** MinHash+LSH candidate pairs with exact-Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) for candidates with
+    * jaccard >= threshold.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("doc"),
+      shingles(col(textCol)).as("sh"))
+    // band the ids only — the heavy shingle arrays are joined back in
+    // just for the (much smaller) candidate set
+    val banded = sh
+      .select(col("doc"),
+        explode(bandKeys(minhashSignature(col("sh"), k), k, bands)).as("band"))
+      .select(col("doc"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val pairs = banded.select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
+      .join(banded.select(col("band_id"), col("band_hash"), col("doc").as("doc_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct() // a pair may collide in several bands
+    pairs
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over an `array<float>` embedding
+  * column (builder brief: similarity search as a first-class operator;
+  * generalizes the reference's exact hash_search, web.py:202–216, from
+  * exact binary identity to vector similarity).
+  *
+  * Two paths share the same scoring code:
+  *  - brute force (EmbeddingsQ.q24): exact, O(Q·N), broadcast+scan —
+  *    the correctness baseline;
+  *  - random-hyperplane LSH (here): sign-bit signature per vector,
+  *    candidates only within matching buckets → O(N) bucketing shuffle
+  *    plus small within-bucket scoring. At 100 TB the bucketed table is
+  *    written once (partitioned by bucket) and each query touches one
+  *    partition.
+  *
+  * The hyperplanes are pseudo-random but fully deterministic: component
+  * j of plane p is ±1 by xxhash64(p, j) parity — reproducible across
+  * runs and engines with no RNG state.
+  */
+object Similarity {
+
+  /** Double-promoted dot product, folded in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** ±1 pseudo-random hyperplane component for (plane, dim). */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    when(pmod(xxhash64(plane, dim), lit(2)) === 0, 1.0).otherwise(-1.0)
+
+  /** Sign-bit LSH bucket id from `nPlanes` random hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int = 8): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") * planeComponent(p, j)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Bucketed ANN: top-k by cosine among candidates sharing the query's
+    * LSH bucket. Returns (qid, rank, nid, approx=true rows only for
+    * queries whose bucket has candidates).
+    */
+  def annLsh(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val cands = embeddings.select(
+      col(idCol).as("nid"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val qs = queries.select(
+      col(idCol).as("qid"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    cands.join(broadcast(qs), Seq("bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Semantics of the hash-based LLM-pipeline operators (MinHash/LSH,
+  * SimHash, LSH-ANN, multimodal stub) that the DuckDB oracle cannot
+  * reproduce. */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      // near-dup of 0: one word changed
+      (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      // unrelated
+      (2L, "completely different content about spark shuffles and parquet column pruning"),
+      // exact dup of 0
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L))) // exact dup
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 === 1.0)
+    assert(keys.contains((0L, 1L)) || keys.contains((1L, 3L))) // near dup caught
+    assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val s = spark
+    import s.implicits._
+    val out = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) === out(3L))
+    val near = java.lang.Long.bitCount(out(0L) ^ out(1L))
+    val far = java.lang.Long.bitCount(out(0L) ^ out(2L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("LSH-ANN: identical vectors share a bucket and rank first") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val nearV = base.clone(); nearV(0) = nearV(0) + 0.01f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, base.toSeq), (1L, nearV.toSeq), (2L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.annLsh(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" === 0L), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    assert(res.head === ((0L, 1L, 1L))) // near vector is rank-1 neighbor
+  }
+
+  test("multimodal: stub decode is deterministic and frame sampling shapes hold") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(7L, 8L).toDF("vec_id")
+    val media = Multimodal.syntheticMedia(s, ids, "vec_id")
+    val f1 = Multimodal.extractFeatures(media, 4).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, 4).collect().sortBy(_.media_id)
+    assert(f1.map(_.checksum).toSeq === f2.map(_.checksum).toSeq)
+    assert(f1.forall(_.n_bytes === 16L))
+    assert(f1.forall(_.features.length === 4))
+    assert(f1.find(_.media_id == 7L).get.kind === "audio")
+    assert(f1.find(_.media_id == 8L).get.kind === "image")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyNth = 2)
+    // 16 bytes / 4 = 4 frames, every 2nd → 2 per media
+    assert(frames.count() === 4L)
+    assert(frames.select(max(length($"frame"))).head.getInt(0) === 4)
+  }
+
+  test("jaccard shingle guard: short texts fall back to whole-text shingle") {
+    val s = spark
+    import s.implicits._
+    val short = Seq((0L, "one two"), (1L, "one two")).toDF("doc_id", "text")
+    val j = short.select(Dedup.jaccard(
+      Dedup.shingles($"text"), Dedup.shingles($"text"))).head.getDouble(0)
+    assert(j === 1.0)
+  }
+}
