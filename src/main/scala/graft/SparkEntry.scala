@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.TextDocs.queries ++
       graft.queries.EmbeddingsQ.queries ++
       graft.queries.Faexport.queries ++
-      graft.queries.LlmOps.queries
+      graft.queries.LlmOps.queries ++
+      graft.queries.IngestQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextDocs.oracles ++
       graft.queries.EmbeddingsQ.oracles ++
       graft.queries.Faexport.oracles ++
-      graft.queries.LlmOps.oracles
+      graft.queries.LlmOps.oracles ++
+      graft.queries.IngestQ.oracles
 }

@@ -1,0 +1,315 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.LongToBigEndianBinary.longToBigEndianBinary
+
+/** Ingest format converters (SURVEY §2.2 S2–S6, §3.2–§3.3): each
+  * reference format becomes a pure `DataFrame → nested-snapshot
+  * DataFrame` transform — no per-row Python loops, no
+  * INSERT..RETURNING id round-trips (ids are deterministic hashes,
+  * SURVEY §1.5), no driver-side buffering (T1's 1000-row flush is
+  * subsumed by partitioned parquet appends).
+  *
+  * The nested snapshot shape (keywords + files(+hashes) as arrays on
+  * the snapshot row) is the converter output; [[Normalize.splitChildren]]
+  * explodes it into the four reference tables for storage.
+  *
+  * All converted timestamps are parsed with an explicit format chain
+  * (F10; reference uses dateutil lenient parsing, db.py:34–37).
+  */
+object Formats {
+
+  /** Lenient ISO-ish timestamp parse: fallback chain over the formats
+    * the dumps actually contain (F10). */
+  def parseTs(c: Column): Column = coalesce(
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+    try_to_timestamp(c, lit("yyyy-MM-dd")))
+
+  private val emptyToNull: Column => Column = c => when(length(c) > 0, c)
+
+  /** Keyword struct array from a whitespace-separated tag string,
+    * unordered (ordinal null — F5/F17, e621 tag_string). */
+  private def unorderedKeywords(tags: Column): Column =
+    transform(
+      filter(split(tags, "\\s+"), t => length(t) > 0),
+      k => struct(k.as("keyword"), lit(null).cast("int").as("ordinal")))
+
+  /** e621 db_export CSV (S3; scripts/ingest/e621_db_export/main.py:49–97).
+    * Input: the 29-column dump read with header. Output: nested
+    * snapshot rows.
+    *
+    * Divergence (SURVEY Appendix A2): the reference b64-decodes the hex
+    * md5 (main.py:66) storing garbage bytes; we `unhex` it.
+    */
+  def e621(csv: DataFrame, scanDatetime: Column, ingestDatetime: Column): DataFrame = {
+    val md5c = col("md5")
+    val fileUrl = concat(
+      lit("https://static1.e621.net/data/"),
+      substring(md5c, 1, 2), lit("/"), substring(md5c, 3, 2), lit("/"),
+      md5c, lit("."), col("file_ext")) // F3 CDN path
+    val fileExtra = to_json(struct(
+      col("image_width").cast("int").as("width"),
+      col("image_height").cast("int").as("height"),
+      col("file_ext").as("ext"),
+      when(length(col("duration")) > 0, col("duration").cast("double")).as("duration")),
+      Map("ignoreNullFields" -> "false"))
+    // Spark's CSV reader yields null for empty fields; Python's csv
+    // yields "" — the reference therefore emits "" strings and [""]
+    // lists in extra_data (main.py:78–84), which we reproduce.
+    def emptyStr(c: Column) = coalesce(c, lit(""))
+    val extra = to_json(struct(
+      transform(split(emptyStr(col("source")), "\n"), s => trim(s)).as("sources"), // F4
+      col("rating").as("rating"),
+      // "".split() in Python is [] (unlike "".split("\n") = [""])
+      filter(split(emptyStr(col("locked_tags")), "\\s+"), t => length(t) > 0)
+        .as("locked_tags"),
+      col("fav_count").cast("int").as("fav_count"),
+      col("comment_count").cast("int").as("comment_count"),
+      emptyStr(col("parent_id")).as("parent_id"),
+      emptyStr(col("change_seq")).as("change_seq"),
+      emptyStr(col("approver_id")).as("approver_id"),
+      date_format(parseTs(col("updated_at")), "yyyy-MM-dd'T'HH:mm:ssXXX").as("updated_datetime"),
+      (col("is_pending") === "t").as("is_pending"),
+      (col("is_flagged") === "t").as("is_flagged"),
+      col("score").cast("int").as("score"),
+      col("up_score").cast("int").as("up_score"),
+      col("down_score").cast("int").as("down_score"),
+      (col("is_rating_locked") === "t").as("is_rating_locked"),
+      (col("is_status_locked") === "t").as("is_status_locked"),
+      (col("is_note_locked") === "t").as("is_note_locked")),
+      Map("ignoreNullFields" -> "false"))
+    csv.select(
+      lit("e621").as("website_id"),
+      col("id").as("site_submission_id"),
+      scanDatetime.as("scan_datetime"),
+      lit("e621 db_export").as("contributor_name"),
+      ingestDatetime.as("ingest_datetime"),
+      col("uploader_id").as("uploader_site_user_id"),
+      (col("is_deleted") === "t").as("is_deleted"), // F6
+      lit(null).cast("string").as("title"),
+      col("description").as("description"),
+      parseTs(col("created_at")).as("datetime_posted"),
+      lit(true).as("keywords_recorded"),
+      extra.as("extra_data"),
+      unorderedKeywords(col("tag_string")).as("keywords"),
+      array(struct(
+        lit(null).cast("string").as("site_file_id"),
+        fileUrl.as("file_url"),
+        col("file_size").cast("long").as("file_size"),
+        fileExtra.as("extra_data"),
+        array(struct(lit(1L).as("algo_id"), unhex(md5c).as("hash_value")))
+          .as("hashes"))).as("files"))
+  }
+
+  /** e621 --validate mode (ingestion_job.py:117–122,
+    * e621 main.py:99–123): the same per-row domain assertions as
+    * predicate columns, aggregated to violation counts. */
+  def e621Validate(csv: DataFrame): DataFrame = {
+    val checks = Seq(
+      "created_at_parses" -> parseTs(col("created_at")).isNotNull,
+      "md5_len" -> (length(col("md5")) > 4),
+      "is_deleted_domain" -> col("is_deleted").isin("t", "f"),
+      "rating_domain" -> col("rating").isin("e", "q", "s"),
+      "fav_count_nonneg" -> (col("fav_count").cast("int") >= 0),
+      "down_score_nonpos" -> (col("down_score").cast("int") <= 0),
+      "up_score_nonneg" -> (col("up_score").cast("int") >= 0),
+      "width_int" -> col("image_width").cast("int").isNotNull,
+      "height_int" -> col("image_height").cast("int").isNotNull)
+    csv.agg(
+      count(lit(1)).as("n_rows"),
+      checks.map { case (name, pred) =>
+        count(when(!pred, 1)).as(s"bad_$name")
+      }: _*)
+  }
+
+  /** fuzzysearch dump CSV (S2; scripts/ingest/fuzzysearch/main.py:76–118).
+    * Rows with empty `hash` are skipped (P5, main.py:79–80); scan time
+    * is `updated_at`, falling back to the dump's earliest date (A3,
+    * main.py:58–75) — computed here as a broadcast scalar aggregate,
+    * not a cached file.
+    */
+  def fuzzysearch(csv: DataFrame, ingestDatetime: Column): DataFrame = {
+    val earliest = csv.agg(
+      min(parseTs(emptyToNull(col("updated_at")))).as("earliest_date"))
+    val websiteId = when(col("site") === "furaffinity", "fa")
+      .otherwise(col("site")) // e621, weasyl pass through
+    csv.filter(length(col("hash")) > 0)
+      .crossJoin(broadcast(earliest))
+      .select(
+        websiteId.as("website_id"),
+        col("id").as("site_submission_id"),
+        coalesce(parseTs(emptyToNull(col("updated_at"))), col("earliest_date"))
+          .as("scan_datetime"),
+        lit("FuzzySearch data ingest").as("contributor_name"),
+        ingestDatetime.as("ingest_datetime"),
+        lit(null).cast("string").as("uploader_site_user_id"),
+        (col("deleted") === "true").as("is_deleted"),
+        lit(null).cast("string").as("title"),
+        lit(null).cast("string").as("description"),
+        parseTs(emptyToNull(col("posted_at"))).as("datetime_posted"),
+        lit(false).as("keywords_recorded"),
+        lit(null).cast("string").as("extra_data"),
+        lit(null).cast("array<struct<keyword:string,ordinal:int>>").as("keywords"),
+        array(struct(
+          lit(null).cast("string").as("site_file_id"),
+          emptyToNull(col("content_url")).as("file_url"),
+          lit(null).cast("long").as("file_size"),
+          lit(null).cast("string").as("extra_data"),
+          concat(
+            // F9: int64 decimal string → big-endian 8 bytes (dhash, algo 2)
+            array(struct(lit(2L).as("algo_id"),
+              longToBigEndianBinary(col("hash").cast("long")).as("hash_value"))),
+            // optional base64 sha256 (algo 4)
+            when(length(col("sha256")) > 0,
+              array(struct(lit(4L).as("algo_id"), unbase64(col("sha256")).as("hash_value"))))
+              .otherwise(array().cast("array<struct<algo_id:bigint,hash_value:binary>>")))
+            .as("hashes"))).as("files"))
+  }
+
+  /** foxoblue userlist CSV (S2; scripts/ingest/foxoblue_userlist/
+    * main.py:43–75): 3 columns, "NULL" sentinels, `unknown_user` rows
+    * skipped (P5), any other error marks deletion. Output: nested user
+    * snapshot rows. */
+  def foxoblue(csv: DataFrame, dataDate: Column, ingestDatetime: Column): DataFrame = {
+    csv.filter(col("error").isNull || col("error") =!= "unknown_user")
+      .select(
+        lit("fa").as("website_id"),
+        col("username").as("site_user_id"),
+        coalesce(parseTs(nullif(col("updated_at"), lit("NULL"))), dataDate)
+          .as("scan_datetime"),
+        lit("Foxo-blue userlist ingest").as("contributor_name"),
+        ingestDatetime.as("ingest_datetime"),
+        nullif(col("error"), lit("NULL")).isNotNull.as("is_deleted"),
+        lit(null).cast("string").as("display_name"),
+        lit(null).cast("string").as("extra_data"))
+  }
+
+  /** Web-push `submission` format (S6; SubmissionSnapshot.from_web_json,
+    * models/submission.py:281–306 + keyword.py:26–41, file.py:40–48):
+    * a JSON payload column → nested snapshot rows. Exactly one of
+    * keywords / ordered_keywords / unordered_keywords applies; hashes
+    * arrive base64 (file.py:187–192).
+    */
+  def webSubmission(payloads: DataFrame, payloadCol: String,
+      contributor: Column, ingestDatetime: Column): DataFrame = {
+    val schema = "struct<" +
+      "website_id:string, site_submission_id:string, scan_datetime:string," +
+      "uploader_site_user_id:string, is_deleted:boolean, title:string," +
+      "description:string, datetime_posted:string, extra_data:string," +
+      "keywords:array<struct<keyword:string,ordinal:int>>," +
+      "ordered_keywords:array<string>, unordered_keywords:array<string>," +
+      "files:array<struct<site_file_id:string,file_url:string,file_size:bigint," +
+      "extra_data:string,file_hashes:array<struct<algo_id:bigint,hash_value:string>>>>>"
+    val p = from_json(col(payloadCol), schema, Map.empty[String, String])
+    payloads.select(p.as("p"), contributor.as("contributor_name"),
+      ingestDatetime.as("ingest_datetime"))
+      .select(
+        col("p.website_id").as("website_id"),
+        col("p.site_submission_id").as("site_submission_id"),
+        parseTs(col("p.scan_datetime")).as("scan_datetime"),
+        col("contributor_name"),
+        col("ingest_datetime"),
+        col("p.uploader_site_user_id").as("uploader_site_user_id"),
+        coalesce(col("p.is_deleted"), lit(false)).as("is_deleted"),
+        col("p.title").as("title"),
+        col("p.description").as("description"),
+        parseTs(col("p.datetime_posted")).as("datetime_posted"),
+        (col("p.keywords").isNotNull || col("p.ordered_keywords").isNotNull ||
+          col("p.unordered_keywords").isNotNull).as("keywords_recorded"),
+        col("p.extra_data").as("extra_data"),
+        coalesce(
+          col("p.keywords"),
+          transform(col("p.ordered_keywords"), // F17 ordinal from position
+            (k, i) => struct(k.as("keyword"), i.cast("int").as("ordinal"))),
+          transform(col("p.unordered_keywords"),
+            k => struct(k.as("keyword"), lit(null).cast("int").as("ordinal"))))
+          .as("keywords"),
+        transform(col("p.files"), f => struct(
+          f.getField("site_file_id").as("site_file_id"),
+          f.getField("file_url").as("file_url"),
+          f.getField("file_size").as("file_size"),
+          f.getField("extra_data").as("extra_data"),
+          transform(f.getField("file_hashes"), h => struct(
+            h.getField("algo_id").as("algo_id"),
+            unbase64(h.getField("hash_value")).as("hash_value"))).as("hashes")))
+          .as("files"))
+  }
+
+  /** Web-push `user` format (S6; UserSnapshot.from_web_json,
+    * models/user.py:161–171). */
+  def webUser(payloads: DataFrame, payloadCol: String,
+      contributor: Column, ingestDatetime: Column): DataFrame = {
+    val schema = "struct<website_id:string, site_user_id:string," +
+      "scan_datetime:string, is_deleted:boolean, display_name:string," +
+      "extra_data:string>"
+    val p = from_json(col(payloadCol), schema, Map.empty[String, String])
+    payloads.select(p.as("p"), contributor.as("contributor_name"),
+      ingestDatetime.as("ingest_datetime"))
+      .select(
+        col("p.website_id").as("website_id"),
+        col("p.site_user_id").as("site_user_id"),
+        parseTs(col("p.scan_datetime")).as("scan_datetime"),
+        col("contributor_name"),
+        col("ingest_datetime"),
+        coalesce(col("p.is_deleted"), lit(false)).as("is_deleted"),
+        col("p.display_name").as("display_name"),
+        col("p.extra_data").as("extra_data"))
+  }
+}
+
+/** Explode nested converter output into the four normalized reference
+  * tables with deterministic surrogate ids (SURVEY §1.5: stable across
+  * re-runs so child joins never need RETURNING round-trips).
+  */
+object Normalize {
+
+  /** (snapshots, keywords, files, fileHashes) from nested rows. */
+  def splitChildren(nested: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val withId = nested.withColumn("submission_snapshot_id",
+      xxhash64(col("website_id"), col("site_submission_id"),
+        col("scan_datetime"), col("contributor_name")))
+    val snaps = withId.select(
+      col("submission_snapshot_id"), col("website_id"), col("site_submission_id"),
+      col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+      col("uploader_site_user_id"), col("is_deleted"), col("title"),
+      col("description"), col("datetime_posted"), col("keywords_recorded"),
+      col("extra_data"))
+    val kw = withId
+      .select(col("submission_snapshot_id"), posexplode(col("keywords")).as(Seq("pos", "k")))
+      .select(
+        xxhash64(col("submission_snapshot_id"), col("k.keyword"), col("pos"))
+          .as("keyword_id"),
+        col("submission_snapshot_id"),
+        col("k.keyword").as("keyword"),
+        col("k.ordinal").as("ordinal"))
+    val filesExp = withId
+      .select(col("submission_snapshot_id"), posexplode(col("files")).as(Seq("pos", "f")))
+      .withColumn("file_id",
+        xxhash64(col("submission_snapshot_id"), col("f.site_file_id"),
+          col("f.file_url"), col("pos")))
+    val files = filesExp.select(
+      col("file_id"), col("submission_snapshot_id"),
+      col("f.site_file_id").as("site_file_id"),
+      col("f.file_url").as("file_url"),
+      col("f.file_size").as("file_size"),
+      col("f.extra_data").as("extra_data"))
+    val hashes = filesExp
+      .select(col("file_id"), explode(col("f.hashes")).as("h"))
+      .select(
+        xxhash64(col("file_id"), col("h.algo_id")).as("hash_id"),
+        col("file_id"),
+        col("h.algo_id").as("algo_id"),
+        col("h.hash_value").as("hash_value"))
+    (snaps, kw, files, hashes)
+  }
+}
