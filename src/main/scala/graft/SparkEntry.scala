@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.EmbeddingsQ.queries ++
       graft.queries.Faexport.queries ++
       graft.queries.LlmOps.queries ++
-      graft.queries.IngestQ.queries
+      graft.queries.IngestQ.queries ++
+      graft.queries.MaintenanceQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.EmbeddingsQ.oracles ++
       graft.queries.Faexport.oracles ++
       graft.queries.LlmOps.oracles ++
-      graft.queries.IngestQ.oracles
+      graft.queries.IngestQ.oracles ++
+      graft.queries.MaintenanceQ.oracles
 }

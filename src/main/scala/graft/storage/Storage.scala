@@ -1,0 +1,77 @@
+package graft.storage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table registry — replaces the reference's Database object
+  * (faexport_db/db.py:53–137) and schema bootstrap
+  * (faexport_db/schema/faexport_db.sql).
+  *
+  * Layout: one directory per table under a root; the append-only fact
+  * tables (`user_snapshots`, `submission_snapshots` and their children)
+  * are hive-partitioned by `website_id` because every reference read
+  * path filters on it (web.py:68–153) — partition pruning replaces the
+  * covering indexes of indexes.sql:6–24. Bulk-insert chunking
+  * (db.py:102–127, 1000 rows/statement) is subsumed by parquet row
+  * groups; "deferred index builds" (indexes.sql:1–3) are moot.
+  *
+  * 100 TB note: for shuffle-free merge-on-read, write snapshot tables
+  * sorted within partitions by the entity key
+  * (`sortWithinPartitions`) so the M-family groupBy can use
+  * sort-based aggregation without re-sorting; with a catalog, the same
+  * tables would be `bucketBy(entityKey)` to remove the merge shuffle
+  * entirely (SURVEY §4.4).
+  */
+class Storage(spark: SparkSession, root: String) {
+
+  private val partitioned = Set(
+    "user_snapshots", "submission_snapshots")
+
+  def path(table: String): String = s"$root/$table"
+
+  def append(table: String, df: DataFrame): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    if (partitioned(table)) w.partitionBy("website_id").parquet(path(table))
+    else w.parquet(path(table))
+  }
+
+  def overwrite(table: String, df: DataFrame): Unit = {
+    // rewrite via temp dir: reading and overwriting the same parquet
+    // path in one job is unsafe
+    val tmp = s"$root/.tmp_$table"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path(table)))
+  }
+
+  /** A10/A11 get-or-create dimension upsert: append only the rows whose
+    * natural key is absent (archive_contributor.py:41–57 ON CONFLICT DO
+    * NOTHING; website.py:46–55 EXISTS check). */
+  def upsertDimension(table: String, rows: DataFrame, keyCols: Seq[String]): Unit = {
+    if (!exists(table)) append(table, rows.dropDuplicates(keyCols))
+    else {
+      val fresh = rows.dropDuplicates(keyCols)
+        .join(read(table), keyCols, "left_anti")
+      if (!fresh.isEmpty) append(table, fresh)
+    }
+  }
+
+  /** Settings bootstrap — version seed row (faexport_db.sql:116–124). */
+  def initSettings(): Unit = {
+    import spark.implicits._
+    upsertDimension("settings",
+      Seq(("version", "0.2.1")).toDF("setting_id", "setting_value"),
+      Seq("setting_id"))
+  }
+}
