@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Faexport.queries ++
       graft.queries.LlmOps.queries ++
       graft.queries.IngestQ.queries ++
-      graft.queries.MaintenanceQ.queries
+      graft.queries.MaintenanceQ.queries ++
+      graft.queries.WebListingQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Faexport.oracles ++
       graft.queries.LlmOps.oracles ++
       graft.queries.IngestQ.oracles ++
-      graft.queries.MaintenanceQ.oracles
+      graft.queries.MaintenanceQ.oracles ++
+      graft.queries.WebListingQ.oracles
 }

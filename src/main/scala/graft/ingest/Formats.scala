@@ -313,3 +313,207 @@ object Normalize {
     (snaps, kw, files, hashes)
   }
 }
+
+/** FAExport-API web formats (S6; faexport_db/ingest_formats/faexport.py)
+  * — the flagship ingest fan-out: one submission payload yields 1
+  * submission + 1 user snapshot (faexport.py:18–68); one user payload
+  * yields 1+N user snapshots (watchers/watching) and up to 2 featured
+  * submission snapshots (faexport.py:74–152).
+  */
+object FaexportFormats {
+  import Formats.parseTs
+
+  /** One web-ingest call's output: nested submission rows + nested user
+    * rows (base.py FormatResponse). */
+  case class WebIngestResponse(submissions: DataFrame, users: DataFrame)
+
+  /** F1 — id from URL tail: strip("/").split("/")[-1] (faexport.py:24). */
+  def urlTail(c: Column): Column =
+    element_at(split(regexp_replace(c, "/+$", ""), "/"), -1)
+
+  private val submissionSchema =
+    "struct<link:string, profile_name:string, name:string, title:string," +
+      "description:string, posted_at:string, rating:string, category:string," +
+      "theme:string, species:string, gender:string, favorites:bigint," +
+      "comments:bigint, views:bigint, keywords:array<string>, download:string," +
+      "thumbnail:string, full:string, resolution:string, avatar:string," +
+      "error:string>"
+
+  /** faexport_submission (faexport.py:18–68). Error payloads are
+    * dropped (21–22). */
+  def faexportSubmission(payloads: DataFrame, payloadCol: String,
+      contributor: Column, scrapeTime: Column): WebIngestResponse = {
+    val parsed = payloads
+      .withColumn("p", from_json(col(payloadCol), submissionSchema, Map.empty[String, String]))
+      .filter(col("p.error").isNull)
+      .withColumn("contributor_name", contributor)
+      .withColumn("scan_datetime", scrapeTime)
+      .withColumn("ingest_datetime", scrapeTime)
+    val extra = to_json(struct(
+      col("p.rating").as("rating"),
+      col("p.category").as("category"),
+      col("p.theme").as("theme"),
+      col("p.species").as("species"),
+      col("p.gender").as("gender"),
+      col("p.favorites").as("fav_count"),
+      col("p.comments").as("comment_count"),
+      col("p.views").as("view_count")), Map("ignoreNullFields" -> "false"))
+    // F2 — "WxH" resolution split; None when resolution is empty
+    // (faexport.py:50–51); values stay strings like the reference.
+    val res = when(length(col("p.resolution")) > 0, col("p.resolution"))
+    val fileExtra = to_json(struct(
+      col("p.thumbnail").as("thumbnail_url"),
+      col("p.full").as("full_preview_url"),
+      split(res, "x").getItem(0).as("image_width"),
+      split(res, "x").getItem(1).as("image_height")),
+      Map("ignoreNullFields" -> "false"))
+    val submissions = parsed.select(
+      lit("fa").as("website_id"),
+      urlTail(col("p.link")).as("site_submission_id"),
+      col("scan_datetime"),
+      col("contributor_name"),
+      col("ingest_datetime"),
+      col("p.profile_name").as("uploader_site_user_id"),
+      lit(false).as("is_deleted"),
+      col("p.title").as("title"),
+      col("p.description").as("description"),
+      parseTs(col("p.posted_at")).as("datetime_posted"),
+      lit(true).as("keywords_recorded"),
+      extra.as("extra_data"),
+      transform(col("p.keywords"),
+        (k, i) => struct(k.as("keyword"), i.cast("int").as("ordinal"))).as("keywords"),
+      array(struct(
+        lit(null).cast("string").as("site_file_id"),
+        col("p.download").as("file_url"),
+        lit(null).cast("long").as("file_size"),
+        fileExtra.as("extra_data"),
+        array().cast("array<struct<algo_id:bigint,hash_value:binary>>").as("hashes")))
+        .as("files"))
+    val users = parsed.select(
+      lit("fa").as("website_id"),
+      col("p.profile_name").as("site_user_id"),
+      col("scan_datetime"),
+      col("contributor_name"),
+      col("ingest_datetime"),
+      lit(false).as("is_deleted"),
+      col("p.name").as("display_name"),
+      to_json(struct(col("p.avatar").as("avatar_url")),
+        Map("ignoreNullFields" -> "false")).as("extra_data"))
+    WebIngestResponse(submissions, users)
+  }
+
+  private val userSchema =
+    "struct<error:string, url:string, profile:string, name:string," +
+      "account_type:string, avatar:string, user_title:string," +
+      "registered_at:string, guest_access:boolean, current_mood:string," +
+      "artist_profile:string, pageviews:bigint, submissions:bigint," +
+      "comments_received:bigint, comments_given:bigint, journals:bigint," +
+      "favorites:bigint," +
+      "featured_submission:struct<id:string,title:string,thumbnail:string>," +
+      "profile_id:struct<id:string,title:string,thumbnail:string>," +
+      "artist_information:string, contact_information:string," +
+      "watchers:struct<count:bigint,recent:array<struct<profile_name:string,name:string>>>," +
+      "watching:struct<count:bigint,recent:array<struct<profile_name:string,name:string>>>>"
+
+  /** faexport_user (faexport.py:74–152): disabled-account errors become
+    * deleted-user snapshots (77–87); watchers/watching fan out to bare
+    * user snapshots (135–142); featured/profile-id submissions become
+    * submission snapshots with a thumbnail-only file (144–152, 155–174).
+    */
+  def faexportUser(payloads: DataFrame, payloadCol: String,
+      contributor: Column, scrapeTime: Column): WebIngestResponse = {
+    val parsed = payloads
+      .withColumn("p", from_json(col(payloadCol), userSchema, Map.empty[String, String]))
+      .withColumn("contributor_name", contributor)
+      .withColumn("scan_datetime", scrapeTime)
+      .withColumn("ingest_datetime", scrapeTime)
+    val disabled = parsed
+      .filter(col("p.error").startsWith("User has disabled their account"))
+      .select(
+        lit("fa").as("website_id"),
+        urlTail(col("p.url")).as("site_user_id"),
+        col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+        lit(true).as("is_deleted"),
+        lit(null).cast("string").as("display_name"),
+        lit(null).cast("string").as("extra_data"))
+    val ok = parsed.filter(col("p.error").isNull)
+    val watcherStructs = concat(
+      coalesce(col("p.watchers.recent"),
+        array().cast("array<struct<profile_name:string,name:string>>")),
+      coalesce(col("p.watching.recent"),
+        array().cast("array<struct<profile_name:string,name:string>>")))
+    val mainExtra = to_json(struct(
+      col("p.account_type").as("account_type"),
+      col("p.avatar").as("avatar_url"),
+      col("p.user_title").as("user_title"),
+      date_format(parseTs(col("p.registered_at")), "yyyy-MM-dd'T'HH:mm:ssXXX")
+        .as("registered_datetime"),
+      col("p.guest_access").as("guest_access"),
+      col("p.current_mood").as("current_mood"),
+      col("p.artist_profile").as("profile_html"),
+      col("p.pageviews").as("view_count"),
+      col("p.submissions").as("submission_count"),
+      col("p.comments_received").as("comments_received_count"),
+      col("p.comments_given").as("comments_given_count"),
+      col("p.journals").as("journal_count"),
+      col("p.favorites").as("favorite_count"),
+      col("p.featured_submission.id").as("featured_submission_id"),
+      col("p.profile_id.id").as("profile_id_submission_id"),
+      col("p.artist_information").as("artist_information"),
+      col("p.contact_information").as("contact_information"),
+      col("p.watchers.count").as("watchers_count"),
+      col("p.watching.count").as("watching_count"),
+      transform(col("p.watchers.recent"), w => struct(
+        w.getField("profile_name").as("site_user_id"),
+        w.getField("name").as("display_name"))).as("watchers_recent"),
+      transform(col("p.watching.recent"), w => struct(
+        w.getField("profile_name").as("site_user_id"),
+        w.getField("name").as("display_name"))).as("watching_recent")),
+      Map("ignoreNullFields" -> "false"))
+    val mainUser = ok.select(
+      lit("fa").as("website_id"),
+      urlTail(col("p.profile")).as("site_user_id"),
+      col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+      lit(false).as("is_deleted"),
+      col("p.name").as("display_name"),
+      mainExtra.as("extra_data"))
+    val watcherUsers = ok
+      .select(col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+        explode(watcherStructs).as("w"))
+      .select(
+        lit("fa").as("website_id"),
+        col("w.profile_name").as("site_user_id"),
+        col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+        lit(false).as("is_deleted"),
+        col("w.name").as("display_name"),
+        lit(null).cast("string").as("extra_data"))
+    val featured = ok
+      .withColumn("uploader", urlTail(col("p.profile")))
+      .select(col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+        col("uploader"),
+        explode(filter(
+          array(col("p.featured_submission"), col("p.profile_id")),
+          f => f.isNotNull)).as("f"))
+      .select(
+        lit("fa").as("website_id"),
+        col("f.id").as("site_submission_id"),
+        col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+        col("uploader").as("uploader_site_user_id"),
+        lit(false).as("is_deleted"),
+        col("f.title").as("title"),
+        lit(null).cast("string").as("description"),
+        lit(null).cast("timestamp").as("datetime_posted"),
+        lit(false).as("keywords_recorded"),
+        lit(null).cast("string").as("extra_data"),
+        lit(null).cast("array<struct<keyword:string,ordinal:int>>").as("keywords"),
+        array(struct(
+          lit(null).cast("string").as("site_file_id"),
+          lit(null).cast("string").as("file_url"),
+          lit(null).cast("long").as("file_size"),
+          to_json(struct(col("f.thumbnail").as("thumbnail_url")),
+            Map("ignoreNullFields" -> "false")).as("extra_data"),
+          array().cast("array<struct<algo_id:bigint,hash_value:binary>>").as("hashes")))
+          .as("files"))
+    WebIngestResponse(featured, mainUser.unionByName(watcherUsers).unionByName(disabled))
+  }
+}

@@ -6,6 +6,68 @@ package graft.queries
   * main.py:49–97, fuzzysearch main.py:76–118, foxoblue main.py:43–75,
   * submission.py:281–306) and locked as goldens. */
 object Oracles {
+  val webListing: Map[String, String] = Map(
+    "q42_faexport_submission" ->
+      """SELECT * FROM (VALUES
+        | ('fa','12345','2022-08-01 00:00:00','artist9','Sunrise',
+        |  '2022-03-15 09:30:00','sun:0,sky:1','https://d.furaffinity.net/art/x.png',
+        |  '{"thumbnail_url":"https://t.furaffinity.net/x.jpg","full_preview_url":"https://d.furaffinity.net/full/x.png","image_width":"1280","image_height":"720"}',
+        |  '{"rating":"General","category":"Artwork","theme":"All","species":"Dragon","gender":"Male","fav_count":42,"comment_count":7,"view_count":1234}')
+        |) t(website_id, site_submission_id, scan_datetime,
+        |    uploader_site_user_id, title, datetime_posted, kw_csv, file_url,
+        |    file_extra, extra_data)""".stripMargin,
+    "q43_faexport_user_users" ->
+      """SELECT * FROM (VALUES
+        | ('fa','artist9',FALSE,'Artist Nine',
+        |  '{"account_type":"Member","avatar_url":"https://a.fa/av.gif","user_title":"Painter","registered_datetime":"2019-01-02T03:04:05Z","guest_access":true,"current_mood":"happy","profile_html":"<p>hi</p>","view_count":100,"submission_count":12,"comments_received_count":34,"comments_given_count":56,"journal_count":3,"favorite_count":78,"featured_submission_id":"111","profile_id_submission_id":"222","artist_information":"info","contact_information":"contact","watchers_count":2,"watching_count":1,"watchers_recent":[{"site_user_id":"w1","display_name":"Watcher One"},{"site_user_id":"w2","display_name":"Watcher Two"}],"watching_recent":[{"site_user_id":"w3","display_name":"Watching Three"}]}'),
+        | ('fa','w1',FALSE,'Watcher One',CAST(NULL AS VARCHAR)),
+        | ('fa','w2',FALSE,'Watcher Two',CAST(NULL AS VARCHAR)),
+        | ('fa','w3',FALSE,'Watching Three',CAST(NULL AS VARCHAR)),
+        | ('fa','goneuser',TRUE,CAST(NULL AS VARCHAR),CAST(NULL AS VARCHAR))
+        |) t(website_id, site_user_id, is_deleted, display_name, extra_data)""".stripMargin,
+    "q44_faexport_user_featured" ->
+      """SELECT * FROM (VALUES
+        | ('fa','111','artist9','Feat',FALSE,'{"thumbnail_url":"https://t.fa/f.jpg"}'),
+        | ('fa','222','artist9','PID',FALSE,'{"thumbnail_url":"https://t.fa/p.jpg"}')
+        |) t(website_id, site_submission_id, uploader_site_user_id, title,
+        |    keywords_recorded, file_extra)""".stripMargin,
+    "q45_websites_listing" ->
+      """SELECT website_id, full_name, link,
+        | CAST(n_submission_snapshots AS BIGINT) AS n_submission_snapshots,
+        | CAST(n_user_snapshots AS BIGINT) AS n_user_snapshots
+        |FROM (VALUES
+        | ('fa','Fur Affinity','https://furaffinity.net',4,3),
+        | ('ws','Weasyl','https://weasyl.com',0,0)
+        |) t(website_id, full_name, link, n_submission_snapshots, n_user_snapshots)""".stripMargin,
+    "q46_contributors_listing" ->
+      """SELECT name,
+        | CAST(n_submission_snapshots AS BIGINT) AS n_submission_snapshots,
+        | CAST(n_user_snapshots AS BIGINT) AS n_user_snapshots
+        |FROM (VALUES ('alice',3,1), ('bob',1,2)
+        |) t(name, n_submission_snapshots, n_user_snapshots)""".stripMargin,
+    "q47_hash_algos_listing" ->
+      """SELECT CAST(algo_id AS BIGINT) AS algo_id, language, algorithm_name,
+        | CAST(n_hashes AS BIGINT) AS n_hashes
+        |FROM (VALUES (1,'any','md5',3), (2,'rust','dhash',1), (3,'python','phash',1)
+        |) t(algo_id, language, algorithm_name, n_hashes)""".stripMargin,
+    "q48_fa_indexer" ->
+      """SELECT * FROM (VALUES
+        | ('fa','10','ua','T10','dx','2019-11-01 00:00:00','k1:0,k2:1',
+        |  'https://f.fa/10.png','{"rating":"general"}'),
+        | ('fa','12','ua','T12','plain','2019-11-02 00:00:00','',
+        |  'https://f.fa/12.png','{"rating":"mature"}')
+        |) t(website_id, site_submission_id, uploader_site_user_id, title,
+        |    description, datetime_posted, kw_csv, file_url, extra_data)""".stripMargin,
+    "q49_investigate_e621" ->
+      """SELECT kind, value, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('protocol','https',3), ('protocol','http',1),
+        | ('domain','twitter.com',2), ('domain','deviantart.com',1),
+        | ('domain','a.example',1),
+        | ('raw_domain','example.com',1),
+        | ('twitter','artist1',2),
+        | ('probably_wrong','posts',1)
+        |) t(kind, value, n)""".stripMargin)
+
   val ingest: Map[String, String] = Map(
     "q36_ingest_e621" ->
       """SELECT website_id, site_submission_id, uploader_site_user_id,
