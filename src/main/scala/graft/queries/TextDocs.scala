@@ -63,13 +63,17 @@ object TextDocs {
   }
 
   /** Exact dedup: hash-groupBy on the canonical fingerprint; emits each
-    * doc with its duplicate-cluster size (1 = unique). */
+    * doc with its duplicate-cluster size (1 = unique). A count window
+    * over the fingerprint — ONE shuffle — instead of groupBy+self-join
+    * (two shuffles + a join); at 100 TB the fingerprint (32 hex chars)
+    * is also far cheaper to shuffle than re-reading text twice. */
   private val q23ExactDup: Q = (s, d) => {
     import s.implicits._
-    val docs = t(s, d, "documents")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    t(s, d, "documents")
       .select($"doc_id", fingerprint($"text").as("fp"))
-    val sizes = docs.groupBy($"fp").agg(count(lit(1)).as("cluster_size"))
-    docs.join(sizes, "fp").select($"doc_id", $"cluster_size")
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select($"doc_id", $"cluster_size")
   }
 
   val queries: Map[String, Q] = Map(

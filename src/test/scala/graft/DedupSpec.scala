@@ -33,7 +33,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+    // 16 bands of 2 rows: catch probability at jaccard 0.6 is ~99.9%
+    // (the default 8×4 banding leaves ~33% miss chance for this pair);
+    // false candidates are removed by the exact-jaccard filter anyway
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((0L, 3L))) // exact dup
