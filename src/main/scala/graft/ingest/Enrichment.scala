@@ -1,0 +1,65 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** S7 — rate-limited side-effecting enrichment
+  * (scripts/ingest/fuzzysearch/user_lookup.py:102–206): the reference
+  * calls the Weasyl API at 1 req/s under a lock with a file-backed memo
+  * cache. Spark shape: `mapPartitions` with a lazily-initialized
+  * rate-limited client per partition and the memo cache as a broadcast
+  * side-input — the network client is STUBBED (no egress in this
+  * container; swap `lookup` for a real HTTP call in production).
+  *
+  * Rate limiting is per-partition (interval × parallelism ≈ global
+  * rate; run with a single partition or a distributed token bucket for
+  * a hard global cap — the reference's single process makes 1 req/s
+  * total, so callers wanting exact parity coalesce(1) this stage).
+  */
+object Enrichment {
+
+  /** F15 — the reference's username guess: lowercase, strip everything
+    * outside [a-z0-9] (user_lookup.py:225, 135). */
+  def guessUsername(display: String): String =
+    display.toLowerCase.replaceAll("[^a-z0-9]", "")
+
+  /** Add a `canonical_username` column by consulting the broadcast
+    * cache first, then the (stubbed) rate-limited lookup.
+    *
+    * @param lookup the remote call stand-in; deterministic default =
+    *               the F15 username guess (a real Weasyl client goes
+    *               here, initialized once per partition)
+    */
+  def enrichUsernames(
+      df: DataFrame,
+      usernameCol: String,
+      cache: Map[String, String],
+      minIntervalMs: Long = 1000L,
+      lookup: String => Option[String] = d => Some(guessUsername(d))): DataFrame = {
+    val spark = df.sparkSession
+    val bcCache = spark.sparkContext.broadcast(cache)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("canonical_username", StringType, nullable = true))
+    val idx = df.schema.fieldIndex(usernameCol)
+    val rdd = df.rdd.mapPartitions { it =>
+      // per-partition init: client + local rate-limiter state
+      var lastCall = 0L
+      val memo = scala.collection.mutable.Map.empty[String, Option[String]]
+      it.map { row =>
+        val name = row.getString(idx)
+        val canonical: Option[String] =
+          if (name == null) None
+          else bcCache.value.get(name).map(Option(_)).getOrElse {
+            memo.getOrElseUpdate(name, {
+              val wait = minIntervalMs - (System.currentTimeMillis() - lastCall)
+              if (wait > 0) Thread.sleep(wait) // token-bucket stand-in
+              lastCall = System.currentTimeMillis()
+              lookup(name)
+            })
+          }
+        Row.fromSeq(row.toSeq :+ canonical.orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

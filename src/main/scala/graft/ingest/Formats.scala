@@ -517,3 +517,59 @@ object FaexportFormats {
     WebIngestResponse(featured, mainUser.unionByName(watcherUsers).unionByName(disabled))
   }
 }
+
+/** findfurrypicbot SQLite ingest (S5; scripts/ingest/findfurrypicbot/
+  * main.py:15–69) and resumable-ingest helpers.
+  */
+object BulkSources {
+  import org.apache.spark.sql.functions._
+
+  /** findfurrypicbot `posts(id, a_hash, p_hash, d_hash, w_hash)` →
+    * nested snapshot rows: one file per post carrying the four
+    * perceptual hashes (main.py:42–62). `posts` comes from
+    * `spark.read.jdbc("jdbc:sqlite:…", "posts", …)` when a SQLite
+    * driver is on the classpath, or from the one-time
+    * `sqlite3 → parquet` conversion otherwise (this container ships no
+    * sqlite JDBC jar — SURVEY §2.2 S5 fallback).
+    *
+    * Algo ids follow the fixture seed order (FIXTURES.md §1 +
+    * fuzzysearch): python ahash=5, dhash=6, phash=7, whash=8.
+    */
+  def findfurrypicbot(posts: DataFrame, scanDatetime: Column,
+      ingestDatetime: Column): DataFrame = {
+    posts.select(
+      lit("fa").as("website_id"),
+      col("id").cast("string").as("site_submission_id"),
+      scanDatetime.as("scan_datetime"),
+      lit("FindFurryPicBot data ingest").as("contributor_name"),
+      ingestDatetime.as("ingest_datetime"),
+      lit(null).cast("string").as("uploader_site_user_id"),
+      lit(false).as("is_deleted"),
+      lit(null).cast("string").as("title"),
+      lit(null).cast("string").as("description"),
+      lit(null).cast("timestamp").as("datetime_posted"),
+      lit(false).as("keywords_recorded"),
+      lit(null).cast("string").as("extra_data"),
+      lit(null).cast("array<struct<keyword:string,ordinal:int>>").as("keywords"),
+      array(struct(
+        lit(null).cast("string").as("site_file_id"),
+        lit(null).cast("string").as("file_url"),
+        lit(null).cast("long").as("file_size"),
+        lit(null).cast("string").as("extra_data"),
+        array(
+          struct(lit(5L).as("algo_id"), col("a_hash").as("hash_value")),
+          struct(lit(6L).as("algo_id"), col("d_hash").as("hash_value")),
+          struct(lit(7L).as("algo_id"), col("p_hash").as("hash_value")),
+          struct(lit(8L).as("algo_id"), col("w_hash").as("hash_value")))
+          .as("hashes"))).as("files"))
+  }
+
+  /** P4 — row-skip resume (ingestion_job.py:45–46, 83–85): restartable
+    * bulk ingest resumes after `skipRows` in a stable total order. The
+    * reference counts raw CSV rows; here any deterministic order column
+    * works, and checkpointed Structured Streaming (StreamingIngest) is
+    * the preferred resume mechanism (T3).
+    */
+  def skipRows(df: DataFrame, orderCol: String, skip: Int): DataFrame =
+    df.orderBy(col(orderCol)).offset(skip)
+}
