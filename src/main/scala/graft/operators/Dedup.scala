@@ -132,3 +132,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 }
+
+/** SimHash near-duplicate pairing via Hamming-distance LSH: split the
+  * 64-bit fingerprint into `chunks` equal chunks; by pigeonhole, any
+  * pair within Hamming distance < chunks shares at least one exact
+  * chunk, so bucketing on (chunk_idx, chunk_value) finds all such pairs
+  * with one shuffle — no O(n²) comparison.
+  */
+object SimhashPairs {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.{DataFrame}
+
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val bits = 64 / chunks
+    val sh = docs.select(col(idCol).as("doc"),
+      Dedup.simhash(col(textCol)).as("simhash"))
+    val chunked = sh.select(col("doc"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
+        c.as("chunk_idx"),
+        call_function("shiftright", col("simhash"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("chunk_value")))).as("ch"))
+      .select(col("doc"), col("simhash"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
+    chunked.select(col("chunk_idx"), col("chunk_value"),
+      col("doc").as("doc_a"), col("simhash").as("sim_a"))
+      .join(chunked.select(col("chunk_idx"), col("chunk_value"),
+        col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("chunk_idx", "chunk_value"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -71,3 +71,90 @@ object Similarity {
         round(col("cos"), 6).as("cos"))
   }
 }
+
+/** IVF-style ANN (inverted file index): assign every vector to its
+  * nearest of C deterministic centroids (a fixed id-stride sample of
+  * the corpus — a k-means pass would slot in here unchanged); queries
+  * probe only their `nprobe` nearest centroid cells. Complements the
+  * hyperplane-LSH path: IVF adapts to the data distribution, LSH is
+  * data-independent.
+  *
+  * 100 TB: the assignment table is written partitioned by `centroid`,
+  * so each query touches nprobe partitions; centroids broadcast.
+  */
+object IvfAnn {
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.{DataFrame}
+
+  /** Deterministic centroid sample: every (n/C)-th vector by id rank. */
+  def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
+      c: Int): DataFrame = {
+    val n = embeddings.count()
+    val stride = math.max(1L, n / c)
+    val w = Window.orderBy(col(idCol))
+    embeddings.select(col(idCol), col(vecCol))
+      .withColumn("rk", row_number().over(w))
+      .filter((col("rk") - 1) % stride === 0)
+      .limit(c)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+  }
+
+  /** Assign each vector to its nearest centroid by cosine. */
+  def assign(embeddings: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("cos_c").desc, col("centroid_id").asc)
+    embeddings.crossJoin(broadcast(cents))
+      .withColumn("cos_c", Similarity.cosine(col(vecCol), col("centroid_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("centroid"))
+  }
+
+  /** Top-k search probing the query's `nprobe` nearest cells. */
+  def search(assigned: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, queries: DataFrame, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_c").desc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_c", Similarity.cosine(col("qv"), col("centroid_vec")))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qv"), col("centroid_id").as("centroid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    assigned
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"), col("centroid"))
+      .join(broadcast(probes), Seq("centroid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"))
+  }
+}
+
+/** Embedding-cosine near-duplicate pairs (builder brief: the
+  * embedding-space member of the dedup family): exact all-pairs above a
+  * cosine threshold. The brute-force form is the oracle baseline; at
+  * scale the same scoring runs inside IVF cells or LSH buckets instead
+  * of the full cross join.
+  */
+object EmbeddingDedup {
+  import org.apache.spark.sql.DataFrame
+
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

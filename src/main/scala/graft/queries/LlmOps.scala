@@ -108,12 +108,35 @@ object LlmOps {
         round(element_at($"features", 4).cast("double") * 255).cast("long").as("b6"))
   }
 
+  /** Embedding-cosine near-dup pairs — exact, double-promoted math on
+    * both engines, hence oracle-checkable. */
+  private val q50EmbeddingNeardup: Q = (s, d) => {
+    import graft.operators.EmbeddingDedup
+    EmbeddingDedup.cosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4)
+  }
+
+  /** IVF ANN over the same queries as q24/q29 (rows-only: centroid
+    * assignment chains double comparisons too deep for a readable
+    * oracle; recall vs brute force is asserted in DedupSpec). */
+  private val q51IvfAnn: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.IvfAnn
+    val emb = t(s, d, "embeddings")
+    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", c = 16)
+    val assigned = IvfAnn.assign(emb, "vec_id", "embedding", cents)
+    IvfAnn.search(assigned, "vec_id", "embedding", cents,
+      emb.filter($"vec_id" < 20), k = 3, nprobe = 4)
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
     "q27_simhash" -> q27Simhash,
     "q28_minhash_lsh" -> q28MinhashLsh,
     "q29_ann_lsh" -> q29AnnLsh,
-    "q35_multimodal" -> q35Multimodal)
+    "q35_multimodal" -> q35Multimodal,
+    "q50_embedding_neardup" -> q50EmbeddingNeardup,
+    "q51_ivf_ann" -> q51IvfAnn)
 
   val oracles: Map[String, String] = Map(
     "q26_ngram_jaccard" ->
@@ -150,5 +173,15 @@ object LlmOps {
         |  CAST(bytes[3] AS BIGINT) AS b2,
         |  CAST(bytes[5] AS BIGINT) AS b4,
         |  CAST(bytes[7] AS BIGINT) AS b6
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    "q50_embedding_neardup" ->
+      """SELECT id_a, id_b, round(c, 6) AS cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE c >= 0.4""".stripMargin)
 }

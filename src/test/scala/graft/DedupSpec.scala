@@ -91,6 +91,45 @@ class DedupSpec extends AnyFunSuite {
     assert(frames.select(max(length($"frame"))).head.getInt(0) === 4)
   }
 
+  test("simhash Hamming-LSH pairs find near-dups without O(n^2) compare") {
+    val pairs = graft.operators.SimhashPairs.pairs(docs, "doc_id", "text",
+      maxHamming = 16, chunks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 3L))) // exact dup: hamming 0, all chunks match
+    assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 === 0)
+  }
+
+  test("IVF ANN: identical vector found at rank 1; recall vs brute force") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.IvfAnn
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat).toSeq)
+    }
+    // vector 40 duplicates vector 5
+    val emb = (vecs :+ (40L, vecs(5)._2)).toDF("vec_id", "embedding")
+    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", c = 4)
+    val assigned = IvfAnn.assign(emb, "vec_id", "embedding", cents)
+    val res = IvfAnn.search(assigned, "vec_id", "embedding", cents,
+      emb.filter($"vec_id" === 5L), k = 1, nprobe = 4)
+      .collect()
+    // nprobe = all cells → exhaustive: the duplicate must be rank 1
+    assert(res.head.getLong(2) === 40L)
+  }
+
+  test("embedding cosine near-dup pairs: duplicate vector scores 1.0") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val v = Array.tabulate(8)(i => (i + 1).toFloat).toSeq
+    val other = Array.tabulate(8)(i => math.cos(5 * i + 1).toFloat).toSeq
+    val emb = Seq((1L, v), (2L, v), (3L, other)).toDF("vec_id", "embedding")
+    val pairs = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("jaccard shingle guard: short texts fall back to whole-text shingle") {
     val s = spark
     import s.implicits._
