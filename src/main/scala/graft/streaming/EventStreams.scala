@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over snapshot/event streams (SURVEY §2.7 T2).
+  * The reference has no streaming (it wished for Kafka, README.md:35);
+  * these give the engine the standard Structured Streaming surface:
+  * watermarked windowed aggregation, and an incrementally-maintained
+  * merge state so "current entity value" can be served without
+  * re-merging on every read.
+  *
+  * Batch/stream parity: both entry points accept either a static or a
+  * streaming DataFrame — the plan is identical, only the sink differs.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type aggregates with an event-time watermark
+    * bounding state (T2: snapshots carry their own event time, so
+    * lateness only affects state size, never correctness of the
+    * merge-on-read path). */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class EntityEvent(user_id: Long, ts: Long, event_type: String, value: Double)
+  case class EntityState(user_id: Long, last_ts: Long, last_type: String,
+      last_value: Double, n_events: Long)
+
+  /** Incrementally-maintained latest-snapshot state (the M1/M2 merge
+    * kept hot): mapGroupsWithState folds each micro-batch into the
+    * per-entity newest-wins state — the streaming materialization of
+    * Merge's latest-pick, usable to serve "current value" lookups
+    * without scanning history. Late rows (ts older than state) only
+    * bump the count, exactly like merge-on-read would resolve them. */
+  def latestEntityState(events: Dataset[EntityEvent]): Dataset[EntityState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EntityState, EntityState](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[EntityEvent], state: GroupState[EntityState]) =>
+          val prev = state.getOption
+          val updated = batch.foldLeft(
+            prev.getOrElse(EntityState(userId, Long.MinValue, null, 0.0, 0L))) {
+            (st, ev) =>
+              if (ev.ts >= st.last_ts)
+                EntityState(userId, ev.ts, ev.event_type, ev.value, st.n_events + 1)
+              else st.copy(n_events = st.n_events + 1)
+          }
+          state.update(updated)
+          updated
+      }
+  }
+
+  val latestEntityOutputMode: OutputMode = OutputMode.Update()
+}

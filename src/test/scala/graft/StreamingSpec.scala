@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.EntityEvent
+
+/** Streaming analytics: batch/stream parity of the windowed aggregate,
+  * and incremental merge state across micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed counts: streaming result equals batch result") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:40:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0),
+      ("2024-01-01 01:20:00", "click", 4.0))
+    val dir = Files.createTempDirectory("graft_stream").toString
+    rows.toDF("ts_s", "event_type", "value")
+      .select(to_timestamp($"ts_s").as("ts"), $"event_type", $"value")
+      .write.parquet(s"$dir/in")
+    val batchDf = s.read.parquet(s"$dir/in")
+    val batchResult = EventStreams.windowedTypeCounts(batchDf)
+      .orderBy("window_start", "event_type").collect().map(_.toString)
+
+    val streamDf = s.readStream.schema(batchDf.schema).parquet(s"$dir/in")
+    val q = EventStreams.windowedTypeCounts(streamDf)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    // append mode only emits closed windows; compare the closed subset
+    val streamed = s.table("win_counts")
+      .orderBy("window_start", "event_type").collect().map(_.toString)
+    assert(streamed.toSet.subsetOf(batchResult.toSet))
+    assert(batchResult.length === 3)
+  }
+
+  test("incremental latest-entity state across micro-batches (mapGroupsWithState)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def writeBatch(name: String, rows: Seq[EntityEvent]): Unit =
+      rows.toDS().write.mode("append").parquet(s"$dir/in")
+    writeBatch("b1", Seq(
+      EntityEvent(1L, 100L, "click", 1.0),
+      EntityEvent(1L, 200L, "purchase", 9.0),
+      EntityEvent(2L, 50L, "view", 0.5)))
+    val src = s.readStream.schema(Seq.empty[EntityEvent].toDS().schema)
+      .parquet(s"$dir/in").as[EntityEvent]
+    val q = EventStreams.latestEntityState(src)
+      .writeStream.format("memory").queryName("entity_state")
+      .outputMode(EventStreams.latestEntityOutputMode)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    // late row (ts 150 < 200) + new user in a second micro-batch
+    writeBatch("b2", Seq(
+      EntityEvent(1L, 150L, "view", 2.0),
+      EntityEvent(3L, 10L, "signup", 0.0)))
+    q.processAllAvailable(); q.stop()
+    val state = s.table("entity_state")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"last_ts", $"last_type")).as("st"))
+      .select($"user_id", $"st.last_ts", $"st.last_type", $"st.n_events")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(state(1L) === ((200L, "purchase", 3L))) // late row counted, not promoted
+    assert(state(2L) === ((50L, "view", 1L)))
+    assert(state(3L) === ((10L, "signup", 1L)))
+  }
+}
