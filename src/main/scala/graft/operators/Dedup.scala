@@ -27,14 +27,8 @@ object Dedup {
   /** Distinct w-word shingles (w=3): the unit of MinHash/Jaccard
     * similarity. Texts shorter than w tokens contribute one whole-text
     * shingle (guards element_at under ANSI mode). */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val tk = tokens(text)
-    when(size(tk) >= w,
-      array_distinct(transform(
-        sequence(lit(0), size(tk) - w),
-        i => concat_ws(" ", (0 until w).map(o => element_at(tk, i + o + 1)): _*))))
-      .otherwise(array(array_join(tk, " ")))
-  }
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.functions.VectorOps.shingles(tokens(text), w)
 
   /** MinHash signature: k independent permutations; sig[i] = min over
     * shingles of h_i(shingle). Each shingle STRING is hashed exactly
@@ -42,13 +36,18 @@ object Dedup {
     * hashing a fixed-width long k times is ~20× cheaper than hashing
     * the string k times, which dominates signature cost at corpus
     * scale. */
-  def minhashSignature(sh: Column, k: Int = 32): Column = {
+  def minhashSignature(sh: Column, k: Int = 32): Column =
+    graft.functions.TextHashes.minhashSignature(sh, k)
+
+  /** The pure-functions formulation kept for reference/portability: a
+    * single left fold maintaining all k mins at once (an outer
+    * per-permutation lambda would re-evaluate the whole upstream
+    * shingle subtree per permutation after CollapseProject — measured
+    * 20× slower; the native expression above is another ~10× over this
+    * because nested higher-order functions evaluate interpreted with
+    * per-element boxing). */
+  def minhashSignatureHof(sh: Column, k: Int = 32): Column = {
     val base = transform(sh, s => xxhash64(s))
-    // single left fold maintaining all k mins at once: the shingle
-    // array is traversed exactly once regardless of k (an outer
-    // k-lambda referencing the array would re-evaluate the whole
-    // upstream shingle expression per permutation after Catalyst
-    // collapses projections — measured 20× slower)
     aggregate(base,
       array_repeat(lit(Long.MaxValue), k),
       (acc, h) => zip_with(
@@ -75,27 +74,8 @@ object Dedup {
   /** SimHash (64-bit): per-token xxhash64, bit-wise majority vote
     * weighted by token frequency; near-dups have small Hamming
     * distance. Built from bit arithmetic on codegen'd functions. */
-  def simhash(text: Column): Column = {
-    val tk = tokens(text)
-    val hashes = transform(tk, t => xxhash64(t))
-    // Single fold over token hashes accumulating all 64 bit-votes at
-    // once (+1 if bit set, -1 otherwise): an outer per-bit lambda
-    // would re-evaluate the tokenize+hash subtree 64× after project
-    // collapse. shiftright/shiftleft via call_function — the Scala
-    // wrappers only take Int literals.
-    val votes = aggregate(hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          b => call_function("shiftright", h, b).bitwiseAND(lit(1L))),
-        (a, bit) => a + when(bit === 1L, 1L).otherwise(-1L)))
-    // sign of each vote is the output bit; pack into one long
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, pos) =>
-        when(v > 0, call_function("shiftleft", lit(1L), pos)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextHashes.simhash64(tokens(text))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =

@@ -26,9 +26,7 @@ object EmbeddingsQ {
   type Q = (SparkSession, String) => DataFrame
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.operators.Similarity.dot(a, b)
 
   private val q24KnnBrute: Q = (s, d) => {
     import s.implicits._
