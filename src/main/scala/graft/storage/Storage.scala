@@ -55,6 +55,28 @@ class Storage(spark: SparkSession, root: String) {
     fs.exists(new org.apache.hadoop.fs.Path(path(table)))
   }
 
+  /** Bucketed append via the catalog (SURVEY §4.4 "bucket/sort the
+    * snapshot tables by entity key so merge becomes a shuffle-free
+    * aggregation"): rows are hash-bucketed and sorted by the entity
+    * key at write time, so the M-family `groupBy(entityKey)` reads
+    * bucket-local data and the Exchange disappears from the merge plan
+    * (asserted in StorageSpec). This is the 100 TB layout — the
+    * shuffle this removes is the single largest cost in merge-on-read
+    * at scale. */
+  def appendBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
+      numBuckets: Int = 64): Unit = {
+    df.write.mode(SaveMode.Append)
+      .format("parquet")
+      .option("path", path(table))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table through the catalog (bucket metadata only
+    * lives there; a bare parquet read would lose it). */
+  def readBucketed(table: String): DataFrame = spark.table(table)
+
   /** A10/A11 get-or-create dimension upsert: append only the rows whose
     * natural key is absent (archive_contributor.py:41–57 ON CONFLICT DO
     * NOTHING; website.py:46–55 EXISTS check). */

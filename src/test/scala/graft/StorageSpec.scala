@@ -74,6 +74,21 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed entity-key layout makes the merge aggregation shuffle-free (SURVEY §4.4)") {
+    val s = spark
+    val st = new Storage(s, tmpDir())
+    st.appendBucketed("user_snapshots_bucketed", Fixtures.userSnapshots(s),
+      Seq("website_id", "site_user_id"), numBuckets = 4)
+    val merged = graft.engine.Merge.mergeUsers(st.readBucketed("user_snapshots_bucketed"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"merge over bucketed table should not shuffle:\n$plan")
+    // same results as the unbucketed path
+    val viaBuckets = merged.orderBy("site_user_id").toJSON.collect().toSeq
+    val direct = graft.engine.Merge.mergeUsers(Fixtures.userSnapshots(s))
+      .orderBy("site_user_id").toJSON.collect().toSeq
+    assert(viaBuckets === direct)
+  }
+
   test("streaming ingest: file-drop source flows through the batch converter (T1)") {
     val s = spark
     val root = tmpDir()
