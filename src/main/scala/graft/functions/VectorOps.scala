@@ -103,6 +103,41 @@ case class ShinglesExpr(child: Expression, w: Int)
   override def prettyName: String = "shingles"
 }
 
+/** Bit-level Hamming distance between two binary values (xor-popcount
+  * over the shared length; length difference counts 8 bits per extra
+  * byte). Serves the perceptual-hash near-dup search (HammingSearch). */
+case class HammingBytesExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hamming_bytes needs two binary, got $other")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length)
+    var d = 0
+    var i = 0
+    while (i < n) {
+      d += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+      i += 1
+    }
+    d + (math.abs(a.length - b.length) * 8)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+  override def prettyName: String = "hamming_bytes"
+}
+
 object VectorOps {
   import org.apache.spark.sql.GraftSqlShim._
 
@@ -111,4 +146,7 @@ object VectorOps {
 
   def shingles(tokens: Column, w: Int): Column =
     toColumn(ShinglesExpr(toExpression(tokens), w))
+
+  def hammingBytes(a: Column, b: Column): Column =
+    toColumn(HammingBytesExpr(toExpression(a), toExpression(b)))
 }

@@ -176,6 +176,31 @@ object Formats {
             .as("hashes"))).as("files"))
   }
 
+  /** fuzzysearch --validate (fuzzysearch/main.py:131–151): per-row
+    * domain checks incl. the F16 charset-subset predicates
+    * (fa_allowed_chars = letters+digits+"-_.~[]^`", main.py:40–41),
+    * aggregated to violation counts. */
+  def fuzzysearchValidate(csv: DataFrame): DataFrame = {
+    val faCharset = "^[A-Za-z0-9\\-_.~\\[\\]^`]*$"
+    val checks = Seq(
+      "site_domain" -> col("site").isin("furaffinity", "e621", "weasyl"),
+      "id_charset" -> coalesce(col("id"), lit("")).rlike(faCharset),
+      "hash_long" -> (col("hash").isNull || length(col("hash")) === 0 ||
+        col("hash").cast("long").isNotNull),
+      "deleted_domain" -> col("deleted").isin("true", "false"),
+      "updated_parses" -> (col("updated_at").isNull ||
+        length(col("updated_at")) === 0 ||
+        parseTs(col("updated_at")).isNotNull),
+      "posted_parses" -> (col("posted_at").isNull ||
+        length(col("posted_at")) === 0 ||
+        parseTs(col("posted_at")).isNotNull))
+    csv.agg(
+      count(lit(1)).as("n_rows"),
+      checks.map { case (name, pred) =>
+        count(when(!pred, 1)).as(s"bad_$name")
+      }: _*)
+  }
+
   /** foxoblue userlist CSV (S2; scripts/ingest/foxoblue_userlist/
     * main.py:43–75): 3 columns, "NULL" sentinels, `unknown_user` rows
     * skipped (P5), any other error marks deletion. Output: nested user

@@ -159,3 +159,49 @@ object EmbeddingDedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }
+
+/** Near-duplicate search over the reference's stored perceptual-hash
+  * bytes (SURVEY §7.1.8: generalize Q7 hash_search from exact equality
+  * to Hamming proximity over dhash/phash columns). The 8-byte
+  * `hash_value` binaries become longs; candidate generation reuses the
+  * pigeonhole chunk-LSH (any pair within Hamming < chunks shares an
+  * exact 16-bit chunk), so a query probes `chunks` bucket lookups
+  * instead of scanning every stored hash.
+  */
+object HammingSearch {
+  import org.apache.spark.sql.{DataFrame}
+
+  /** Index stored hashes for Hamming search: one row per (chunk_idx,
+    * chunk_value, file_id). Works directly on the binary column —
+    * chunks are 2-byte slices, exact-matchable without any long
+    * conversion. */
+  def chunkedIndex(fileHashes: DataFrame, algoId: Long, chunks: Int = 4): DataFrame =
+    fileHashes.filter(col("algo_id") === algoId)
+      .select(col("file_id"), col("hash_value"),
+        explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
+          c.as("chunk_idx"),
+          substring(col("hash_value"), c * 2 + 1, lit(2)).as("chunk_value")))).as("ch"))
+      .select(col("file_id"), col("hash_value"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
+
+  /** Hamming distance between two equal-length binary columns
+    * (native xor-popcount expression). */
+  def hammingBytes(a: Column, b: Column): Column =
+    graft.functions.VectorOps.hammingBytes(a, b)
+
+  /** Find stored hashes within `maxHamming` of the query bytes
+    * (maxHamming < chunks guaranteed complete by pigeonhole). */
+  def search(fileHashes: DataFrame, algoId: Long, query: Array[Byte],
+      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val idx = chunkedIndex(fileHashes, algoId, chunks)
+    val qChunks = query.grouped(2).zipWithIndex
+      .map { case (bs, i) => (i, bs) }.toSeq
+    val s = fileHashes.sparkSession
+    import s.implicits._
+    val probe = qChunks.toDF("chunk_idx", "chunk_value")
+    idx.join(broadcast(probe), Seq("chunk_idx", "chunk_value"))
+      .select(col("file_id"), col("hash_value")).distinct()
+      .withColumn("hamming", hammingBytes(col("hash_value"), lit(query)))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -139,7 +139,16 @@ object IngestQ {
         upper(hex($"hash_value")).as("hash_hex"))
   }
 
+  /** fuzzysearch --validate over a fixture with one bad-charset id and
+    * one bad site (F16 charset predicates). */
+  private val q52ValidateFuzzy: Q = (s, _) => {
+    Formats.fuzzysearchValidate(csvOf(s, fuzzyHeader +: (fuzzyRows ++ Seq(
+      "badsite,444,a,,,,,false,",
+      "weasyl,has spaces!,a,,,,,true,"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_validate_fuzzysearch" -> q52ValidateFuzzy,
     "q36_ingest_e621" -> q36IngestE621,
     "q37_validate_e621" -> q37ValidateE621,
     "q38_ingest_fuzzysearch" -> q38IngestFuzzysearch,

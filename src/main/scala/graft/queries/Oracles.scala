@@ -102,6 +102,14 @@ object Oracles {
         | CAST(0 AS BIGINT) AS bad_up_score_nonneg,
         | CAST(0 AS BIGINT) AS bad_width_int,
         | CAST(0 AS BIGINT) AS bad_height_int""".stripMargin,
+    "q52_validate_fuzzysearch" ->
+      """SELECT CAST(5 AS BIGINT) AS n_rows,
+        | CAST(1 AS BIGINT) AS bad_site_domain,
+        | CAST(1 AS BIGINT) AS bad_id_charset,
+        | CAST(0 AS BIGINT) AS bad_hash_long,
+        | CAST(0 AS BIGINT) AS bad_deleted_domain,
+        | CAST(0 AS BIGINT) AS bad_updated_parses,
+        | CAST(0 AS BIGINT) AS bad_posted_parses""".stripMargin,
     "q38_ingest_fuzzysearch" ->
       """SELECT website_id, site_submission_id, scan_datetime, is_deleted,
         | datetime_posted, file_url, hashes_csv

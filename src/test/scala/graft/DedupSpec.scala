@@ -130,6 +130,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("Hamming search over stored hash bytes finds near hashes via chunk probes") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.HammingSearch
+    def b(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val hashes = Seq(
+      (1L, 1L, 2L, b("AABBCCDD")),
+      (2L, 2L, 2L, b("AABBCCDF")), // hamming 1 from query
+      (3L, 3L, 2L, b("00112233")), // far
+      (4L, 4L, 7L, b("AABBCCDD"))) // other algo: excluded
+      .toDF("hash_id", "file_id", "algo_id", "hash_value")
+    val hits = HammingSearch.search(hashes, algoId = 2L, b("AABBCCDD"),
+      maxHamming = 2, chunks = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(hits === Map(1L -> 0, 2L -> 1))
+  }
+
   test("jaccard shingle guard: short texts fall back to whole-text shingle") {
     val s = spark
     import s.implicits._
