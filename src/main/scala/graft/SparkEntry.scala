@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.LlmOps.queries ++
       graft.queries.IngestQ.queries ++
       graft.queries.MaintenanceQ.queries ++
-      graft.queries.WebListingQ.queries
+      graft.queries.WebListingQ.queries ++
+      graft.queries.SqlSurfaceQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.LlmOps.oracles ++
       graft.queries.IngestQ.oracles ++
       graft.queries.MaintenanceQ.oracles ++
-      graft.queries.WebListingQ.oracles
+      graft.queries.WebListingQ.oracles ++
+      graft.queries.SqlSurfaceQ.oracles
 }

@@ -26,4 +26,11 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** Register every driver table as a temp view (plus the custom
+    * functions), giving `spark.sql` users the whole engine surface. */
+  def createViews(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 }

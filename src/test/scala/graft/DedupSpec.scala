@@ -148,6 +148,23 @@ class DedupSpec extends AnyFunSuite {
     assert(hits === Map(1L -> 0, 2L -> 1))
   }
 
+  test("salted aggregation equals direct aggregation (skew primitive)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Skew
+    // heavily skewed: key 1 holds 90% of rows
+    val df = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (2L + i % 5, i.toLong))).toDF("k", "v")
+    val salted = Skew.saltedAggregate(df, Seq("k"), Seq($"v"), salts = 8,
+      partial = Seq(count(lit(1)).as("__n"), sum($"v").as("__s"), max($"v").as("__m")),
+      finalAgg = Seq(sum($"__n").as("n"), sum($"__s").as("total"), max($"__m").as("vmax")))
+      .orderBy("k").collect().map(_.toString)
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"), max($"v").as("vmax"))
+      .orderBy("k").collect().map(_.toString)
+    assert(salted === direct)
+  }
+
   test("jaccard shingle guard: short texts fall back to whole-text shingle") {
     val s = spark
     import s.implicits._
