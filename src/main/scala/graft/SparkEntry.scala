@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.IngestQ.queries ++
       graft.queries.MaintenanceQ.queries ++
       graft.queries.WebListingQ.queries ++
-      graft.queries.SqlSurfaceQ.queries
+      graft.queries.SqlSurfaceQ.queries ++
+      graft.queries.MergeScaleQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.IngestQ.oracles ++
       graft.queries.MaintenanceQ.oracles ++
       graft.queries.WebListingQ.oracles ++
-      graft.queries.SqlSurfaceQ.oracles
+      graft.queries.SqlSurfaceQ.oracles ++
+      graft.queries.MergeScaleQ.oracles
 }

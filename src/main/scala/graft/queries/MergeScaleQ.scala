@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.engine.Merge
+
+/** The FULL merge-on-read pipeline (nested child hydration + M1–M8
+  * aggregation, including the MergeFiles fold) exercised at testdata
+  * scale: orders become submission snapshots (entity = customer),
+  * lineitems become their keywords and files. At sf0.1 that is 150k
+  * snapshots / 600k child rows over 10k entities — the fixture-scale
+  * semantics (q30–q32) verified 100× bigger, and the bench's heavy
+  * merge workload.
+  *
+  * The oracle replicates M1–M4/M6/M8 with windows and the M7 fold's
+  * surviving-key count (clash replacement never changes the key set,
+  * so n_files = distinct site_file_id per entity); the full M7 value
+  * semantics are locked at fixture scale by q31/MergeSpec.
+  */
+object MergeScaleQ {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val q55MergeScale: Q = (s, d) => {
+    import s.implicits._
+    val orders = t(s, d, "orders")
+    val lineitem = t(s, d, "lineitem")
+    val snaps = orders.select(
+      $"o_orderkey".as("submission_snapshot_id"),
+      lit("w").as("website_id"),
+      $"o_custkey".cast("string").as("site_submission_id"),
+      $"o_orderdate".as("scan_datetime"),
+      ($"o_orderkey" % 2 + 1).as("archive_contributor_id"),
+      $"o_orderdate".as("ingest_datetime"),
+      when($"o_orderstatus" === "O", $"o_orderpriority").as("uploader_site_user_id"),
+      ($"o_orderstatus" === "F").as("is_deleted"),
+      when($"o_totalprice" > 100000, $"o_orderpriority").as("title"),
+      lit(null).cast("string").as("description"),
+      lit(null).cast("timestamp").as("datetime_posted"),
+      ($"o_orderkey" % 2 === 0).as("keywords_recorded"),
+      when($"o_orderkey" % 3 =!= 0,
+        to_json(struct($"o_orderpriority".as("p")))).as("extra_data"))
+    val keywords = lineitem.select(
+      ($"l_orderkey" * 10 + $"l_linenumber").as("keyword_id"),
+      $"l_orderkey".as("submission_snapshot_id"),
+      $"l_returnflag".as("keyword"),
+      $"l_linenumber".as("ordinal"))
+    val files = lineitem.filter($"l_linenumber" <= 3).select(
+      ($"l_orderkey" * 10 + $"l_linenumber").as("file_id"),
+      $"l_orderkey".as("submission_snapshot_id"),
+      ($"l_partkey" % 20).cast("string").as("site_file_id"),
+      concat(lit("u"), ($"l_partkey" % 20)).as("file_url"),
+      ($"l_quantity" * 10).cast("long").as("file_size"),
+      lit(null).cast("string").as("extra_data"))
+    val hashes = lineitem.filter($"l_linenumber" <= 3).select(
+      ($"l_orderkey" * 10 + $"l_linenumber").as("hash_id"),
+      ($"l_orderkey" * 10 + $"l_linenumber").as("file_id"),
+      lit(1L).as("algo_id"),
+      unhex(lpad(hex($"l_suppkey" % 200 + 1), 4, "0")).as("hash_value"))
+    val contributors = Seq((1L, "c1", "k1"), (2L, "c2", "k2"))
+      .toDF("contributor_id", "name", "api_key")
+    val merged = Merge.mergeSubmissions(Merge.nestedSubmissionSnapshots(
+      snaps, keywords, files, hashes, contributors))
+    merged.select(
+      $"site_submission_id",
+      $"snapshot_count",
+      date_format($"first_scanned", "yyyy-MM-dd HH:mm:ss").as("first_scanned"),
+      date_format($"latest_update", "yyyy-MM-dd HH:mm:ss").as("latest_update"),
+      $"is_deleted",
+      $"uploader_site_user_id",
+      $"title",
+      get_json_object($"extra_data", "$.p").as("k_p"),
+      concat_ws(",", transform($"keywords", k => k.getField("keyword"))).as("kw_csv"),
+      size($"files").cast("long").as("n_files"))
+  }
+
+  val queries: Map[String, Q] = Map("q55_merge_scale" -> q55MergeScale)
+
+  val oracles: Map[String, String] = Map(
+    "q55_merge_scale" ->
+      """WITH snaps AS (
+        |  SELECT o_orderkey AS sid, CAST(o_custkey AS VARCHAR) AS entity,
+        |    o_orderdate AS scan, (o_orderstatus = 'F') AS is_deleted,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_orderpriority END AS uploader,
+        |    CASE WHEN o_totalprice > 100000 THEN o_orderpriority END AS title,
+        |    (o_orderkey % 2 = 0) AS kw_rec,
+        |    CASE WHEN o_orderkey % 3 <> 0 THEN o_orderpriority END AS p
+        |  FROM orders),
+        |kw AS (SELECT l_orderkey AS sid, l_returnflag AS keyword,
+        |         l_linenumber AS ordinal FROM lineitem),
+        |fl AS (SELECT l_orderkey AS sid,
+        |         CAST(l_partkey % 20 AS VARCHAR) AS site_file_id
+        |       FROM lineitem WHERE l_linenumber <= 3),
+        |m AS (
+        |  SELECT entity, count(*) AS snapshot_count,
+        |    strftime(min(scan), '%Y-%m-%d %H:%M:%S') AS first_scanned,
+        |    strftime(max(scan), '%Y-%m-%d %H:%M:%S') AS latest_update
+        |  FROM snaps GROUP BY entity),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY entity ORDER BY scan DESC, sid DESC) AS rn
+        |  FROM snaps),
+        |coal AS (
+        |  SELECT DISTINCT entity,
+        |    first_value(is_deleted) OVER w AS is_deleted,
+        |    first_value(uploader IGNORE NULLS) OVER w AS uploader,
+        |    first_value(title IGNORE NULLS) OVER w AS title,
+        |    first_value(p IGNORE NULLS) OVER w AS k_p
+        |  FROM ranked
+        |  WINDOW w AS (PARTITION BY entity ORDER BY scan DESC, sid DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+        |kwpick AS (
+        |  SELECT entity, sid FROM (
+        |    SELECT entity, sid, row_number() OVER (
+        |      PARTITION BY entity ORDER BY scan DESC, sid DESC) AS krn
+        |    FROM snaps WHERE kw_rec)
+        |  WHERE krn = 1),
+        |kwcsv AS (
+        |  SELECT kp.entity,
+        |    string_agg(k.keyword, ',' ORDER BY k.ordinal, k.keyword) AS kw_csv
+        |  FROM kwpick kp LEFT JOIN kw k ON k.sid = kp.sid
+        |  GROUP BY kp.entity),
+        |nf AS (
+        |  SELECT s.entity, count(DISTINCT f.site_file_id) AS n_files
+        |  FROM snaps s JOIN fl f ON f.sid = s.sid GROUP BY s.entity)
+        |SELECT m.entity AS site_submission_id,
+        |  m.snapshot_count, m.first_scanned, m.latest_update,
+        |  c.is_deleted, c.uploader AS uploader_site_user_id, c.title,
+        |  c.k_p,
+        |  coalesce(kc.kw_csv, '') AS kw_csv,
+        |  CAST(coalesce(nf.n_files, 0) AS BIGINT) AS n_files
+        |FROM m
+        |JOIN coal c ON c.entity = m.entity
+        |LEFT JOIN kwcsv kc ON kc.entity = m.entity
+        |LEFT JOIN nf ON nf.entity = m.entity""".stripMargin)
+}
