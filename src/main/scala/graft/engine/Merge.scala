@@ -131,6 +131,31 @@ object Merge {
         k => struct(k.getField("keyword").as("keyword"),
           k.getField("ordinal").as("ordinal"))))
 
+  /** Incremental merge maintenance — the 100 TB operational pattern:
+    * after an ingest batch, only entities that RECEIVED new snapshots
+    * are re-merged (left_semi against the batch's entity keys, reading
+    * the full snapshot store partition-pruned), and the refreshed rows
+    * replace just those entities in the materialized merged table.
+    * Merge cost becomes proportional to touched entities, not corpus
+    * size; correctness is unchanged because merge-on-read is a pure
+    * function of an entity's own snapshots.
+    *
+    * @param previousMerged the existing materialized merge output
+    * @param allNested      full nested snapshot store (all history)
+    * @param newBatch       the just-ingested snapshots (any subset)
+    */
+  def incrementalMergeSubmissions(
+      previousMerged: DataFrame,
+      allNested: DataFrame,
+      newBatch: DataFrame): DataFrame = {
+    val touched = newBatch.select("website_id", "site_submission_id").distinct()
+    val refreshed = mergeSubmissions(
+      allNested.join(touched, Seq("website_id", "site_submission_id"), "left_semi"))
+    previousMerged
+      .join(touched, Seq("website_id", "site_submission_id"), "left_anti")
+      .unionByName(refreshed)
+  }
+
   /** User analog (user.py:19–48) — no children; display_name uses
     * sorted order (fixing the unsorted-scan bug, SURVEY Appendix A1).
     */

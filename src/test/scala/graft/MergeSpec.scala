@@ -135,6 +135,32 @@ class MergeSpec extends AnyFunSuite {
     assert(b.getSeq[Array[Byte]](3).map(_.toSeq) === Seq(Seq(2.toByte))) // replaced on hash clash
   }
 
+  test("incremental merge refreshes only touched entities, equals full re-merge") {
+    val s = spark
+    import s.implicits._
+    val nested0 = Merge.nestedSubmissionSnapshots(
+      Fixtures.submissionSnapshots(s), Fixtures.keywords(s),
+      Fixtures.files(s), Fixtures.fileHashes(s), Fixtures.contributors(s))
+    val merged0 = Merge.mergeSubmissions(nested0)
+    // new snapshot arrives for s2 only
+    val newSnap = Seq(SubmissionSnapshotRow(105L, "fa", "s2",
+      ts("2022-04-01 10:00:00"), 2L, ts("2022-06-10 00:00:00"),
+      None, is_deleted = false, Some("Solo v2"), None, None,
+      keywords_recorded = false, None)).toDF()
+    val allSnaps = Fixtures.submissionSnapshots(s).union(newSnap)
+    val allNested = Merge.nestedSubmissionSnapshots(
+      allSnaps, Fixtures.keywords(s), Fixtures.files(s),
+      Fixtures.fileHashes(s), Fixtures.contributors(s))
+    val incremental = Merge.incrementalMergeSubmissions(
+      merged0, allNested, newSnap)
+      .orderBy("site_submission_id").toJSON.collect().toSeq
+    val full = Merge.mergeSubmissions(allNested)
+      .orderBy("site_submission_id").toJSON.collect().toSeq
+    assert(incremental === full)
+    // and s2 picked up the new title
+    assert(incremental.exists(_.contains("\"title\":\"Solo v2\"")))
+  }
+
   test("jsonMergePair/canonical helpers") {
     assert(JsonMergeObjects.mergePair("""{"b":1,"a":{"z":1,"y":2}}""", """{"b":2}""") ===
       """{"a":{"y":2,"z":1},"b":2}""")
