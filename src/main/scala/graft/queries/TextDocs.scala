@@ -76,13 +76,34 @@ object TextDocs {
       .select($"doc_id", $"cluster_size")
   }
 
+  /** BPE-ish regex tokenization (builder brief: "token counting
+    * (whitespace + a BPE-ish regex)"): letter runs / digit runs /
+    * single non-alphanumeric marks, the shape of GPT-style
+    * pre-tokenizers — counted and fingerprinted per doc. */
+  private val q56BpeTokens: Q = (s, d) => {
+    import s.implicits._
+    val toks = regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    t(s, d, "documents").select(
+      $"doc_id",
+      size(toks).cast("long").as("n_bpe_tokens"),
+      md5(array_join(toks, "|")).as("tokens_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q56_bpe_tokens" -> q56BpeTokens,
     "q20_token_stats" -> q20TokenStats,
     "q21_lang_heuristic" -> q21LangHeuristic,
     "q22_quality" -> q22Quality,
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q56_bpe_tokens" ->
+      """SELECT doc_id,
+        | length(tk) AS n_bpe_tokens,
+        | md5(array_to_string(tk, '|')) AS tokens_fp
+        |FROM (SELECT doc_id,
+        |  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS tk
+        |  FROM documents)""".stripMargin,
     "q20_token_stats" ->
       """SELECT doc_id,
         | length(string_split_regex(trim(text), '\s+')) AS n_tokens,

@@ -74,6 +74,21 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("website_id point lookups prune to one hive partition") {
+    val s = spark
+    val st = new Storage(s, tmpDir())
+    st.append("submission_snapshots", Fixtures.submissionSnapshots(s))
+    // add a second website so pruning has something to skip
+    st.append("submission_snapshots",
+      Fixtures.submissionSnapshots(s).withColumn("website_id", lit("ws")))
+    val q = st.read("submission_snapshots").filter(col("website_id") === "fa")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert(q.count() === 4L)
+    val planLine = scan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(planLine.contains("website_id"), planLine)
+  }
+
   test("bucketed entity-key layout makes the merge aggregation shuffle-free (SURVEY §4.4)") {
     val s = spark
     val st = new Storage(s, tmpDir())
