@@ -109,6 +109,23 @@ class Api(storage: Storage) {
 
 object Api {
 
+  /** The reference error envelope (web.py:51–57):
+    * {"error": {"code": N, "message": …}}. */
+  def errorEnvelope(code: Int, message: String): String =
+    s"""{"error":{"code":$code,"message":"$message"}}"""
+
+  /** Point lookup with 404 semantics: the merged web JSON, or the
+    * error envelope when the entity has no snapshots (web.py:70–77). */
+  def submissionJsonOr404(api: Api, websiteId: String,
+      siteSubmissionId: String): String = {
+    val rows = submissionWebJson(
+      api.viewSubmission(websiteId, siteSubmissionId)).take(1)
+    if (rows.isEmpty)
+      errorEnvelope(404,
+        s"Submission $websiteId/$siteSubmissionId not found")
+    else rows.head.getString(0)
+  }
+
   /** The merged-submission web envelope (submission.py:106–125):
     * {website_id, site_submission_id, cache_data{…},
     * submission_data{…}} as one JSON string column per entity. */

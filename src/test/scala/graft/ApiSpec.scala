@@ -63,6 +63,18 @@ class ApiSpec extends AnyFunSuite {
     assert(userJson.contains(""""user_data":{"is_deleted":true,"display_name":"Niner""""))
   }
 
+  test("format registry resolves the four web formats; 404 envelope for missing entities") {
+    import graft.ingest.FormatRegistry
+    assert(FormatRegistry.all.keySet ===
+      Set("submission", "user", "faexport_submission", "faexport_user"))
+    assert(FormatRegistry.lookup("nope").isEmpty)
+    val api = freshApi()
+    val ok = Api.submissionJsonOr404(api, "fa", "s1")
+    assert(ok.contains("\"cache_data\""))
+    val miss = Api.submissionJsonOr404(api, "fa", "zzz")
+    assert(miss === """{"error":{"code":404,"message":"Submission fa/zzz not found"}}""")
+  }
+
   test("ingest acks counts and lands in storage (A6 fix)") {
     val s = spark
     import s.implicits._
