@@ -89,6 +89,8 @@ class Api(storage: Storage) {
       "submission_snapshot_keywords" -> k.count(),
       "submission_snapshot_files" -> f.count(),
       "submission_snapshot_file_hashes" -> h.count())
+    storage.upsertDimension("archive_contributors",
+      graft.ingest.NormalizeUsers.contributorsOf(nestedRows), Seq("contributor_id"))
     storage.append("submission_snapshots", s)
     storage.append("submission_snapshot_keywords", k)
     storage.append("submission_snapshot_files", f)
@@ -97,8 +99,11 @@ class Api(storage: Storage) {
   }
 
   def ingestUsers(nestedUsers: DataFrame): Map[String, Long] = {
-    storage.append("user_snapshots", nestedUsers)
-    Map("user_snapshots" -> nestedUsers.count())
+    val rows = graft.ingest.NormalizeUsers.toStorage(nestedUsers)
+    storage.upsertDimension("archive_contributors",
+      graft.ingest.NormalizeUsers.contributorsOf(nestedUsers), Seq("contributor_id"))
+    storage.append("user_snapshots", rows)
+    Map("user_snapshots" -> rows.count())
   }
 
   /** API-key auth lookup (web.py:158–163,

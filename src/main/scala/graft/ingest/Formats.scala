@@ -298,14 +298,24 @@ object Formats {
   */
 object Normalize {
 
-  /** (snapshots, keywords, files, fileHashes) from nested rows. */
+  /** Deterministic contributor surrogate id from the contributor name
+    * (converters know names, not serial ids; the id doubles as the
+    * `archive_contributors` dimension key — see
+    * [[graft.api.Api.ingestSubmissions]]). */
+  def contributorId(name: Column): Column = xxhash64(name)
+
+  /** (snapshots, keywords, files, fileHashes) from nested rows —
+    * snapshots come out in the reference storage schema
+    * (`archive_contributor_id`, faexport_db.sql:56). */
   def splitChildren(nested: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val withId = nested.withColumn("submission_snapshot_id",
       xxhash64(col("website_id"), col("site_submission_id"),
         col("scan_datetime"), col("contributor_name")))
     val snaps = withId.select(
       col("submission_snapshot_id"), col("website_id"), col("site_submission_id"),
-      col("scan_datetime"), col("contributor_name"), col("ingest_datetime"),
+      col("scan_datetime"),
+      contributorId(col("contributor_name")).as("archive_contributor_id"),
+      col("ingest_datetime"),
       col("uploader_site_user_id"), col("is_deleted"), col("title"),
       col("description"), col("datetime_posted"), col("keywords_recorded"),
       col("extra_data"))
@@ -597,4 +607,29 @@ object BulkSources {
     */
   def skipRows(df: DataFrame, orderCol: String, skip: Int): DataFrame =
     df.orderBy(col(orderCol)).offset(skip)
+}
+
+/** Normalization for nested USER snapshot rows (no children): storage
+  * schema per faexport_db.sql:25–44 with deterministic ids. */
+object NormalizeUsers {
+  import org.apache.spark.sql.functions._
+
+  def toStorage(nestedUsers: DataFrame): DataFrame =
+    nestedUsers.select(
+      xxhash64(col("website_id"), col("site_user_id"),
+        col("scan_datetime"), col("contributor_name")).as("user_snapshot_id"),
+      col("website_id"), col("site_user_id"), col("scan_datetime"),
+      Normalize.contributorId(col("contributor_name")).as("archive_contributor_id"),
+      col("ingest_datetime"), col("is_deleted"), col("display_name"),
+      col("extra_data"))
+
+  /** Contributors dimension rows implied by a nested batch (either
+    * submissions or users): deterministic id keyed by name, api_key
+    * unknown at ingest time. */
+  def contributorsOf(nested: DataFrame): DataFrame =
+    nested.select(
+      Normalize.contributorId(col("contributor_name")).as("contributor_id"),
+      col("contributor_name").as("name"),
+      lit(null).cast("string").as("api_key"))
+      .distinct()
 }
