@@ -69,6 +69,23 @@ object Multimodal {
     }
   }
 
+  /** Resize: downsample the payload by an integer factor (every
+    * factor-th byte) and update the typed metadata accordingly.
+    *
+    * STUB RESIZE: a real implementation decodes, scales with an image
+    * library, and re-encodes here; the stand-in keeps the contract —
+    * payload shrinks deterministically, width/height metadata track the
+    * factor — so downstream schema/partitioning is exercised for real. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val out = m.payload.zipWithIndex.collect {
+        case (b, i) if i % factor == 0 => b
+      }
+      m.copy(payload = out, width = m.width / factor, height = m.height / factor)
+    }
+  }
+
   /** Frame sampling: split a payload into fixed-size "frames" and keep
     * every nth — the video-frame-sampling shape on opaque bytes. */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, everyNth: Int): DataFrame = {

@@ -89,6 +89,13 @@ class DedupSpec extends AnyFunSuite {
     // 16 bytes / 4 = 4 frames, every 2nd → 2 per media
     assert(frames.count() === 4L)
     assert(frames.select(max(length($"frame"))).head.getInt(0) === 4)
+    val small = Multimodal.resize(media, factor = 2).collect().sortBy(_.media_id)
+    assert(small.forall(_.payload.length === 8)) // 16 bytes / 2
+    assert(small.forall(m => m.width === 32 && m.height === 32))
+    // resized payload = even-index bytes of the original
+    val orig = media.collect().sortBy(_.media_id)
+    assert(small.head.payload.toSeq ===
+      orig.head.payload.zipWithIndex.collect { case (b, i) if i % 2 == 0 => b }.toSeq)
   }
 
   test("simhash Hamming-LSH pairs find near-dups without O(n^2) compare") {
