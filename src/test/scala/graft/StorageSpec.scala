@@ -74,6 +74,23 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("DataQuality.observe counts violations inside the ingest pass; enforce drops them") {
+    val s = spark
+    import s.implicits._
+    import graft.engine.DataQuality
+    val rows = Seq(("a", 1), ("b", -2), ("", 3), ("d", -4)).toDF("name", "v")
+    val checks = Seq(
+      "name_nonempty" -> (length(col("name")) > 0),
+      "v_positive" -> (col("v") > 0))
+    val obs = DataQuality.observed(rows, "gate", checks)
+    obs.collect() // one action on this QE; counters ride along
+    val m = DataQuality.metricsOf(obs, "gate").get
+    assert(m.getAs[Long]("n_rows") === 4L)
+    assert(m.getAs[Long]("bad_name_nonempty") === 1L)
+    assert(m.getAs[Long]("bad_v_positive") === 2L)
+    assert(DataQuality.enforce(rows, checks).count() === 1L)
+  }
+
   test("website_id point lookups prune to one hive partition") {
     val s = spark
     val st = new Storage(s, tmpDir())
