@@ -186,7 +186,21 @@ object Relational {
       round(sum($"o_totalprice").over(w), 2).as("running_total"))
   }
 
+  /** Rollup with grouping-id (beyond the reference surface — standard
+    * analytics completeness; subtotal rows disambiguated from genuine
+    * nulls by GROUPING). */
+  private val q57Rollup: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_rollup" -> q57Rollup,
     "q01_agg" -> q01Agg,
     "q02_distinct" -> q02Distinct,
     "q03_broadcast_join" -> q03BroadcastJoin,
@@ -203,6 +217,12 @@ object Relational {
     "q14_running_window" -> q14RunningWindow)
 
   val oracles: Map[String, String] = Map(
+    "q57_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,
