@@ -567,8 +567,8 @@ object BulkSources {
     * `sqlite3 → parquet` conversion otherwise (this container ships no
     * sqlite JDBC jar — SURVEY §2.2 S5 fallback).
     *
-    * Algo ids follow the fixture seed order (FIXTURES.md §1 +
-    * fuzzysearch): python ahash=5, dhash=6, phash=7, whash=8.
+    * Algo ids follow the Bootstrap seed table: python ahash=5,
+    * dhash=6, phash=3, whash=7.
     */
   def findfurrypicbot(posts: DataFrame, scanDatetime: Column,
       ingestDatetime: Column): DataFrame = {
@@ -594,8 +594,8 @@ object BulkSources {
         array(
           struct(lit(5L).as("algo_id"), col("a_hash").as("hash_value")),
           struct(lit(6L).as("algo_id"), col("d_hash").as("hash_value")),
-          struct(lit(7L).as("algo_id"), col("p_hash").as("hash_value")),
-          struct(lit(8L).as("algo_id"), col("w_hash").as("hash_value")))
+          struct(lit(3L).as("algo_id"), col("p_hash").as("hash_value")),
+          struct(lit(7L).as("algo_id"), col("w_hash").as("hash_value")))
           .as("hashes"))).as("files"))
   }
 

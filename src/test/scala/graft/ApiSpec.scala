@@ -103,7 +103,7 @@ class ApiSpec extends AnyFunSuite {
     val (_, _, files, hashes) = Normalize.splitChildren(nested)
     assert(files.count() === 1L)
     assert(hashes.select("algo_id").collect().map(_.getLong(0)).sorted
-      === Array(5L, 6L, 7L, 8L))
+      === Array(3L, 5L, 6L, 7L))
   }
 
   test("skipRows resumes after N in stable order (P4)") {

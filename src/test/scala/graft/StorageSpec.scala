@@ -74,6 +74,20 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("Bootstrap seeds dimensions and settings idempotently") {
+    val s = spark
+    import s.implicits._
+    val st = new Storage(s, tmpDir())
+    graft.storage.Bootstrap.init(st, s)
+    graft.storage.Bootstrap.init(st, s) // idempotent
+    assert(st.read("websites").count() === 3L)
+    assert(st.read("hash_algos").count() === 7L)
+    assert(st.read("settings").filter($"setting_id" === "version").count() === 1L)
+    assert(st.read("hash_algos")
+      .filter($"language" === "python" && $"algorithm_name" === "phash")
+      .head().getLong(0) === 3L)
+  }
+
   test("DataQuality.observe counts violations inside the ingest pass; enforce drops them") {
     val s = spark
     import s.implicits._
