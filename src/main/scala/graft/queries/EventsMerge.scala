@@ -97,7 +97,41 @@ object EventsMerge {
     t(s, d, "events").select($"user_id", $"event_type").distinct()
   }
 
+  /** Gap-based sessionization (classic event analytics): a new session
+    * starts after >1 h of inactivity; session ids are per-user ordinal
+    * via a cumulative sum over gap flags. */
+  private val q58Sessionize: Q = (s, d) => {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapNs = 3600L * 1000000000L
+    t(s, d, "events")
+      .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapNs, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session")
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        tsStr(min($"ts")).as("session_start"),
+        tsStr(max($"ts")).as("session_end"))
+  }
+
+  /** Exact interpolated percentiles per group (A-family breadth). */
+  private val q59Percentiles: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(min($"value"), 6).as("vmin"),
+        round(max($"value"), 6).as("vmax"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_sessionize" -> q58Sessionize,
+    "q59_percentiles" -> q59Percentiles,
     "q15_latest_snapshot" -> q15Latest,
     "q16_entity_summary" -> q16EntitySummary,
     "q17_coalesce_nonnull" -> q17CoalesceNonNull,
@@ -105,6 +139,31 @@ object EventsMerge {
     "q19_event_dedup" -> q19EventDedup)
 
   val oracles: Map[String, String] = Map(
+    "q58_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q59_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(min(value), 6) AS vmin,
+        | round(max(value), 6) AS vmax
+        |FROM events GROUP BY event_type""".stripMargin,
     "q15_latest_snapshot" ->
       """SELECT user_id, event_type AS last_type, value AS last_value,
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
