@@ -26,17 +26,6 @@ import graft.functions.MergeFiles.mergeFiles
   */
 object Merge {
 
-  /** Latest-snapshot value: max over (scan_datetime, id, payload) — the
-    * struct max is the M2 "newest snapshot wins" pick. */
-  private def latest(ord1: Column, ord2: Column, c: Column): Column =
-    max(struct(ord1, ord2, c.as("v"))).getField("v")
-
-  /** M4 latest-non-null coalesce: null payloads drop out of the max by
-    * nulling the whole struct (aggregates skip null inputs), so the
-    * newest non-null value survives (submission.py:43–69). */
-  private def latestNonNull(ord1: Column, ord2: Column, c: Column): Column =
-    max(when(c.isNotNull, struct(ord1, ord2, c.as("v")))).getField("v")
-
   /** Deterministically-ordered collect: sort_array over (ord1, ord2,
     * payload) structs, then project the payload back out. collect_list
     * order is partition-dependent; this pins it. Null payloads are
@@ -85,10 +74,31 @@ object Merge {
         Seq("archive_contributor_id"), "left")
   }
 
+  /** Last non-null payload of `field` from a (scan, sid)-sorted array of
+    * snapshot structs — the M2/M4 pick as a post-aggregation projection.
+    * Cost is O(snapshots-per-entity) over an in-memory array (tens). */
+  private def lastNonNull(snaps: Column, field: String): Column = {
+    val nn = filter(snaps, s => s.getField(field).isNotNull)
+    // guard: element_at(-1) on an empty array throws under ANSI mode
+    when(size(nn) > 0, element_at(nn, -1).getField(field))
+  }
+
+  /** Non-null payloads of `field` in snapshot order (oldest→newest). */
+  private def orderedNonNull(snaps: Column, field: String): Column =
+    transform(filter(snaps, s => s.getField(field).isNotNull), s => s.getField(field))
+
   /** M1–M8 entity merge over [[nestedSubmissionSnapshots]] output.
     * Output: one row per (website_id, site_submission_id) in the web
     * shape of submission.py:106–125 (flattened columns; keywords and
     * files as nested arrays).
+    *
+    * One collect_list of a per-snapshot struct, sorted once on
+    * (scan_datetime, snapshot_id), then every M2/M4/M5/M6/M7 pick is a
+    * projection over that array — one aggregation buffer and one sort
+    * per entity instead of three sorted collects plus four struct-max
+    * buffers. The sort comparator never descends past (scan, sid)
+    * (snapshot ids are unique), so the heavyweight files payload is
+    * never compared.
     */
   def mergeSubmissions(nested: DataFrame): DataFrame = {
     val scan = col("scan_datetime")
@@ -99,23 +109,33 @@ object Merge {
         count(lit(1)).as("snapshot_count"), // M8
         min(scan).as("first_scanned"), // M3
         max(scan).as("latest_update"), // M2
-        latest(scan, sid, col("is_deleted")).as("is_deleted"), // M2
-        latestNonNull(scan, sid, col("uploader_site_user_id")).as("uploader_site_user_id"), // M4
-        latestNonNull(scan, sid, col("title")).as("title"),
-        latestNonNull(scan, sid, col("description")).as("description"),
-        latestNonNull(scan, sid, col("datetime_posted")).as("datetime_posted"),
-        jsonMergeObjects(collectOrdered(scan, sid, col("extra_data"))).as("extra_data"), // M5
-        // M6: newest snapshot with keywords_recorded=true wins wholesale
-        // (latestNonNull: non-recorded snapshots null out and drop;
-        // recorded-but-empty coalesces to [] and still wins —
-        // submission.py:79–87)
-        latestNonNull(scan, sid,
+        sort_array(collect_list(struct(
+          scan.as("s"), sid.as("i"),
+          col("is_deleted"),
+          col("uploader_site_user_id"),
+          col("title"),
+          col("description"),
+          col("datetime_posted"),
+          col("extra_data"),
+          // M6: newest snapshot with keywords_recorded=true wins
+          // wholesale (non-recorded snapshots null out here and are
+          // skipped by the last-non-null pick; recorded-but-empty
+          // coalesces to [] and still wins — submission.py:79–87)
           when(col("keywords_recorded"),
             coalesce(col("keywords"),
-              array().cast("array<struct<keyword:string,ordinal:int>>")))).as("kw_raw"),
-        mergeFiles(flatten(collectOrdered(scan, sid, col("files")))).as("files")) // M7
-      .withColumn("keywords", sortKeywords(col("kw_raw")))
-      .drop("kw_raw")
+              array().cast("array<struct<keyword:string,ordinal:int>>"))).as("kw"),
+          col("files")))).as("snaps"))
+      .select(
+        col("website_id"), col("site_submission_id"),
+        col("snapshot_count"), col("first_scanned"), col("latest_update"),
+        element_at(col("snaps"), -1).getField("is_deleted").as("is_deleted"), // M2
+        lastNonNull(col("snaps"), "uploader_site_user_id").as("uploader_site_user_id"), // M4
+        lastNonNull(col("snaps"), "title").as("title"),
+        lastNonNull(col("snaps"), "description").as("description"),
+        lastNonNull(col("snaps"), "datetime_posted").as("datetime_posted"),
+        jsonMergeObjects(orderedNonNull(col("snaps"), "extra_data")).as("extra_data"), // M5
+        sortKeywords(lastNonNull(col("snaps"), "kw")).as("keywords"), // M6
+        mergeFiles(flatten(orderedNonNull(col("snaps"), "files"))).as("files")) // M7
   }
 
   /** M6 keyword ordering: (ordinal, keyword) with nulls-last ordinals —
@@ -168,8 +188,14 @@ object Merge {
         count(lit(1)).as("snapshot_count"),
         min(scan).as("first_scanned"),
         max(scan).as("latest_update"),
-        latest(scan, sid, col("is_deleted")).as("is_deleted"),
-        latestNonNull(scan, sid, col("display_name")).as("display_name"),
-        jsonMergeObjects(collectOrdered(scan, sid, col("extra_data"))).as("extra_data"))
+        sort_array(collect_list(struct(
+          scan.as("s"), sid.as("i"),
+          col("is_deleted"), col("display_name"), col("extra_data")))).as("snaps"))
+      .select(
+        col("website_id"), col("site_user_id"),
+        col("snapshot_count"), col("first_scanned"), col("latest_update"),
+        element_at(col("snaps"), -1).getField("is_deleted").as("is_deleted"),
+        lastNonNull(col("snaps"), "display_name").as("display_name"),
+        jsonMergeObjects(orderedNonNull(col("snaps"), "extra_data")).as("extra_data"))
   }
 }
