@@ -74,8 +74,8 @@ object Similarity {
 }
 
 /** IVF-style ANN (inverted file index): assign every vector to its
-  * nearest of C deterministic centroids (a fixed id-stride sample of
-  * the corpus — a k-means pass would slot in here unchanged); queries
+  * nearest of C deterministic centroids (a uniform hash-sample of the
+  * corpus — a k-means pass would slot in here unchanged); queries
   * probe only their `nprobe` nearest centroid cells. Complements the
   * hyperplane-LSH path: IVF adapts to the data distribution, LSH is
   * data-independent.
@@ -87,18 +87,18 @@ object IvfAnn {
   import org.apache.spark.sql.expressions.Window
   import org.apache.spark.sql.{DataFrame}
 
-  /** Deterministic centroid sample: every (n/C)-th vector by id rank. */
+  /** Deterministic centroid sample: the `c` vectors with the smallest
+    * xxhash64(id) — a uniform pseudo-random sample with no RNG state.
+    * orderBy+limit compiles to TakeOrderedAndProject (each partition
+    * keeps its local top-c, the driver merges c-sized heaps), so there
+    * is no global sort, no single-partition Exchange, and no eager
+    * count() action — scale-safe at any corpus size. */
   def centroids(embeddings: DataFrame, idCol: String, vecCol: String,
-      c: Int): DataFrame = {
-    val n = embeddings.count()
-    val stride = math.max(1L, n / c)
-    val w = Window.orderBy(col(idCol))
+      c: Int): DataFrame =
     embeddings.select(col(idCol), col(vecCol))
-      .withColumn("rk", row_number().over(w))
-      .filter((col("rk") - 1) % stride === 0)
+      .orderBy(xxhash64(col(idCol)).asc, col(idCol).asc)
       .limit(c)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-  }
 
   /** Assign each vector to its nearest centroid by cosine. */
   def assign(embeddings: DataFrame, idCol: String, vecCol: String,
