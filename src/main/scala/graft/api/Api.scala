@@ -81,29 +81,41 @@ class Api(storage: Storage) {
   /** POST /api/ingest/{format} (web.py:156–169): nested converter
     * output → normalized appends. Returns an explicit ack of appended
     * row counts (the reference returns None and 500s — SURVEY Appendix
-    * A6, fixed). */
+    * A6, fixed).
+    *
+    * The converter pipeline behind `nestedRows` is evaluated once: the
+    * nested frame is persisted for the four child appends, and the
+    * per-table counts ride along as `observe` metrics on the writes
+    * themselves instead of separate count() actions.
+    */
   def ingestSubmissions(nestedRows: DataFrame): Map[String, Long] = {
-    val (s, k, f, h) = Normalize.splitChildren(nestedRows)
-    val counts = Map(
-      "submission_snapshots" -> s.count(),
-      "submission_snapshot_keywords" -> k.count(),
-      "submission_snapshot_files" -> f.count(),
-      "submission_snapshot_file_hashes" -> h.count())
-    storage.upsertDimension("archive_contributors",
-      graft.ingest.NormalizeUsers.contributorsOf(nestedRows), Seq("contributor_id"))
-    storage.append("submission_snapshots", s)
-    storage.append("submission_snapshot_keywords", k)
-    storage.append("submission_snapshot_files", f)
-    storage.append("submission_snapshot_file_hashes", h)
-    counts
+    val cached = nestedRows.persist()
+    try {
+      val (s, k, f, h) = Normalize.splitChildren(cached)
+      storage.upsertDimension("archive_contributors",
+        graft.ingest.NormalizeUsers.contributorsOf(cached), Seq("contributor_id"))
+      Seq(
+        "submission_snapshots" -> s,
+        "submission_snapshot_keywords" -> k,
+        "submission_snapshot_files" -> f,
+        "submission_snapshot_file_hashes" -> h).map { case (table, df) =>
+        val obs = org.apache.spark.sql.Observation()
+        storage.append(table, df.observe(obs, count(lit(1)).as("n")))
+        table -> obs.get("n").asInstanceOf[Long]
+      }.toMap
+    } finally cached.unpersist()
   }
 
   def ingestUsers(nestedUsers: DataFrame): Map[String, Long] = {
-    val rows = graft.ingest.NormalizeUsers.toStorage(nestedUsers)
-    storage.upsertDimension("archive_contributors",
-      graft.ingest.NormalizeUsers.contributorsOf(nestedUsers), Seq("contributor_id"))
-    storage.append("user_snapshots", rows)
-    Map("user_snapshots" -> rows.count())
+    val cached = nestedUsers.persist()
+    try {
+      val rows = graft.ingest.NormalizeUsers.toStorage(cached)
+      storage.upsertDimension("archive_contributors",
+        graft.ingest.NormalizeUsers.contributorsOf(cached), Seq("contributor_id"))
+      val obs = org.apache.spark.sql.Observation()
+      storage.append("user_snapshots", rows.observe(obs, count(lit(1)).as("n")))
+      Map("user_snapshots" -> obs.get("n").asInstanceOf[Long])
+    } finally cached.unpersist()
   }
 
   /** API-key auth lookup (web.py:158–163,

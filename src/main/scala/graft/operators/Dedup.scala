@@ -88,9 +88,14 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, threshold: Double = 0.7): DataFrame = {
+    // shingles are computed once and persisted: the banding pass and
+    // both sides of the candidate verification join reuse this frame
+    // (at corpus scale this is the materialized signature table every
+    // LSH pipeline keeps; MEMORY_AND_DISK, evicted by LRU)
     val sh = docs.select(
       col(idCol).as("doc"),
       shingles(col(textCol)).as("sh"))
+      .persist()
     // band the ids only — the heavy shingle arrays are joined back in
     // just for the (much smaller) candidate set
     val banded = sh
@@ -145,5 +150,26 @@ object SimhashPairs {
       .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** SimHash-candidates → exact-Jaccard verification: near-dup pairs
+    * whose candidates came from simhash chunk buckets and whose
+    * DECISION (jaccard >= threshold) is exact and engine-agnostic —
+    * the oracle-checkable form of the simhash family. `chunks = 8`
+    * guarantees completeness for pairs within Hamming 7 of each other
+    * (pigeonhole), a wide margin over the distance near-identical
+    * documents actually reach. */
+  def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+      Dedup.shingles(col(textCol)).as("sh")).persist()
+    val cands = pairs(docs, idCol, textCol, maxHamming = 64, chunks = chunks)
+      .select(col("doc_a"), col("doc_b"))
+    cands
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 }

@@ -37,13 +37,27 @@ object Similarity {
   private def planeComponent(plane: Column, dim: Column): Column =
     when(pmod(xxhash64(plane, dim), lit(2)) === 0, 1.0).otherwise(-1.0)
 
+  /** Engine-portable ±1 hyperplane component: a small integer mixer
+    * ((p·379 + j·607 + p·j·131) mod 1009 < 504) any SQL engine can
+    * evaluate exactly — this is what makes the LSH-ANN *answer*
+    * oracle-checkable end to end (the DuckDB oracle replays the same
+    * planes, buckets, and ranking). The p·j cross term breaks the
+    * shift-correlation a purely linear mixer would have between
+    * planes; xxhash64 remains the default for production bucketing. */
+  private def portablePlaneComponent(plane: Column, dim: Column): Column =
+    when(pmod(plane * lit(379) + dim * lit(607) + plane * dim * lit(131),
+      lit(1009)) < 504, 1.0).otherwise(-1.0)
+
   /** Sign-bit LSH bucket id from `nPlanes` random hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int = 8): Column =
+  def lshBucket(vec: Column, nPlanes: Int = 8,
+      portablePlanes: Boolean = false): Column =
     aggregate(
       transform(sequence(lit(0), lit(nPlanes - 1)), p => {
         val proj = aggregate(
           zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, j) => x.cast("double") * planeComponent(p, j)),
+            (x, j) => x.cast("double") *
+              (if (portablePlanes) portablePlaneComponent(p, j)
+               else planeComponent(p, j))),
           lit(0.0), (acc, x) => acc + x)
         when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
       }),
@@ -55,13 +69,14 @@ object Similarity {
     */
   def annLsh(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+      queries: DataFrame, k: Int = 3, nPlanes: Int = 8,
+      portablePlanes: Boolean = false): DataFrame = {
     val cands = embeddings.select(
       col(idCol).as("nid"), col(vecCol).as("nv"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, portablePlanes).as("bucket"))
     val qs = queries.select(
       col(idCol).as("qid"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, portablePlanes).as("bucket"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     cands.join(broadcast(qs), Seq("bucket"))
       .filter(col("nid") =!= col("qid"))

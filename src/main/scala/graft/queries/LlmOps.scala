@@ -32,64 +32,45 @@ object LlmOps {
         size($"sh_a").cast("long").as("n_shingles_a"))
   }
 
-  /** SimHash fingerprints + Hamming distance to the next doc
-    * (xxhash64-based → rows-only check; determinism tested in
-    * DedupSpec). */
+  /** SimHash near-dup DECISIONS, oracle-checked: candidates come from
+    * simhash Hamming-chunk buckets (xxhash64 internals — DedupSpec),
+    * but the emitted pairs are exactly those with n-gram Jaccard >=
+    * 0.8, which DuckDB verifies by all-pairs exact Jaccard. 8 chunks
+    * guarantee completeness to Hamming 7 (pigeonhole) — measured true
+    * near-dup pairs sit at Hamming <= 5. */
   private val q27Simhash: Q = (s, d) => {
-    import s.implicits._
-    val sh = t(s, d, "documents")
-      .select($"doc_id", Dedup.simhash($"text").as("simhash"))
-    val nxt = sh.select($"doc_id".as("doc_b"), $"simhash".as("simhash_b"))
-    sh.join(nxt, $"doc_b" === $"doc_id" + 1, "left")
-      .select($"doc_id", $"simhash",
-        Dedup.hamming($"simhash", coalesce($"simhash_b", lit(0L))).as("hamming_next"))
+    import graft.operators.SimhashPairs
+    SimhashPairs.verifiedPairs(t(s, d, "documents"), "doc_id", "text",
+      threshold = 0.8, chunks = 8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash+LSH near-dup sweep: per-doc signature/bucket summary plus
-    * its verified candidate count (rows-only — xxhash64).
+  /** MinHash+LSH near-dup DECISIONS, oracle-checked: banded candidate
+    * generation (xxhash64 sketches — DedupSpec), exact-Jaccard
+    * verification, and the emitted pair list is compared against
+    * DuckDB's all-pairs exact Jaccard >= 0.8 — so the run proves the
+    * LSH pipeline reached full recall on this corpus, not just that it
+    * produced rows.
     *
     * Band tuning: 4 bands × 8 rows targets the 0.8-Jaccard near-dup
     * regime ((1/b)^(1/r) ≈ 0.84). The synthetic corpus has a small
     * vocabulary, so looser banding (8×4) floods the candidate stage
     * with moderately-similar pairs — 250s→2s at sf0.1. */
-  private val q28MinhashLsh: Q = (s, d) => {
-    import s.implicits._
-    val k = 32; val bands = 4
-    // shingles+signatures computed ONCE and persisted — the summary,
-    // banding, and both sides of the candidate join all reuse it
-    // (at corpus scale this is the materialized signature table every
-    // LSH pipeline keeps)
-    val sig = t(s, d, "documents")
-      .select($"doc_id", Dedup.shingles($"text").as("sh"))
-      .withColumn("sig", Dedup.minhashSignature($"sh", k))
-      .persist()
-    val banded = sig.select($"doc_id", $"sh",
-      explode(Dedup.bandKeys($"sig", k, bands)).as("band"))
-      .select($"doc_id", $"sh", $"band.band_id", $"band.band_hash")
-    val pairs = banded.select($"band_id", $"band_hash", $"doc_id".as("doc_a"), $"sh".as("sh_a"))
-      .join(banded.select($"band_id", $"band_hash", $"doc_id".as("doc_b"), $"sh".as("sh_b")),
-        Seq("band_id", "band_hash"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"sh_a", $"sh_b").distinct()
-      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
-      .filter($"jaccard" >= 0.8)
-    val perDocPairs = pairs.select($"doc_a".as("doc_id"))
-      .union(pairs.select($"doc_b".as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_near_dups"))
-    sig.select($"doc_id",
-      element_at($"sig", 1).as("minhash0"),
-      xxhash64($"sig").as("sig_hash"))
-      .join(perDocPairs, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_near_dups"))
-  }
+  private val q28MinhashLsh: Q = (s, d) =>
+    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      k = 32, bands = 4, threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
 
-  /** LSH-bucketed ANN vs the brute-force baseline (q24): rows-only
-    * (hyperplanes derive from xxhash64); recall measured in DedupSpec. */
+  /** LSH-bucketed ANN with engine-portable hyperplanes: the DuckDB
+    * oracle replays the SAME planes, buckets, candidate join, and
+    * (cos desc, nid asc) ranking, so the approximate answer itself is
+    * hash-checked — no recall assumption needed. The xxhash64-plane
+    * production path is covered by DedupSpec recall tests. */
   private val q29AnnLsh: Q = (s, d) => {
     import s.implicits._
     val emb = t(s, d, "embeddings")
     Similarity.annLsh(emb, "vec_id", "embedding",
-      emb.filter($"vec_id" < 20), k = 3)
+      emb.filter($"vec_id" < 20), k = 3, nPlanes = 8, portablePlanes = true)
   }
 
   /** Multimodal byte pipeline: synthetic binary payloads →
@@ -116,14 +97,18 @@ object LlmOps {
       threshold = 0.4)
   }
 
-  /** IVF ANN over the same queries as q24/q29 (rows-only: centroid
-    * assignment chains double comparisons too deep for a readable
-    * oracle; recall vs brute force is asserted in DedupSpec). */
+  /** IVF ANN, oracle-checked end to end: with a deterministic centroid
+    * set (the 16 smallest vec_ids) the whole algorithm — nearest-cell
+    * assignment, nprobe cell probing, within-cell top-k — is exact
+    * double math both engines compute identically, so DuckDB replays
+    * it and hash-checks the approximate answer itself. The hash-sample
+    * `IvfAnn.centroids` production path is covered by DedupSpec. */
   private val q51IvfAnn: Q = (s, d) => {
     import s.implicits._
     import graft.operators.IvfAnn
     val emb = t(s, d, "embeddings")
-    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", c = 16)
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
     val assigned = IvfAnn.assign(emb, "vec_id", "embedding", cents)
     IvfAnn.search(assigned, "vec_id", "embedding", cents,
       emb.filter($"vec_id" < 20), k = 3, nprobe = 4)
@@ -138,7 +123,85 @@ object LlmOps {
     "q50_embedding_neardup" -> q50EmbeddingNeardup,
     "q51_ivf_ann" -> q51IvfAnn)
 
+  /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
+    * sketch-candidate queries (q27 simhash, q28 minhash) must hit
+    * exactly: a missed near-dup pair or a false positive hash-fails. */
+  private val allPairsJaccardSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) >= 3 THEN
+      |      list_distinct(list_transform(range(0, length(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM tk),
+      |pj AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / length(list_distinct(list_concat(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+      |FROM pj WHERE j >= 0.8""".stripMargin
+
+  /** Inline DuckDB cosine between two DOUBLE-promoted float lists —
+    * the same index-order fold as VectorOps.dotProduct. */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q27_simhash" -> allPairsJaccardSql,
+    "q28_minhash_lsh" -> allPairsJaccardSql,
+    "q29_ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(0, 8), pp ->
+         |      CASE WHEN list_sum(list_transform(
+         |          list_zip(embedding, range(0, length(embedding))),
+         |          z -> CAST(z[1] AS DOUBLE) *
+         |            (CASE WHEN (pp*379 + z[2]*607 + pp*z[2]*131) % 1009 < 504
+         |             THEN 1.0 ELSE -1.0 END))) > 0
+         |      THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 20),
+         |res AS (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    ${cosSql("q.qv", "c.embedding")} AS cos
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, round(cos, 6) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |  FROM res)
+         |WHERE rank <= 3""".stripMargin,
+    "q51_ivf_ann" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |ec AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cos_c
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS centroid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rk FROM ec)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, cid AS centroid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rk
+         |    FROM ec WHERE vec_id < 20)
+         |  WHERE rk <= 4),
+         |res AS (
+         |  SELECT p.qid, a.vec_id AS nid,
+         |    ${cosSql("p.qv", "a.embedding")} AS cos
+         |  FROM probes p JOIN assign a
+         |    ON a.centroid = p.centroid AND a.vec_id <> p.qid)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, round(cos, 6) AS cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |  FROM res)
+         |WHERE rank <= 3""".stripMargin,
     "q26_ngram_jaccard" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
