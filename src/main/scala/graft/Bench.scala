@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * would measure nothing but the row count), while noop materializes
   * each output row exactly once with zero write cost.
   *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * per-query MEDIAN is reported — single-shot timings on a shared
+  * machine mix JIT, page-cache, and scheduler noise into the number
+  * (observed 69s vs 4s for the same unchanged query across rounds);
+  * medians make the reported figure reproducible. Runs interleave
+  * whole passes (pass 1 of all queries, then pass 2, …) so one query's
+  * warm caches don't flatter its own immediate re-run.
+  *
   * A small warmup job runs first so JVM/classloader startup isn't
   * billed to whichever query happens to run first.
   */
@@ -17,6 +25,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,13 +37,21 @@ object Bench {
     // warmup: touch the biggest table + codegen machinery once
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      spark.catalog.clearCache() // queries persist() internally; no cross-run reuse
+    }
+    val results = names.map { case (name, _) =>
+      val sorted = samples(name).sorted
+      name -> sorted(sorted.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

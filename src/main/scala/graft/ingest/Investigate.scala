@@ -55,4 +55,40 @@ object Investigate {
         .agg(count(lit(1)).as("n"))
         .select(lit("probably_wrong").as("kind"), lit("posts").as("value"), col("n")))
   }
+
+  /** fuzzysearch --investigate (fuzzysearch/main.py:153–186): profile
+    * the dump — row count, earliest updated_at, per-site counts,
+    * unique weasyl usernames, and usernames with characters outside
+    * each site's allowed set (weasyl: printable ASCII, main.py:41; FA:
+    * letters+digits+"-_.~[]^`" on the lowercased name, main.py:40,178).
+    * The reference's driver-side sets/Counters become grouped
+    * aggregations unioned into the same tidy (kind, value, n) report
+    * shape as [[e621Sources]]. e621 rows skip username checks
+    * (main.py:170–171). */
+  def fuzzysearchDump(csv: DataFrame): DataFrame = {
+    val weasylPrintable = "^[\\x20-\\x7E\\t\\n\\r\\x0B\\x0C]*$"
+    val faCharset = "^[a-z0-9\\-_.~\\[\\]^`]*$"
+    val total = csv.agg(count(lit(1)).as("n"))
+      .select(lit("rows").as("kind"), lit("csv").as("value"), col("n"))
+    val earliest = csv.filter(length(col("updated_at")) > 0)
+      .agg(min(col("updated_at")).as("value"))
+      .select(lit("earliest").as("kind"), col("value"), lit(1L).as("n"))
+    val sites = csv.groupBy(col("site").as("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(lit("site").as("kind"), col("value"), col("n"))
+    val weasyl = csv.filter(col("site") === "weasyl")
+    val uniqueWeasyl = weasyl.select("artists").distinct()
+      .agg(count(lit(1)).as("n"))
+      .select(lit("weasyl_usernames").as("kind"), lit("unique").as("value"), col("n"))
+    val oddWeasyl = weasyl
+      .filter(!coalesce(col("artists"), lit("")).rlike(weasylPrintable))
+      .groupBy(col("artists").as("value")).agg(count(lit(1)).as("n"))
+      .select(lit("odd_weasyl").as("kind"), col("value"), col("n"))
+    val oddFa = csv.filter(col("site") === "furaffinity" &&
+        !coalesce(lower(col("artists")), lit("")).rlike(faCharset))
+      .groupBy(col("artists").as("value")).agg(count(lit(1)).as("n"))
+      .select(lit("odd_fa").as("kind"), col("value"), col("n"))
+    total.unionByName(earliest).unionByName(sites).unionByName(uniqueWeasyl)
+      .unionByName(oddWeasyl).unionByName(oddFa)
+  }
 }

@@ -146,24 +146,28 @@ object SimhashPairs {
       .join(chunked.select(col("chunk_idx"), col("chunk_value"),
         col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("chunk_idx", "chunk_value"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      // hamming is cheap per-row bit math — cut BEFORE the distinct so
+      // the dedup shuffle only carries surviving pairs
       .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select("doc_a", "doc_b", "hamming").distinct()
   }
 
   /** SimHash-candidates → exact-Jaccard verification: near-dup pairs
     * whose candidates came from simhash chunk buckets and whose
     * DECISION (jaccard >= threshold) is exact and engine-agnostic —
     * the oracle-checkable form of the simhash family. `chunks = 8`
-    * guarantees completeness for pairs within Hamming 7 of each other
-    * (pigeonhole), a wide margin over the distance near-identical
-    * documents actually reach. */
+    * with the Hamming <= chunks-1 cut keeps exactly the
+    * pigeonhole-complete candidate region (any pair within Hamming 7
+    * shares an untouched chunk), a wide margin over the distance
+    * near-identical documents actually reach — and the cheap
+    * xor-popcount cut keeps the expensive shingle-array verification
+    * off the ~n·(n/2^bits) random chunk collisions. */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
     val sh = docs.select(col(idCol).as("doc"),
       Dedup.shingles(col(textCol)).as("sh")).persist()
-    val cands = pairs(docs, idCol, textCol, maxHamming = 64, chunks = chunks)
+    val cands = pairs(docs, idCol, textCol, maxHamming = chunks - 1, chunks = chunks)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))

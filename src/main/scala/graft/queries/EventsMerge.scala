@@ -76,18 +76,25 @@ object EventsMerge {
 
   /** M5 — ordered JSON-object merge (db.py:10–17 folded per
     * submission.py:71–77) via the custom [[JsonMergeObjects]]
-    * expression; the merged object's `k` is emitted so the oracle can
-    * check it as latest-wins. */
+    * expression. Each event type writes a DIFFERENT key (click → c,
+    * purchase → p, else → k), so the merged object is a true
+    * union-of-keys with per-key latest-wins — the full canonical JSON
+    * string is emitted and byte-compared, which a "latest snapshot
+    * wholesale" shortcut (plain row_number=1) cannot satisfy. */
   private val q18JsonMerge: Q = (s, d) => {
     import s.implicits._
+    val kVal = get_json_object($"props", "$.k").cast("long")
     t(s, d, "events")
+      .withColumn("props2",
+        when($"event_type" === "click", to_json(struct(kVal.as("c"))))
+          .when($"event_type" === "purchase", to_json(struct(kVal.as("p"))))
+          .otherwise(to_json(struct(kVal.as("k")))))
       .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"props")))
+      .agg(sort_array(collect_list(struct($"ts", $"event_id", $"props2")))
         .as("ordered"))
-      .select($"user_id",
-        get_json_object(
-          jsonMergeObjects($"ordered.props"), "$.k")
-          .cast("long").as("k_final"))
+      .select($"user_id", jsonMergeObjects($"ordered.props2").as("merged_props"))
+      .withColumn("k_final",
+        get_json_object($"merged_props", "$.k").cast("long"))
   }
 
   /** A7 — in-stream distinct: one row per (entity, type) regardless of
@@ -189,12 +196,27 @@ object EventsMerge {
         |  FROM events)
         |GROUP BY user_id""".stripMargin,
     "q18_json_merge" ->
-      """SELECT user_id,
-        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_final
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events)
-        |WHERE rn = 1""".stripMargin,
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'click' THEN 'c'
+        |         WHEN event_type = 'purchase' THEN 'p'
+        |         ELSE 'k' END AS kk,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, kk, v FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, kk ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e)
+        |  WHERE rn = 1),
+        |assembled AS (
+        |  SELECT user_id,
+        |    '{' || string_agg('"' || kk || '":' || v, ',' ORDER BY kk) || '}'
+        |      AS merged_props
+        |  FROM latest GROUP BY user_id)
+        |SELECT user_id, merged_props,
+        |  CAST(json_extract_string(merged_props, '$.k') AS BIGINT) AS k_final
+        |FROM assembled""".stripMargin,
     "q19_event_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events")
 }

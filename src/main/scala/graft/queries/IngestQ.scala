@@ -147,8 +147,20 @@ object IngestQ {
       "weasyl,has spaces!,a,,,,,true,"))))
   }
 
+  /** fuzzysearch --investigate over a fixture exercising every report
+    * kind: an odd weasyl username (non-printable char), an odd FA
+    * username ('!' outside the allowed set), and an e621 row that must
+    * skip username checks. */
+  private val q60InvestigateFuzzy: Q = (s, _) => {
+    graft.ingest.Investigate.fuzzysearchDump(csvOf(s, fuzzyHeader +: (fuzzyRows ++ Seq(
+      "weasyl,444,oddé,,,,,false,",
+      "weasyl,555,goodname,,,,,false,",
+      "furaffinity,666,bad!name,,,,,false,"))))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_validate_fuzzysearch" -> q52ValidateFuzzy,
+    "q60_investigate_fuzzysearch" -> q60InvestigateFuzzy,
     "q36_ingest_e621" -> q36IngestE621,
     "q37_validate_e621" -> q37ValidateE621,
     "q38_ingest_fuzzysearch" -> q38IngestFuzzysearch,

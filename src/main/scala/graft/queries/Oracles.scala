@@ -102,6 +102,15 @@ object Oracles {
         | CAST(0 AS BIGINT) AS bad_up_score_nonneg,
         | CAST(0 AS BIGINT) AS bad_width_int,
         | CAST(0 AS BIGINT) AS bad_height_int""".stripMargin,
+    "q60_investigate_fuzzysearch" ->
+      """SELECT kind, value, CAST(n AS BIGINT) AS n FROM (VALUES
+        | ('rows','csv',6),
+        | ('earliest','2022-05-02 00:00:00',1),
+        | ('site','furaffinity',3), ('site','e621',1), ('site','weasyl',2),
+        | ('weasyl_usernames','unique',2),
+        | ('odd_weasyl','oddé',1),
+        | ('odd_fa','bad!name',1)
+        |) t(kind, value, n)""".stripMargin,
     "q52_validate_fuzzysearch" ->
       """SELECT CAST(5 AS BIGINT) AS n_rows,
         | CAST(1 AS BIGINT) AS bad_site_domain,
