@@ -561,11 +561,11 @@ object BulkSources {
 
   /** findfurrypicbot `posts(id, a_hash, p_hash, d_hash, w_hash)` →
     * nested snapshot rows: one file per post carrying the four
-    * perceptual hashes (main.py:42–62). `posts` comes from
-    * `spark.read.jdbc("jdbc:sqlite:…", "posts", …)` when a SQLite
-    * driver is on the classpath, or from the one-time
-    * `sqlite3 → parquet` conversion otherwise (this container ships no
-    * sqlite JDBC jar — SURVEY §2.2 S5 fallback).
+    * perceptual hashes (main.py:42–62). `posts` comes from the native
+    * [[graft.sources.SqliteFile]] reader (distributed leaf-page scan
+    * of the .sqlite3 dump — no JDBC driver needed), from
+    * `spark.read.jdbc` when a SQLite driver is on the classpath, or
+    * from a one-time `sqlite3 → parquet` conversion.
     *
     * Algo ids follow the Bootstrap seed table: python ahash=5,
     * dhash=6, phash=3, whash=7.

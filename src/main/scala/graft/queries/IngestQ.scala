@@ -158,9 +158,35 @@ object IngestQ {
       "furaffinity,666,bad!name,,,,,false,"))))
   }
 
+  /** findfurrypicbot over the REAL SQLite read path (S5): the fixture
+    * .sqlite3 (multi-level B-tree, 512-byte pages) is scanned by
+    * [[graft.sources.SqliteFile]], converted, and three sample posts
+    * emitted with full hash fidelity; SqliteSpec covers all 300 rows
+    * byte-for-byte. */
+  private val q61SqliteFindfurrypicbot: Q = (s, _) => {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempFile("graft_fa_bin", ".sqlite3")
+    val in = getClass.getResourceAsStream("/graft/fixtures/fa_bin.sqlite3")
+    java.nio.file.Files.copy(in, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val posts = graft.sources.SqliteFile.read(s, tmp.toString, "posts")
+    val nested = graft.ingest.BulkSources.findfurrypicbot(posts,
+      to_timestamp(lit("2020-01-09 00:00:00")),
+      to_timestamp(lit("2020-01-10 00:00:00")))
+    nested
+      .filter($"site_submission_id".isin("1", "2", "300"))
+      .select($"website_id", $"site_submission_id",
+        fmt($"scan_datetime").as("scan_datetime"), $"is_deleted",
+        concat_ws(",", sort_array(transform(
+          $"files".getField("hashes").getItem(0),
+          h => concat(h.getField("algo_id").cast("string"), lit(":"),
+            upper(hex(h.getField("hash_value"))))))).as("hashes_csv"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q52_validate_fuzzysearch" -> q52ValidateFuzzy,
     "q60_investigate_fuzzysearch" -> q60InvestigateFuzzy,
+    "q61_sqlite_findfurrypicbot" -> q61SqliteFindfurrypicbot,
     "q36_ingest_e621" -> q36IngestE621,
     "q37_validate_e621" -> q37ValidateE621,
     "q38_ingest_fuzzysearch" -> q38IngestFuzzysearch,

@@ -102,6 +102,18 @@ object Oracles {
         | CAST(0 AS BIGINT) AS bad_up_score_nonneg,
         | CAST(0 AS BIGINT) AS bad_width_int,
         | CAST(0 AS BIGINT) AS bad_height_int""".stripMargin,
+    "q61_sqlite_findfurrypicbot" ->
+      """SELECT website_id, site_submission_id, scan_datetime, is_deleted,
+        | hashes_csv
+        |FROM (VALUES
+        | ('fa','1','2020-01-09 00:00:00',FALSE,
+        |  '3:31BF5573D0F26D8E,5:FD863B01647CB662,6:6749B9D0651F2ABC,7:95176C2468EED92B'),
+        | ('fa','2','2020-01-09 00:00:00',FALSE,
+        |  '3:FF39B4C31096E1B8,5:180957EFF8611A6C,6:1DCAAFCBD819D08D,7:A7EFA51463944F48'),
+        | ('fa','300','2020-01-09 00:00:00',FALSE,
+        |  '3:F0848FF62FDE0A78,5:B019A01E5E746FD6,6:B6F0A4C158367524,7:B43E4405CFFC03D9')
+        |) t(website_id, site_submission_id, scan_datetime, is_deleted,
+        |    hashes_csv)""".stripMargin,
     "q60_investigate_fuzzysearch" ->
       """SELECT kind, value, CAST(n AS BIGINT) AS n FROM (VALUES
         | ('rows','csv',6),
