@@ -23,7 +23,10 @@ object MergeScaleQ {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val q55MergeScale: Q = (s, d) => {
+  /** The q55-shaped nested snapshot store derived from orders/lineitem
+    * — exposed so specs can materialize it bucketed by entity key and
+    * assert the merge aggregation runs shuffle-free (SURVEY §4.4). */
+  def nestedAtScale(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val orders = t(s, d, "orders")
     val lineitem = t(s, d, "lineitem")
@@ -61,8 +64,12 @@ object MergeScaleQ {
       unhex(lpad(hex($"l_suppkey" % 200 + 1), 4, "0")).as("hash_value"))
     val contributors = Seq((1L, "c1", "k1"), (2L, "c2", "k2"))
       .toDF("contributor_id", "name", "api_key")
-    val merged = Merge.mergeSubmissions(Merge.nestedSubmissionSnapshots(
-      snaps, keywords, files, hashes, contributors))
+    Merge.nestedSubmissionSnapshots(snaps, keywords, files, hashes, contributors)
+  }
+
+  private val q55MergeScale: Q = (s, d) => {
+    import s.implicits._
+    val merged = Merge.mergeSubmissions(nestedAtScale(s, d))
     merged.select(
       $"site_submission_id",
       $"snapshot_count",

@@ -168,6 +168,30 @@ class MergeSpec extends AnyFunSuite {
       """{"a":null,"b":[{"c":2,"d":1}]}""")
   }
 
+  test("q55-scale merge over a bucketed nested store is shuffle-free (SURVEY §4.4)") {
+    val s = spark
+    val st = new graft.storage.Storage(s,
+      java.nio.file.Files.createTempDirectory("graft_bucketed").toString)
+    val nested = graft.queries.MergeScaleQ.nestedAtScale(s, "/root/testdata/sf0.001")
+    st.appendBucketed("nested_submission_snapshots_b", nested,
+      Seq("website_id", "site_submission_id"), numBuckets = 4)
+    val merged = Merge.mergeSubmissions(st.readBucketed("nested_submission_snapshots_b"))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"merge over the bucketed nested store should not shuffle:\n$plan")
+    // identical results to the direct (shuffling) path
+    val viaBuckets = merged.orderBy("site_submission_id")
+      .drop("files").toJSON.collect().toSeq
+    val direct = Merge.mergeSubmissions(nested).orderBy("site_submission_id")
+      .drop("files").toJSON.collect().toSeq
+    assert(viaBuckets === direct)
+    // file merge survives the bucketed path too (key-set check)
+    val nFiles = merged.select(sum(size(col("files")))).collect().head.getLong(0)
+    val nFilesDirect = Merge.mergeSubmissions(nested)
+      .select(sum(size(col("files")))).collect().head.getLong(0)
+    assert(nFiles === nFilesDirect)
+  }
+
   test("longToBigEndianBinary matches struct.pack('>q') semantics (F9)") {
     val s = spark
     import s.implicits._
