@@ -116,6 +116,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Near-dup CLUSTER formation — the step that turns a pair list into
+    * dedup decisions (keep one representative per cluster): connected
+    * components of the pair graph by iterative min-label propagation.
+    * Each round, every node adopts the smallest label among itself and
+    * its neighbors; convergence takes O(component diameter) rounds
+    * (near-dup clusters are small — chains of edits — so a handful).
+    *
+    * 100 TB shape: one shuffle per round on the node key (the classic
+    * large-graph CC; GraphX/GraphFrames do the same under the hood),
+    * `localCheckpoint` per round to cut lineage, edge table persisted.
+    * Returns (node, cluster) with cluster = min node id in the
+    * component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = stepped.filter(col("next") =!= col("label")).count()
+      labels = stepped.select(col("node"), col("next").as("label"))
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("cluster"))
+  }
 }
 
 /** SimHash near-duplicate pairing via Hamming-distance LSH: split the

@@ -114,8 +114,21 @@ object LlmOps {
       emb.filter($"vec_id" < 20), k = 3, nprobe = 4)
   }
 
+  /** Near-dup clusters: LSH-verified pairs → connected components →
+    * (doc_id, cluster_id = min id in component). The DuckDB oracle
+    * recomputes components from the exact all-pairs >= 0.8 graph with
+    * a recursive CTE, so the emitted dedup DECISION (which docs group
+    * together, who represents the group) is hash-checked. */
+  private val q62DedupClusters: Q = (s, d) => {
+    val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      k = 32, bands = 4, threshold = 0.8)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
+    "q62_dedup_clusters" -> q62DedupClusters,
     "q27_simhash" -> q27Simhash,
     "q28_minhash_lsh" -> q28MinhashLsh,
     "q29_ann_lsh" -> q29AnnLsh,
@@ -156,6 +169,17 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "q27_simhash" -> allPairsJaccardSql,
     "q28_minhash_lsh" -> allPairsJaccardSql,
+    "q62_dedup_clusters" ->
+      s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pj
+         |  UNION ALL SELECT doc_b, doc_a FROM pj),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "q29_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,

@@ -180,4 +180,16 @@ class DedupSpec extends AnyFunSuite {
       Dedup.shingles($"text"), Dedup.shingles($"text"))).head.getDouble(0)
     assert(j === 1.0)
   }
+
+  test("connected components: chains collapse to min label, singletons separate") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }
