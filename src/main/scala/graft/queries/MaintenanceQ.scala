@@ -41,10 +41,13 @@ object MaintenanceQ {
       FileHashRow(98L, 404L, 1L, Array[Byte](8))).toDF())
 
     val r = Repair.repairAll(users, snaps, keywords, files, hashes)
-    def row(name: String, in: DataFrame, out: DataFrame) = {
-      import s.implicits._
-      Seq((name, in.count(), out.count())).toDF("table_name", "n_input", "n_survivors")
-    }
+    // lazy count aggregations unioned into ONE plan — a single job at
+    // the sink instead of ten eager count() actions (job-launch
+    // overhead dominated the query at fixture scale)
+    def row(name: String, in: DataFrame, out: DataFrame) =
+      in.agg(count(lit(1)).as("n_input"))
+        .crossJoin(out.agg(count(lit(1)).as("n_survivors")))
+        .select(lit(name).as("table_name"), col("n_input"), col("n_survivors"))
     row("user_snapshots", users, r.users)
       .union(row("submission_snapshots", snaps, r.snapshots))
       .union(row("keywords", keywords, r.keywords))
