@@ -126,9 +126,44 @@ object LlmOps {
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** One k-means training step for the IVF index (the pass that slots
+    * into `IvfAnn.centroids`'s place once trained): assign every
+    * vector to its nearest deterministic centroid, then recompute each
+    * cell's centroid as the element-wise mean. Emitted per-dimension
+    * (centroid, pos, c) so the oracle replays assignment + averaging
+    * exactly; rounded to 4dp because cross-partition double summation
+    * order is not pinned. */
+  private val q63IvfTrain: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.IvfAnn
+    val emb = t(s, d, "embeddings")
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    IvfAnn.assign(emb, "vec_id", "embedding", cents)
+      .select($"centroid", posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"centroid", $"pos".cast("long").as("pos"))
+      .agg(round(avg($"x".cast("double")), 4).as("c"))
+  }
+
+  /** Salted two-stage aggregation under the hard gate: per-returnflag
+    * count and quantity sum via the skew primitive must equal DuckDB's
+    * plain GROUP BY — proving salting changes the plan, not the
+    * answer. */
+  private val q64SaltedAgg: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.Skew
+    Skew.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"),
+      Seq($"l_orderkey", $"l_linenumber"), salts = 16,
+      partial = Seq(count(lit(1)).as("__n"), sum($"l_quantity").as("__q")),
+      finalAgg = Seq(sum(col("__n")).as("n"),
+        round(sum(col("__q")), 2).as("sum_qty")))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
     "q62_dedup_clusters" -> q62DedupClusters,
+    "q63_ivf_train" -> q63IvfTrain,
+    "q64_salted_agg" -> q64SaltedAgg,
     "q27_simhash" -> q27Simhash,
     "q28_minhash_lsh" -> q28MinhashLsh,
     "q29_ann_lsh" -> q29AnnLsh,
@@ -169,6 +204,25 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "q27_simhash" -> allPairsJaccardSql,
     "q28_minhash_lsh" -> allPairsJaccardSql,
+    "q63_ivf_train" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |ec AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cos_c
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS centroid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rk FROM ec)
+         |  WHERE rk = 1)
+         |SELECT centroid, r.range AS pos,
+         |  round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 4) AS c
+         |FROM assign CROSS JOIN range(0, 64) r
+         |GROUP BY centroid, pos""".stripMargin,
+    "q64_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q62_dedup_clusters" ->
       s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
          |edges AS (
