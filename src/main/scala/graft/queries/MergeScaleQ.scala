@@ -67,26 +67,51 @@ object MergeScaleQ {
     Merge.nestedSubmissionSnapshots(snaps, keywords, files, hashes, contributors)
   }
 
-  private val q55MergeScale: Q = (s, d) => {
-    import s.implicits._
-    val merged = Merge.mergeSubmissions(nestedAtScale(s, d))
+  /** The q55 emission shape shared by the full and incremental paths. */
+  private def webShape(merged: DataFrame): DataFrame = {
     merged.select(
-      $"site_submission_id",
-      $"snapshot_count",
-      date_format($"first_scanned", "yyyy-MM-dd HH:mm:ss").as("first_scanned"),
-      date_format($"latest_update", "yyyy-MM-dd HH:mm:ss").as("latest_update"),
-      $"is_deleted",
-      $"uploader_site_user_id",
-      $"title",
-      get_json_object($"extra_data", "$.p").as("k_p"),
-      concat_ws(",", transform($"keywords", k => k.getField("keyword"))).as("kw_csv"),
-      size($"files").cast("long").as("n_files"))
+      col("site_submission_id"),
+      col("snapshot_count"),
+      date_format(col("first_scanned"), "yyyy-MM-dd HH:mm:ss").as("first_scanned"),
+      date_format(col("latest_update"), "yyyy-MM-dd HH:mm:ss").as("latest_update"),
+      col("is_deleted"),
+      col("uploader_site_user_id"),
+      col("title"),
+      get_json_object(col("extra_data"), "$.p").as("k_p"),
+      concat_ws(",", transform(col("keywords"), k => k.getField("keyword"))).as("kw_csv"),
+      size(col("files")).cast("long").as("n_files"))
   }
 
-  val queries: Map[String, Q] = Map("q55_merge_scale" -> q55MergeScale)
+  private val q55MergeScale: Q = (s, d) =>
+    webShape(Merge.mergeSubmissions(nestedAtScale(s, d)))
 
+  /** Incremental merge maintenance under the hard gate: materialize
+    * the merge of everything scanned before the cutoff, ingest the
+    * rest as "the new batch" (re-merging only touched entities via
+    * left_semi — cost ∝ batch, not corpus), and the maintained table
+    * must hash-equal the full merge-on-read answer (same oracle as
+    * q55). This is the 100 TB operational pattern: per-batch
+    * refreshes instead of whole-corpus re-merges. */
+  private val q65IncrementalMerge: Q = (s, d) => {
+    import s.implicits._
+    val nested = nestedAtScale(s, d)
+    val cutoff = lit("1996-12-31").cast("timestamp")
+    val previousMerged = Merge.mergeSubmissions(
+      nested.filter($"scan_datetime" <= cutoff))
+    val newBatch = nested.filter($"scan_datetime" > cutoff)
+    webShape(Merge.incrementalMergeSubmissions(previousMerged, nested, newBatch))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q55_merge_scale" -> q55MergeScale,
+    "q65_incremental_merge" -> q65IncrementalMerge)
+
+  /** q65 must produce the identical answer to q55 — same oracle. */
   val oracles: Map[String, String] = Map(
-    "q55_merge_scale" ->
+    "q55_merge_scale" -> mergeScaleSql,
+    "q65_incremental_merge" -> mergeScaleSql)
+
+  private lazy val mergeScaleSql: String =
       """WITH snaps AS (
         |  SELECT o_orderkey AS sid, CAST(o_custkey AS VARCHAR) AS entity,
         |    o_orderdate AS scan, (o_orderstatus = 'F') AS is_deleted,
@@ -141,5 +166,5 @@ object MergeScaleQ {
         |FROM m
         |JOIN coal c ON c.entity = m.entity
         |LEFT JOIN kwcsv kc ON kc.entity = m.entity
-        |LEFT JOIN nf ON nf.entity = m.entity""".stripMargin)
+        |LEFT JOIN nf ON nf.entity = m.entity""".stripMargin
 }
