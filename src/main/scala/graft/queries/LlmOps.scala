@@ -114,14 +114,17 @@ object LlmOps {
       emb.filter($"vec_id" < 20), k = 3, nprobe = 4)
   }
 
-  /** Near-dup clusters: LSH-verified pairs → connected components →
-    * (doc_id, cluster_id = min id in component). The DuckDB oracle
-    * recomputes components from the exact all-pairs >= 0.8 graph with
-    * a recursive CTE, so the emitted dedup DECISION (which docs group
-    * together, who represents the group) is hash-checked. */
+  /** Near-dup clusters: multi-sketch verified pairs (minhash ∪
+    * simhash candidates — each sketch covers the other's misses; see
+    * Dedup.multiSketchPairs recall measurements) → connected
+    * components → (doc_id, cluster_id = min id in component). The
+    * DuckDB oracle recomputes components from the exact all-pairs
+    * >= 0.8 graph with a recursive CTE, so the emitted dedup DECISION
+    * (which docs group together, who represents the group) is
+    * hash-checked. */
   private val q62DedupClusters: Q = (s, d) => {
-    val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
-      k = 32, bands = 4, threshold = 0.8)
+    val pairs = Dedup.multiSketchPairs(t(s, d, "documents"), "doc_id", "text",
+      threshold = 0.8)
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
   }
