@@ -107,6 +107,60 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken —
+  * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+  * 2003): hash every k-gram of the token array, slide a window of `w`
+  * consecutive k-gram hashes, keep each window's minimum, return the
+  * distinct selected hashes sorted. Guarantees any shared token run of
+  * length >= k + w - 1 between two documents shares a fingerprint —
+  * the partial-overlap detector whole-document hashing can't provide.
+  *
+  * The k-gram hash is md5 of the space-joined k-gram (engine-portable,
+  * so a SQL oracle can replay selection exactly); a production rolling
+  * hash (O(1) per position) would slot in here without changing the
+  * selection semantics. One tight loop per row — a nested
+  * higher-order-function formulation would re-evaluate the k-gram
+  * array per window position after CollapseProject. */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprint needs array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = Array.tabulate(n)(i =>
+      if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val grams =
+      if (n < k) Array(hex(md.digest(toks.mkString(" ").getBytes("UTF-8"))))
+      else Array.tabulate(n - k + 1) { i =>
+        md.reset()
+        hex(md.digest(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8")))
+      }
+    val selected =
+      if (grams.length <= w) grams
+      else Array.tabulate(grams.length - w + 1)(j =>
+        grams.slice(j, j + w).min)
+    new GenericArrayData(
+      selected.distinct.sorted.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint"
+}
+
 object TextHashes {
   import org.apache.spark.sql.GraftSqlShim._
 
@@ -115,4 +169,7 @@ object TextHashes {
 
   def simhash64(tokens: Column): Column =
     toColumn(SimHash64Expr(toExpression(tokens)))
+
+  def winnowFingerprint(tokens: Column, k: Int = 4, w: Int = 5): Column =
+    toColumn(WinnowFingerprintExpr(toExpression(tokens), k, w))
 }

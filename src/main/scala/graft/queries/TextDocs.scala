@@ -89,14 +89,60 @@ object TextDocs {
       md5(array_join(toks, "|")).as("tokens_fp"))
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting,
+    * builder brief): per-doc selected k-gram hash set via the native
+    * [[graft.functions.TextHashes.winnowFingerprint]] expression, plus
+    * partial-overlap count against the next doc — any shared token run
+    * of >= k+w-1 tokens is guaranteed a shared fingerprint. The oracle
+    * replays k-gram hashing (md5 — portable), window minima, and the
+    * intersection exactly. */
+  private val q66WinnowFp: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.TextHashes
+    import graft.operators.Dedup
+    val fps = t(s, d, "documents").select($"doc_id",
+      TextHashes.winnowFingerprint(Dedup.tokens($"text"), k = 4, w = 5).as("fp"))
+    val nxt = fps.select(($"doc_id" - 1).as("doc_id"), $"fp".as("fp_next"))
+    fps.join(nxt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"fp").cast("long").as("n_fp"),
+        md5(array_join($"fp", "|")).as("fp_hash"),
+        coalesce(size(array_intersect($"fp", $"fp_next")), lit(0))
+          .cast("long").as("n_shared_next"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_bpe_tokens" -> q56BpeTokens,
+    "q66_winnow_fp" -> q66WinnowFp,
     "q20_token_stats" -> q20TokenStats,
     "q21_lang_heuristic" -> q21LangHeuristic,
     "q22_quality" -> q22Quality,
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q66_winnow_fp" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) < 4 THEN [md5(array_to_string(t, ' '))]
+        |    ELSE list_transform(range(0, length(t) - 3),
+        |      i -> md5(array_to_string(t[i+1:i+4], ' '))) END AS grams
+        |  FROM tk),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(
+        |      CASE WHEN length(grams) <= 5 THEN grams
+        |      ELSE list_transform(range(0, length(grams) - 4),
+        |        j -> list_min(grams[j+1:j+5])) END)) AS fp
+        |  FROM g)
+        |SELECT a.doc_id,
+        |  CAST(length(a.fp) AS BIGINT) AS n_fp,
+        |  md5(array_to_string(a.fp, '|')) AS fp_hash,
+        |  CAST(coalesce(length(list_intersect(a.fp, b.fp)), 0) AS BIGINT)
+        |    AS n_shared_next
+        |FROM f a LEFT JOIN f b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q56_bpe_tokens" ->
       """SELECT doc_id,
         | length(tk) AS n_bpe_tokens,

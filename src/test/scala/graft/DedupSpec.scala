@@ -181,6 +181,22 @@ class DedupSpec extends AnyFunSuite {
     assert(j === 1.0)
   }
 
+  test("winnowing: docs sharing a k+w-1 token run share a fingerprint; disjoint docs don't") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextHashes
+    val shared = "one two three four five six seven eight" // 8 = k+w-1
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"delta $shared epsilon zeta"),
+      (3L, "totally different words with no common run at all")).toDF("id", "text")
+    val fp = docs.select($"id",
+      TextHashes.winnowFingerprint(Dedup.tokens($"text"), 4, 5).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+  }
+
   test("connected components: chains collapse to min label, singletons separate") {
     val s = spark
     import s.implicits._
