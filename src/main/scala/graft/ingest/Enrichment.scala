@@ -8,8 +8,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * calls the Weasyl API at 1 req/s under a lock with a file-backed memo
   * cache. Spark shape: `mapPartitions` with a lazily-initialized
   * rate-limited client per partition and the memo cache as a broadcast
-  * side-input — the network client is STUBBED (no egress in this
-  * container; swap `lookup` for a real HTTP call in production).
+  * side-input. [[httpUserLookup]] is the real client (JDK HTTP +
+  * Jackson, mirroring user_lookup.py:110–141: guess the username,
+  * GET /api/users/{guess}/view, accept login_name when the display
+  * name round-trips) — exercised in EnrichmentSpec against a
+  * local in-JVM HTTP server; point it at the real host in production.
   *
   * Rate limiting is per-partition (interval × parallelism ≈ global
   * rate; run with a single partition or a distributed token bucket for
@@ -17,6 +20,36 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * total, so callers wanting exact parity coalesce(1) this stage).
   */
 object Enrichment {
+
+  /** Real HTTP lookup: display name → canonical login_name via
+    * `GET {baseUrl}/api/users/{guess}/view` (user_lookup.py:119–141).
+    * Returns None on non-200, parse failure, or display-name mismatch
+    * (the reference then falls back to the submission view; callers
+    * chain lookups with `orElse`). */
+  def httpUserLookup(baseUrl: String, apiKey: Option[String] = None)
+      : String => Option[String] = { display =>
+    try {
+      val guess = guessUsername(display)
+      val conn = new java.net.URL(s"$baseUrl/api/users/$guess/view")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("User-Agent", "graft enrichment")
+      apiKey.foreach(conn.setRequestProperty("X-Weasyl-API-Key", _))
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(10000)
+      try {
+        if (conn.getResponseCode != 200) None
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(conn.getInputStream)
+          val login = Option(node.get("login_name")).map(_.asText())
+          val siteDisplay = Option(node.get("username")).map(_.asText())
+          // accept only when the display name round-trips
+          // (user_lookup.py:138–139)
+          login.filter(_ => siteDisplay.contains(display))
+        }
+      } finally conn.disconnect()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** F15 — the reference's username guess: lowercase, strip everything
     * outside [a-z0-9] (user_lookup.py:225, 135). */

@@ -1,0 +1,83 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Enrichment
+
+/** S7 rate-limited HTTP enrichment over the REAL client path: an
+  * in-JVM localhost HTTP server plays the user API (no egress
+  * needed), so the JDK-HTTP lookup, per-partition rate limiter,
+  * broadcast cache, and per-partition memo are all exercised
+  * end to end. */
+class EnrichmentSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def withServer(f: (String, AtomicInteger) => Unit): Unit = {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/users/", { exchange =>
+      hits.incrementAndGet()
+      val guess = exchange.getRequestURI.getPath
+        .stripPrefix("/api/users/").stripSuffix("/view")
+      // canned identities: username echoes the guess (so canonical
+      // displays round-trip, mixed-case ones get rejected); "ghost"
+      // has no record
+      val (code, body) =
+        if (guess == "ghost") (404, """{"error":{"name":"userRecordMissing"}}""")
+        else (200, s"""{"login_name":"u_$guess","username":"$guess"}""")
+      val bytes = body.getBytes("UTF-8")
+      exchange.sendResponseHeaders(code, bytes.length)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("httpUserLookup: round-trip match, mismatch, and missing user") {
+    withServer { (base, _) =>
+      val lookup = Enrichment.httpUserLookup(base)
+      assert(lookup("alice") === Some("u_alice"))
+      // display name does not round-trip -> rejected
+      assert(lookup("Someone Else") === None)
+      assert(lookup("ghost") === None)
+    }
+  }
+
+  test("enrichUsernames drives the real client: cache first, memo dedup, rate limit") {
+    withServer { (base, hits) =>
+      val s = spark
+      import s.implicits._
+      val df = Seq("alice", "alice", "bob", "Cached carol")
+        .toDF("display_name").coalesce(1)
+      val t0 = System.nanoTime()
+      val out = Enrichment.enrichUsernames(
+        df, "display_name",
+        cache = Map("Cached carol" -> "carol_cached"),
+        minIntervalMs = 150L,
+        lookup = Enrichment.httpUserLookup(base))
+        .collect().map(r => r.getString(0) -> r.getString(1))
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      assert(out.toSet === Set(
+        "alice" -> "u_alice",
+        "bob" -> "u_bob",
+        "Cached carol" -> "carol_cached"))
+      // memo: alice appears twice but is fetched once; carol is cache-only
+      assert(hits.get() === 2)
+      // rate limiter: two HTTP calls at >=150ms spacing
+      assert(elapsedMs >= 150.0, s"elapsed ${elapsedMs}ms")
+    }
+  }
+}
