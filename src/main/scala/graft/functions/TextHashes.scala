@@ -135,25 +135,52 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
           s"winnow_fingerprint needs array<string>, got ${other.catalogString}")
     }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(b: Array[Byte]): String = {
+    val out = new Array[Char](b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val toks = Array.tabulate(n)(i =>
       if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
     val grams =
       if (n < k) Array(hex(md.digest(toks.mkString(" ").getBytes("UTF-8"))))
       else Array.tabulate(n - k + 1) { i =>
         md.reset()
         hex(md.digest(toks.slice(i, i + k).mkString(" ").getBytes("UTF-8")))
       }
-    val selected =
-      if (grams.length <= w) grams
-      else Array.tabulate(grams.length - w + 1)(j =>
-        grams.slice(j, j + w).min)
-    new GenericArrayData(
-      selected.distinct.sorted.map(UTF8String.fromString(_)))
+    val selected = new java.util.TreeSet[String]()
+    if (grams.length <= w) grams.foreach(selected.add)
+    else {
+      // monotone deque of candidate indices: O(n) sliding-window
+      // minima instead of O(n·w) re-scans; ties pick the same VALUE,
+      // so the selected set equals a per-window min() exactly
+      val dq = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < grams.length) {
+        while (!dq.isEmpty && grams(dq.peekLast) >= grams(j)) dq.pollLast()
+        dq.addLast(j)
+        if (dq.peekFirst <= j - w) dq.pollFirst()
+        if (j >= w - 1) selected.add(grams(dq.peekFirst))
+        j += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
