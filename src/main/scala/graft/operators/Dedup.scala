@@ -118,21 +118,58 @@ object Dedup {
   }
 
   /** Multi-sketch near-dup pair generation: the UNION of the
-    * minhash-banding and simhash-chunk candidate paths, each verified
-    * by exact Jaccard (so the union dedups exactly). Single-sketch
-    * recall is probabilistic — measured on the synthetic corpus at
-    * sf0.1: minhash (4×8 bands) missed 3 of ~256 true pairs
-    * (J 0.91–0.96 banding misses), simhash (Hamming<=7) missed 15
-    * (fingerprint distance above the pigeonhole bound) — while each
-    * covered every pair the other missed. Unioning independent
-    * sketch families is the production answer for recall at corpus
-    * scale; cost is one extra scan + the second (cheap, bit-level)
-    * candidate pass. */
+    * minhash-banding and simhash-chunk candidate sets, verified once
+    * by exact Jaccard. Single-sketch recall is probabilistic —
+    * measured on the synthetic corpus at sf0.1: minhash (4×8 bands)
+    * missed 3 of ~256 true pairs (J 0.91–0.96 banding misses),
+    * simhash (Hamming<=7) missed 15 (fingerprint distance above the
+    * pigeonhole bound) — while each covered every pair the other
+    * missed. Unioning independent sketch families is the production
+    * answer for recall at corpus scale.
+    *
+    * One scan computes shingles, minhash signature, and simhash per
+    * doc into a single persisted sketch table; both candidate
+    * generators and both sides of the verification join read it, and
+    * each candidate pair is verified exactly once. */
   def multiSketchPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame =
-    minhashLshPairs(docs, idCol, textCol, k = 32, bands = 4, threshold = threshold)
-      .unionByName(SimhashPairs.verifiedPairs(docs, idCol, textCol, threshold, chunks = 8))
-      .distinct()
+      threshold: Double = 0.8, k: Int = 32, bands: Int = 4,
+      chunks: Int = 8): DataFrame = {
+    val bits = 64 / chunks
+    val base = docs.select(col(idCol).as("doc"),
+        shingles(col(textCol)).as("sh"),
+        simhash(col(textCol)).as("simhash"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .persist()
+    val banded = base.select(col("doc"),
+      explode(bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("doc"), col("band.band_id").as("kind_key"),
+        col("band.band_hash").as("bucket"))
+    val chunked = base.select(col("doc"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
+        (c + 1000).as("kind_key"), // offset: never collides with band ids
+        call_function("shiftright", col("simhash"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("bucket")))).as("ch"))
+      .select(col("doc"), col("simhash"),
+        col("ch.kind_key").as("kind_key"), col("ch.bucket").as("bucket"))
+    val mhCands = banded.select(col("kind_key"), col("bucket"), col("doc").as("doc_a"))
+      .join(banded.select(col("kind_key"), col("bucket"), col("doc").as("doc_b")),
+        Seq("kind_key", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val shCands = chunked
+      .select(col("kind_key"), col("bucket"), col("doc").as("doc_a"), col("simhash").as("sim_a"))
+      .join(chunked.select(col("kind_key"), col("bucket"),
+        col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("kind_key", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
+      .select("doc_a", "doc_b")
+    mhCands.unionByName(shCands).distinct()
+      .join(base.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(base.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
 
   /** Near-dup CLUSTER formation — the step that turns a pair list into
     * dedup decisions (keep one representative per cluster): connected
