@@ -162,9 +162,44 @@ object LlmOps {
         round(sum(col("__q")), 2).as("sum_qty")))
   }
 
+  /** The end-to-end training-data curation pipeline (builder brief's
+    * north star composed): language gate → quality gate (length +
+    * type-token ratio) → exact-dup representative → near-dup cluster
+    * representative. Emits every doc with its first failing rule (or
+    * 'keep'), so the curated corpus AND the reason ledger are both
+    * hash-checked — the DuckDB oracle replays all four gates including
+    * the recursive-CTE cluster representatives. Dedup representatives
+    * are chosen corpus-wide (min doc_id), independent of the other
+    * gates, so the decision for every doc is well-defined. */
+  private val q67Curation: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val tk = split(trim($"text"), "\\s+")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val base = docs.select($"doc_id",
+      size(filter(tk, x => x.isin(stop: _*))).cast("long").as("hits"),
+      size(tk).cast("long").as("n_tokens"),
+      round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("ttr4"),
+      md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
+      .withColumn("exact_rep", min($"doc_id").over(Window.partitionBy($"fp")))
+    val cc = Dedup.connectedComponents(
+      Dedup.multiSketchPairs(docs, "doc_id", "text", threshold = 0.8),
+      "doc_a", "doc_b")
+      .select($"node".as("doc_id"), $"cluster")
+    base.join(cc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"hits" < 3, "lang")
+          .when($"n_tokens" < 20 || $"ttr4" < 0.3, "quality")
+          .when($"doc_id" =!= $"exact_rep", "exact_dup")
+          .when($"cluster".isNotNull && $"doc_id" =!= $"cluster", "near_dup")
+          .otherwise("keep").as("decision"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
     "q62_dedup_clusters" -> q62DedupClusters,
+    "q67_curation" -> q67Curation,
     "q63_ivf_train" -> q63IvfTrain,
     "q64_salted_agg" -> q64SaltedAgg,
     "q27_simhash" -> q27Simhash,
@@ -207,6 +242,33 @@ object LlmOps {
   val oracles: Map[String, String] = Map(
     "q27_simhash" -> allPairsJaccardSql,
     "q28_minhash_lsh" -> allPairsJaccardSql,
+    "q67_curation" ->
+      s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pj
+         |  UNION ALL SELECT doc_b, doc_a FROM pj),
+         |reach(a, b) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+         |base AS (
+         |  SELECT doc_id,
+         |    length(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS hits,
+         |    length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |    round(CAST(length(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+         |      / length(string_split_regex(trim(text), '\\s+')), 4) AS ttr4,
+         |    min(doc_id) OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS exact_rep
+         |  FROM documents)
+         |SELECT base.doc_id,
+         |  CASE WHEN hits < 3 THEN 'lang'
+         |       WHEN n_tokens < 20 OR ttr4 < 0.3 THEN 'quality'
+         |       WHEN base.doc_id <> exact_rep THEN 'exact_dup'
+         |       WHEN cc.cluster IS NOT NULL AND base.doc_id <> cc.cluster THEN 'near_dup'
+         |       ELSE 'keep' END AS decision
+         |FROM base LEFT JOIN cc ON cc.doc_id = base.doc_id""".stripMargin,
     "q63_ivf_train" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
          |ec AS (
