@@ -111,15 +111,60 @@ object TextDocs {
           .cast("long").as("n_shared_next"))
   }
 
+  /** TF-IDF top terms per document (corpus-statistics member of the
+    * text-analysis family): term frequencies per doc, document
+    * frequencies across the corpus, smoothed idf = ln((N+1)/(df+1)),
+    * top-3 terms per doc by (rounded score desc, term asc) — fully
+    * deterministic and engine-portable. Scale shape: one explode +
+    * two keyed aggregations; the document-frequency table is
+    * vocabulary-sized and broadcast into the scoring join. */
+  private val q68Tfidf: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val terms = docs.select($"doc_id",
+      explode(tokens(lower($"text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term".asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round($"tf" * log(($"n_docs" + 1).cast("double") / ($"df" + 1)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"score")
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_bpe_tokens" -> q56BpeTokens,
     "q66_winnow_fp" -> q66WinnowFp,
+    "q68_tfidf" -> q68Tfidf,
     "q20_token_stats" -> q20TokenStats,
     "q21_lang_heuristic" -> q21LangHeuristic,
     "q22_quality" -> q22Quality,
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q68_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 3""".stripMargin,
     "q66_winnow_fp" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
