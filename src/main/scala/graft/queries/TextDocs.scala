@@ -139,16 +139,48 @@ object TextDocs {
       .select($"doc_id", $"rank".cast("long").as("rank"), $"term", $"score")
   }
 
+  /** Deterministic hash-stratified train/val/test split (training-data
+    * staple): the split is a pure function of the doc id — first hex
+    * byte of md5(id) partitions ~80/10/10 ('00'–'cc' / 'cd'–'e5' /
+    * 'e6'–'ff') — so membership is reproducible across runs, engines,
+    * and backfills, and stays stable when the corpus grows (no
+    * row_number, no RNG state). Emitted per (lang, split): count plus
+    * id-sum/min/max membership probes. */
+  private val q69SplitAssign: Q = (s, d) => {
+    import s.implicits._
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    t(s, d, "documents")
+      .withColumn("split",
+        when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n"),
+        sum($"doc_id").as("id_sum"),
+        min($"doc_id").as("id_min"),
+        max($"doc_id").as("id_max"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_bpe_tokens" -> q56BpeTokens,
     "q66_winnow_fp" -> q66WinnowFp,
     "q68_tfidf" -> q68Tfidf,
+    "q69_split_assign" -> q69SplitAssign,
     "q20_token_stats" -> q20TokenStats,
     "q21_lang_heuristic" -> q21LangHeuristic,
     "q22_quality" -> q22Quality,
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q69_split_assign" ->
+      """SELECT lang, split, count(*) AS n,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY lang, split""".stripMargin,
     "q68_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
