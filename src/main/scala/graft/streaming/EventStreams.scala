@@ -60,4 +60,22 @@ object EventStreams {
   }
 
   val latestEntityOutputMode: OutputMode = OutputMode.Update()
+
+  /** Streaming exact-dedup for a document stream (the streaming member
+    * of the dedup family): canonical md5 fingerprint + watermarked
+    * `dropDuplicates`, so each distinct document body is emitted once
+    * and dedup state is bounded by the watermark horizon (docs arriving
+    * later than `watermarkDelay` after a duplicate may re-emit — the
+    * standard state/completeness trade; the batch dedup is the
+    * backstop, exactly like the reference's repair-job design). */
+  def dedupDocStream(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("fingerprint")
 }

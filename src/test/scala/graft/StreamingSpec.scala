@@ -20,6 +20,31 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streaming exact-dedup: one emission per distinct body, watermark-bounded state") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("2024-01-01 00:00:00", 1L, "Hello   world"),
+      ("2024-01-01 00:01:00", 2L, "hello world"), // canonical dup of 1
+      ("2024-01-01 00:02:00", 3L, "something else"),
+      ("2024-01-01 00:03:00", 4L, "HELLO WORLD")) // dup again
+    val dir = Files.createTempDirectory("graft_dedup_stream").toString
+    rows.toDF("ts_s", "doc_id", "text")
+      .select(to_timestamp($"ts_s").as("ts"), $"doc_id", $"text")
+      .write.parquet(s"$dir/in")
+    val schema = s.read.parquet(s"$dir/in").schema
+    val q = EventStreams.dedupDocStream(
+      s.readStream.schema(schema).parquet(s"$dir/in"))
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val out = s.table("dedup_docs").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out.length === 2)
+    assert(out.contains(3L)) // the distinct body survives
+    assert(out.count(id => Set(1L, 2L, 4L).contains(id)) === 1) // dups collapse to one
+  }
+
   test("windowed counts: streaming result equals batch result") {
     val s = spark
     import s.implicits._
