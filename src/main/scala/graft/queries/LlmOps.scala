@@ -89,6 +89,26 @@ object LlmOps {
         round(element_at($"features", 4).cast("double") * 255).cast("long").as("b6"))
   }
 
+  /** Multimodal resize + frame-sampling plumbing under the hard gate:
+    * the stub byte transforms (every-2nd-byte downsample with metadata
+    * tracking; 4-byte frames keeping every 2nd) are deterministic, so
+    * the oracle rebuilds both from DuckDB's md5 and the emitted
+    * payloads/frames are byte-checked — a real codec swaps into the
+    * same contract. */
+  private val q70MultimodalResize: Q = (s, d) => {
+    import s.implicits._
+    val ids = t(s, d, "embeddings").select($"vec_id").filter($"vec_id" < 100)
+    val media = Multimodal.syntheticMedia(s, ids, "vec_id")
+    val resized = Multimodal.resize(media, 2).toDF()
+      .select($"media_id", $"width", $"height",
+        upper(hex($"payload")).as("resized_hex"))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyNth = 2)
+      .groupBy("media_id")
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat($"frame_idx", lit(":"), upper(hex($"frame")))))).as("frames_csv"))
+    resized.join(frames, Seq("media_id"))
+  }
+
   /** Embedding-cosine near-dup pairs — exact, double-promoted math on
     * both engines, hence oracle-checkable. */
   private val q50EmbeddingNeardup: Q = (s, d) => {
@@ -206,6 +226,7 @@ object LlmOps {
     "q28_minhash_lsh" -> q28MinhashLsh,
     "q29_ann_lsh" -> q29AnnLsh,
     "q35_multimodal" -> q35Multimodal,
+    "q70_multimodal_resize" -> q70MultimodalResize,
     "q50_embedding_neardup" -> q50EmbeddingNeardup,
     "q51_ivf_ann" -> q51IvfAnn)
 
@@ -380,6 +401,16 @@ object LlmOps {
         |  CAST(bytes[5] AS BIGINT) AS b4,
         |  CAST(bytes[7] AS BIGINT) AS b6
         |FROM b""".stripMargin,
+    "q70_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT vec_id AS media_id, md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT media_id, 32 AS width, 32 AS height,
+        |  upper(array_to_string(list_transform(range(0, 8),
+        |    i -> substring(h, CAST(4*i+1 AS INTEGER), 2)), '')) AS resized_hex,
+        |  '0:' || upper(substring(h, 1, 8)) || ',2:' || upper(substring(h, 17, 8))
+        |    AS frames_csv
+        |FROM m""".stripMargin,
     "q50_embedding_neardup" ->
       """SELECT id_a, id_b, round(c, 6) AS cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
