@@ -70,7 +70,13 @@ object TextDocs {
   private val q23ExactDup: Q = (s, d) => {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
-    t(s, d, "documents")
+    val docs = t(s, d, "documents").select($"doc_id", $"text")
+    // the synthetic corpus has no byte-exact dups at oracle scale, so
+    // inject a deterministic duplicate of the first 20 docs — the gate
+    // then actually exercises cluster formation (cluster_size = 2)
+    val dups = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    docs.unionByName(dups)
       .select($"doc_id", fingerprint($"text").as("fp"))
       .withColumn("cluster_size", count(lit(1)).over(w))
       .select($"doc_id", $"cluster_size")
@@ -250,8 +256,12 @@ object TextDocs {
         |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
         |      FROM documents)""".stripMargin,
     "q23_exact_dup" ->
-      """SELECT doc_id, cluster_size FROM (
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, cluster_size FROM (
         |  SELECT doc_id, count(*) OVER (PARTITION BY
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS cluster_size
-        |  FROM documents)""".stripMargin)
+        |  FROM all_docs)""".stripMargin)
 }
