@@ -120,11 +120,14 @@ object Formats {
       "md5_len" -> (length(col("md5")) > 4),
       "is_deleted_domain" -> col("is_deleted").isin("t", "f"),
       "rating_domain" -> col("rating").isin("e", "q", "s"),
-      "fav_count_nonneg" -> (col("fav_count").cast("int") >= 0),
-      "down_score_nonpos" -> (col("down_score").cast("int") <= 0),
-      "up_score_nonneg" -> (col("up_score").cast("int") >= 0),
-      "width_int" -> col("image_width").cast("int").isNotNull,
-      "height_int" -> col("image_height").cast("int").isNotNull)
+      // try_cast: under ANSI mode a plain cast THROWS on malformed
+      // input, so a validator built on cast would crash on exactly the
+      // dirty rows it exists to count
+      "fav_count_nonneg" -> (col("fav_count").try_cast("int") >= 0),
+      "down_score_nonpos" -> (col("down_score").try_cast("int") <= 0),
+      "up_score_nonneg" -> (col("up_score").try_cast("int") >= 0),
+      "width_int" -> col("image_width").try_cast("int").isNotNull,
+      "height_int" -> col("image_height").try_cast("int").isNotNull)
     csv.agg(
       count(lit(1)).as("n_rows"),
       checks.map { case (name, pred) =>
@@ -186,7 +189,7 @@ object Formats {
       "site_domain" -> col("site").isin("furaffinity", "e621", "weasyl"),
       "id_charset" -> coalesce(col("id"), lit("")).rlike(faCharset),
       "hash_long" -> (col("hash").isNull || length(col("hash")) === 0 ||
-        col("hash").cast("long").isNotNull),
+        col("hash").try_cast("long").isNotNull),
       "deleted_domain" -> col("deleted").isin("true", "false"),
       "updated_parses" -> (col("updated_at").isNull ||
         length(col("updated_at")) === 0 ||

@@ -59,11 +59,14 @@ object IngestQ {
         snaps("extra_data").as("extra_data"))
   }
 
-  /** e621 --validate over the same fixture: per-rule violation counts
-    * (ingestion_job.py --validate; SURVEY §5). Row 1002 violates
-    * nothing structural (negative width is allowed, main.py:106). */
+  /** e621 --validate over the fixture plus one row violating EVERY
+    * rule (ingestion_job.py --validate; SURVEY §5) — without it all
+    * counts are zero and the predicates themselves go unproven. Rows
+    * 1001/1002 violate nothing structural (negative width is allowed,
+    * main.py:106). */
   private val q37ValidateE621: Q = (s, _) => {
-    Formats.e621Validate(csvOf(s, e621Header +: e621Rows))
+    Formats.e621Validate(csvOf(s, e621Header +: (e621Rows :+
+      "9999,1,notadate,abc,,zz,w1,h2,,,-5,png,,1,,10,0,bad,,,maybe,f,f,0,-1,3,f,f,f")))
   }
 
   // ---- fuzzysearch dump fixture (9 columns, S2) ----
@@ -144,7 +147,10 @@ object IngestQ {
   private val q52ValidateFuzzy: Q = (s, _) => {
     Formats.fuzzysearchValidate(csvOf(s, fuzzyHeader +: (fuzzyRows ++ Seq(
       "badsite,444,a,,,,,false,",
-      "weasyl,has spaces!,a,,,,,true,"))))
+      "weasyl,has spaces!,a,,,,,true,",
+      // violates hash-long, both date parses, and the deleted domain —
+      // without it those four predicates count zero and go unproven
+      "e621,555,a,notanumber,badposted,badupdated,,yes,"))))
   }
 
   /** fuzzysearch --investigate over a fixture exercising every report

@@ -92,16 +92,16 @@ object Oracles {
         |    scan_datetime, datetime_posted, description, n_keywords, kw_csv,
         |    file_url, file_size, file_extra, algo_id, md5_hex, extra_data)""".stripMargin,
     "q37_validate_e621" ->
-      """SELECT CAST(2 AS BIGINT) AS n_rows,
-        | CAST(0 AS BIGINT) AS bad_created_at_parses,
-        | CAST(0 AS BIGINT) AS bad_md5_len,
-        | CAST(0 AS BIGINT) AS bad_is_deleted_domain,
-        | CAST(0 AS BIGINT) AS bad_rating_domain,
-        | CAST(0 AS BIGINT) AS bad_fav_count_nonneg,
-        | CAST(0 AS BIGINT) AS bad_down_score_nonpos,
-        | CAST(0 AS BIGINT) AS bad_up_score_nonneg,
-        | CAST(0 AS BIGINT) AS bad_width_int,
-        | CAST(0 AS BIGINT) AS bad_height_int""".stripMargin,
+      """SELECT CAST(3 AS BIGINT) AS n_rows,
+        | CAST(1 AS BIGINT) AS bad_created_at_parses,
+        | CAST(1 AS BIGINT) AS bad_md5_len,
+        | CAST(1 AS BIGINT) AS bad_is_deleted_domain,
+        | CAST(1 AS BIGINT) AS bad_rating_domain,
+        | CAST(1 AS BIGINT) AS bad_fav_count_nonneg,
+        | CAST(1 AS BIGINT) AS bad_down_score_nonpos,
+        | CAST(1 AS BIGINT) AS bad_up_score_nonneg,
+        | CAST(1 AS BIGINT) AS bad_width_int,
+        | CAST(1 AS BIGINT) AS bad_height_int""".stripMargin,
     "q61_sqlite_findfurrypicbot" ->
       """SELECT website_id, site_submission_id, scan_datetime, is_deleted,
         | hashes_csv
@@ -124,13 +124,13 @@ object Oracles {
         | ('odd_fa','bad!name',1)
         |) t(kind, value, n)""".stripMargin,
     "q52_validate_fuzzysearch" ->
-      """SELECT CAST(5 AS BIGINT) AS n_rows,
+      """SELECT CAST(6 AS BIGINT) AS n_rows,
         | CAST(1 AS BIGINT) AS bad_site_domain,
         | CAST(1 AS BIGINT) AS bad_id_charset,
-        | CAST(0 AS BIGINT) AS bad_hash_long,
-        | CAST(0 AS BIGINT) AS bad_deleted_domain,
-        | CAST(0 AS BIGINT) AS bad_updated_parses,
-        | CAST(0 AS BIGINT) AS bad_posted_parses""".stripMargin,
+        | CAST(1 AS BIGINT) AS bad_hash_long,
+        | CAST(1 AS BIGINT) AS bad_deleted_domain,
+        | CAST(1 AS BIGINT) AS bad_updated_parses,
+        | CAST(1 AS BIGINT) AS bad_posted_parses""".stripMargin,
     "q38_ingest_fuzzysearch" ->
       """SELECT website_id, site_submission_id, scan_datetime, is_deleted,
         | datetime_posted, file_url, hashes_csv
