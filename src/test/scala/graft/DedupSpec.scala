@@ -197,6 +197,24 @@ class DedupSpec extends AnyFunSuite {
     assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
   }
 
+  test("winnowing fallbacks: short docs hash whole text, few k-grams keep all") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.TextHashes
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fp = Seq((1L, "just three tokens"), (2L, "one two three four five six"))
+      .toDF("id", "text")
+      .select($"id", TextHashes.winnowFingerprint(Dedup.tokens($"text"), 4, 5).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // < k tokens: single whole-text hash
+    assert(fp(1L) === Seq(md5hex("just three tokens")))
+    // 6 tokens -> 3 k-grams <= window: all kept (distinct, sorted)
+    val grams = Seq("one two three four", "two three four five",
+      "three four five six").map(md5hex).sorted
+    assert(fp(2L) === grams)
+  }
+
   test("connected components: chains collapse to min label, singletons separate") {
     val s = spark
     import s.implicits._
