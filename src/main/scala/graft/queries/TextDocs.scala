@@ -165,17 +165,93 @@ object TextDocs {
         max($"doc_id").as("id_max"))
   }
 
+  /** URL canonicalization dedup (crawl-data member of the dedup
+    * family): five raw variants per logical URL are synthesized from
+    * lineitem (case-mangled host+port, trailing slash, tracking
+    * params, unsorted params + fragment) and must collapse to one
+    * canonical form each — group sizes prove every normalization rule
+    * fires; the oracle replays synthesis and canonicalization. */
+  private val q71UrlCanonical: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.UrlOps
+    val l = t(s, d, "lineitem").filter($"l_orderkey" < 2000)
+    val base = concat(lit("https://shop"), ($"l_suppkey" % 5),
+      lit(".example.com/p/"), ($"l_partkey" % 50))
+    val baseUp = concat(lit("HTTPS://SHOP"), ($"l_suppkey" % 5),
+      lit(".EXAMPLE.COM:443/p/"), ($"l_partkey" % 50))
+    val raw = when($"l_linenumber" % 5 === 0, base)
+      .when($"l_linenumber" % 5 === 1, baseUp)
+      .when($"l_linenumber" % 5 === 2, concat(base, lit("/")))
+      .when($"l_linenumber" % 5 === 3, concat(base, lit("?utm_source=feed&fbclid=xyz")))
+      .otherwise(concat(base, lit("?b=2&a=1#frag")))
+    l.select(UrlOps.canonicalizeUrl(raw).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_raw"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_bpe_tokens" -> q56BpeTokens,
     "q66_winnow_fp" -> q66WinnowFp,
     "q68_tfidf" -> q68Tfidf,
     "q69_split_assign" -> q69SplitAssign,
+    "q71_url_canonical" -> q71UrlCanonical,
     "q20_token_stats" -> q20TokenStats,
     "q21_lang_heuristic" -> q21LangHeuristic,
     "q22_quality" -> q22Quality,
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q71_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT CASE
+        |    WHEN l_linenumber % 5 = 0 THEN
+        |      'https://shop' || (l_suppkey % 5) || '.example.com/p/' || (l_partkey % 50)
+        |    WHEN l_linenumber % 5 = 1 THEN
+        |      'HTTPS://SHOP' || (l_suppkey % 5) || '.EXAMPLE.COM:443/p/' || (l_partkey % 50)
+        |    WHEN l_linenumber % 5 = 2 THEN
+        |      'https://shop' || (l_suppkey % 5) || '.example.com/p/' || (l_partkey % 50) || '/'
+        |    WHEN l_linenumber % 5 = 3 THEN
+        |      'https://shop' || (l_suppkey % 5) || '.example.com/p/' || (l_partkey % 50) || '?utm_source=feed&fbclid=xyz'
+        |    ELSE
+        |      'https://shop' || (l_suppkey % 5) || '.example.com/p/' || (l_partkey % 50) || '?b=2&a=1#frag'
+        |    END AS u
+        |  FROM lineitem WHERE l_orderkey < 2000),
+        |canon AS (
+        |  SELECT
+        |    regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_extract(regexp_replace(u, '#.*$', ''),
+        |          '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+        |      '^(http://.*):80$', '\1'),
+        |    '^(https://.*):443$', '\1')
+        |    ||
+        |    regexp_replace(regexp_extract(
+        |      substring(regexp_replace(u, '#.*$', ''),
+        |        length(regexp_extract(regexp_replace(u, '#.*$', ''),
+        |          '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1),
+        |      '^([^?]*)', 1), '/$', '')
+        |    ||
+        |    CASE WHEN length(array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(
+        |          substring(regexp_replace(u, '#.*$', ''),
+        |            length(regexp_extract(regexp_replace(u, '#.*$', ''),
+        |              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1),
+        |          '\?(.*)$', 1), '&'),
+        |        p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid)(=|$)')
+        |             AND length(p) > 0)), '&')) > 0
+        |    THEN '?' || array_to_string(list_sort(list_filter(
+        |        string_split(regexp_extract(
+        |          substring(regexp_replace(u, '#.*$', ''),
+        |            length(regexp_extract(regexp_replace(u, '#.*$', ''),
+        |              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) + 1),
+        |          '\?(.*)$', 1), '&'),
+        |        p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid)(=|$)')
+        |             AND length(p) > 0)), '&')
+        |    ELSE '' END
+        |    AS canonical_url
+        |  FROM raw)
+        |SELECT canonical_url, count(*) AS n_raw
+        |FROM canon GROUP BY canonical_url""".stripMargin,
     "q69_split_assign" ->
       """SELECT lang, split, count(*) AS n,
         | CAST(sum(doc_id) AS BIGINT) AS id_sum,
