@@ -89,6 +89,25 @@ class Storage(spark: SparkSession, root: String) {
     }
   }
 
+  /** Small-files compaction — the operational companion of streaming
+    * ingest: micro-batch appends accumulate many small parquet files,
+    * degrading scan parallelism and footer overhead at scale. Rewrites
+    * the table into ~`targetFiles` files (per hive partition when the
+    * table is partitioned) via the same temp-dir swap as [[overwrite]].
+    * Contents are unchanged — compaction is pure layout maintenance. */
+  def compact(table: String, targetFiles: Int = 1): Unit = {
+    val df = read(table)
+    val tmp = s"$root/.tmp_$table"
+    val w = df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
+    if (partitioned(table)) w.partitionBy("website_id").parquet(tmp)
+    else w.parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(table))
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Settings bootstrap — version seed row (faexport_db.sql:116–124). */
   def initSettings(): Unit = {
     import spark.implicits._

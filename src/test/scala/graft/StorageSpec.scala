@@ -120,6 +120,24 @@ class StorageSpec extends AnyFunSuite {
     assert(planLine.contains("website_id"), planLine)
   }
 
+  test("compaction shrinks the file count without changing contents") {
+    val s = spark
+    val st = new Storage(s, tmpDir())
+    // simulate micro-batch appends: many small files
+    (1 to 5).foreach(_ => st.append("submission_snapshots", Fixtures.submissionSnapshots(s)))
+    def files() = new java.io.File(st.path("submission_snapshots"))
+      .listFiles().filter(_.getName.startsWith("website_id="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val before = st.read("submission_snapshots")
+      .orderBy("submission_snapshot_id", "scan_datetime").toJSON.collect().toSeq
+    assert(files() >= 5)
+    st.compact("submission_snapshots")
+    assert(files() === 1)
+    val after = st.read("submission_snapshots")
+      .orderBy("submission_snapshot_id", "scan_datetime").toJSON.collect().toSeq
+    assert(after === before)
+  }
+
   test("bucketed entity-key layout makes the merge aggregation shuffle-free (SURVEY §4.4)") {
     val s = spark
     val st = new Storage(s, tmpDir())
