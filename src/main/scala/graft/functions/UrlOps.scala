@@ -29,4 +29,22 @@ object UrlOps {
     concat(head, path,
       when(length(params) > 0, concat(lit("?"), params)).otherwise(lit("")))
   }
+
+  /** PII redaction for training-data curation: mask URLs, email
+    * addresses, and phone-shaped numbers with typed placeholder
+    * tokens. Patterns are RE2-safe (no lookarounds/backrefs) so any
+    * SQL engine replays them byte-exactly; URL masking runs first so
+    * an address inside a URL is not double-matched. A production
+    * pass would add locale-specific identifiers behind the same
+    * column-in, column-out contract. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
 }

@@ -189,18 +189,66 @@ object TextDocs {
       .agg(count(lit(1)).as("n_raw"))
   }
 
+  /** PII redaction (training-data curation): deterministic emails /
+    * phones / URLs are planted per doc, masked with typed tokens, and
+    * the redacted text is md5'd — so the oracle byte-checks that every
+    * identifier was caught and nothing else was touched. */
+  private val q72PiiRedact: Q = (s, d) => {
+    import s.implicits._
+    import graft.functions.UrlOps
+    val planted = when($"doc_id" % 3 === 0,
+        concat($"text", lit(" contact user"), $"doc_id", lit("@example.com")))
+      .when($"doc_id" % 3 === 1,
+        concat($"text", lit(" call 555-123-4567 now")))
+      .otherwise(concat($"text", lit(" visit https://example.com/u/"),
+        $"doc_id", lit("?x=1")))
+    t(s, d, "documents").select(
+      $"doc_id",
+      size(regexp_extract_all(planted, lit(UrlOps.EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(planted, lit(UrlOps.PhoneRe), lit(0)))
+        .cast("long").as("n_phone"),
+      size(regexp_extract_all(planted, lit(UrlOps.UrlRe), lit(0)))
+        .cast("long").as("n_url"),
+      md5(UrlOps.redactPii(planted)).as("redacted_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q56_bpe_tokens" -> q56BpeTokens,
     "q66_winnow_fp" -> q66WinnowFp,
     "q68_tfidf" -> q68Tfidf,
     "q69_split_assign" -> q69SplitAssign,
     "q71_url_canonical" -> q71UrlCanonical,
+    "q72_pii_redact" -> q72PiiRedact,
     "q20_token_stats" -> q20TokenStats,
     "q21_lang_heuristic" -> q21LangHeuristic,
     "q22_quality" -> q22Quality,
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q72_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' contact user' || doc_id || '@example.com'
+        |    WHEN doc_id % 3 = 1 THEN
+        |      text || ' call 555-123-4567 now'
+        |    ELSE
+        |      text || ' visit https://example.com/u/' || doc_id || '?x=1'
+        |    END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(length(regexp_extract_all(t,
+        |    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(length(regexp_extract_all(t, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+        |  md5(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM planted""".stripMargin,
     "q71_url_canonical" ->
       """WITH raw AS (
         |  SELECT CASE
