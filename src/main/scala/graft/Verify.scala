@@ -23,6 +23,11 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // operators persist sketch tables internally; drop them so a
+        // 72-query run doesn't accumulate cached blocks
+        graft.engine.CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

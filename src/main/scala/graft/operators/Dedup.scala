@@ -91,11 +91,11 @@ object Dedup {
     // shingles are computed once and persisted: the banding pass and
     // both sides of the candidate verification join reuse this frame
     // (at corpus scale this is the materialized signature table every
-    // LSH pipeline keeps; MEMORY_AND_DISK, evicted by LRU)
-    val sh = docs.select(
+    // LSH pipeline keeps; registered for CacheRegistry.releaseAll so
+    // long-lived sessions can drop it after materialization)
+    val sh = graft.engine.CacheRegistry.retain(docs.select(
       col(idCol).as("doc"),
-      shingles(col(textCol)).as("sh"))
-      .persist()
+      shingles(col(textCol)).as("sh")))
     // band the ids only — the heavy shingle arrays are joined back in
     // just for the (much smaller) candidate set
     val banded = sh
@@ -135,11 +135,11 @@ object Dedup {
       threshold: Double = 0.8, k: Int = 32, bands: Int = 4,
       chunks: Int = 8): DataFrame = {
     val bits = 64 / chunks
-    val base = docs.select(col(idCol).as("doc"),
-        shingles(col(textCol)).as("sh"),
-        simhash(col(textCol)).as("simhash"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .persist()
+    val base = graft.engine.CacheRegistry.retain(
+      docs.select(col(idCol).as("doc"),
+          shingles(col(textCol)).as("sh"),
+          simhash(col(textCol)).as("simhash"))
+        .withColumn("sig", minhashSignature(col("sh"), k)))
     val banded = base.select(col("doc"),
       explode(bandKeys(col("sig"), k, bands)).as("band"))
       .select(col("doc"), col("band.band_id").as("kind_key"),
@@ -259,8 +259,8 @@ object SimhashPairs {
     * off the ~n·(n/2^bits) random chunk collisions. */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-      Dedup.shingles(col(textCol)).as("sh")).persist()
+    val sh = graft.engine.CacheRegistry.retain(docs.select(col(idCol).as("doc"),
+      Dedup.shingles(col(textCol)).as("sh")))
     val cands = pairs(docs, idCol, textCol, maxHamming = chunks - 1, chunks = chunks)
       .select(col("doc_a"), col("doc_b"))
     cands

@@ -204,10 +204,12 @@ object EventsMerge {
         |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
         |  FROM events),
         |latest AS (
+        |  -- latest NON-NULL v per key: to_json drops null fields, so a
+        |  -- null-k event is an empty patch and never overwrites
         |  SELECT user_id, kk, v FROM (
         |    SELECT *, row_number() OVER (
         |      PARTITION BY user_id, kk ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM e)
+        |    FROM e WHERE v IS NOT NULL)
         |  WHERE rn = 1),
         |assembled AS (
         |  SELECT user_id,

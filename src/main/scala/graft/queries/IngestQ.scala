@@ -172,9 +172,11 @@ object IngestQ {
   private val q61SqliteFindfurrypicbot: Q = (s, _) => {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempFile("graft_fa_bin", ".sqlite3")
+    tmp.toFile.deleteOnExit() // lazily scanned later, so clean up at JVM exit
     val in = getClass.getResourceAsStream("/graft/fixtures/fa_bin.sqlite3")
-    java.nio.file.Files.copy(in, tmp,
+    try java.nio.file.Files.copy(in, tmp,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
     val posts = graft.sources.SqliteFile.read(s, tmp.toString, "posts")
     val nested = graft.ingest.BulkSources.findfurrypicbot(posts,
       to_timestamp(lit("2020-01-09 00:00:00")),
