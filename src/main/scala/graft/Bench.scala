@@ -31,6 +31,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan CACHED builds too: operators persist sketch
+      // tables whose static plans would otherwise keep sort-merge
+      // joins and fixed 32-partition shuffles (no runtime broadcast)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

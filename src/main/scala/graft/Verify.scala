@@ -14,6 +14,7 @@ object Verify {
       // INT96 is the legacy default; micros keeps pyarrow/duckdb reading
       // our output with the same logical type the oracle emits.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

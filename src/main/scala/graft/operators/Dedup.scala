@@ -71,6 +71,13 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Lossless prefilter for `jaccard(a, b) >= t`: since
+    * |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), J <= min/max —
+    * a length comparison that skips the expensive set ops for the
+    * random hash-bucket collisions that dominate candidate sets. */
+  def sizeRatioAtLeast(a: Column, b: Column, t: Double): Column =
+    least(size(a), size(b)).cast("double") >= lit(t) * greatest(size(a), size(b))
+
   /** SimHash (64-bit): per-token xxhash64, bit-wise majority vote
     * weighted by token frequency; near-dups have small Hamming
     * distance. Built from bit arithmetic on codegen'd functions. */
@@ -80,6 +87,16 @@ object Dedup {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Rebalance an under-partitioned input before CPU-heavy per-row
+    * sketch compute: a small corpus parquet arrives as ONE split, which
+    * would serialize shingling/hashing on a single core. At real scale
+    * the scan already has >= defaultParallelism splits and this is a
+    * no-op (no shuffle added). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) for candidates with
@@ -93,9 +110,10 @@ object Dedup {
     // (at corpus scale this is the materialized signature table every
     // LSH pipeline keeps; registered for CacheRegistry.releaseAll so
     // long-lived sessions can drop it after materialization)
-    val sh = graft.engine.CacheRegistry.retain(docs.select(
-      col(idCol).as("doc"),
-      shingles(col(textCol)).as("sh")))
+    val sh = graft.engine.CacheRegistry.retain(
+      spread(docs.select(col(idCol), col(textCol))).select(
+        col(idCol).as("doc"),
+        shingles(col(textCol)).as("sh")))
     // band the ids only — the heavy shingle arrays are joined back in
     // just for the (much smaller) candidate set
     val banded = sh
@@ -112,6 +130,7 @@ object Dedup {
     pairs
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -136,7 +155,8 @@ object Dedup {
       chunks: Int = 8): DataFrame = {
     val bits = 64 / chunks
     val base = graft.engine.CacheRegistry.retain(
-      docs.select(col(idCol).as("doc"),
+      spread(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc"),
           shingles(col(textCol)).as("sh"),
           simhash(col(textCol)).as("simhash"))
         .withColumn("sig", minhashSignature(col("sh"), k)))
@@ -156,16 +176,24 @@ object Dedup {
         Seq("kind_key", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+    // salt slices like SimhashPairs.pairs (1 = off; raise for
+    // corpus-scale runs where hot chunk buckets serialize a task)
+    val saltSlices = 1
     val shCands = chunked
-      .select(col("kind_key"), col("bucket"), col("doc").as("doc_a"), col("simhash").as("sim_a"))
+      .select(col("kind_key"), col("bucket"),
+        pmod(xxhash64(col("doc")), lit(saltSlices)).cast("int").as("salt"),
+        col("doc").as("doc_a"), col("simhash").as("sim_a"))
       .join(chunked.select(col("kind_key"), col("bucket"),
-        col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("kind_key", "bucket"))
+        explode(sequence(lit(0), lit(saltSlices - 1))).as("salt"),
+        col("doc").as("doc_b"), col("simhash").as("sim_b")),
+        Seq("kind_key", "bucket", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
       .select("doc_a", "doc_b")
     mhCands.unionByName(shCands).distinct()
       .join(base.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(base.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -189,19 +217,33 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // Materialize the edge table through the Dataset path BEFORE the
+    // loop: the loop's localCheckpoint compiles its lineage via
+    // queryExecution.toRdd, which is statically planned — no AQE — so
+    // an unmaterialized pair pipeline would re-run with sort-merge
+    // joins and no runtime broadcast/coalescing (measured 3× slower).
+    // After this count the loop reads only the cached edges.
+    edges.count()
+    // the first propagation round is folded into initialization:
+    // label = min(node, neighbors) — identical to one step from
+    // label = node, one fewer distributed round
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nl"))
+      .select(col("node"), least(col("node"), col("nl")).as("label"))
+      .localCheckpoint(false)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
+      // lazy localCheckpoint: the convergence count below is the ONE
+      // job that both materializes this round and cuts its lineage
+      // (an eager checkpoint would run a second job per round)
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = stepped.filter(col("next") =!= col("label")).count()
       labels = stepped.select(col("node"), col("next").as("label"))
       i += 1
@@ -223,11 +265,12 @@ object SimhashPairs {
   import org.apache.spark.sql.{DataFrame}
 
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, chunks: Int = 4, saltSlices: Int = 1): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val bits = 64 / chunks
-    val sh = docs.select(col(idCol).as("doc"),
-      Dedup.simhash(col(textCol)).as("simhash"))
+    val sh = Dedup.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"),
+        Dedup.simhash(col(textCol)).as("simhash"))
     val chunked = sh.select(col("doc"), col("simhash"),
       explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
         c.as("chunk_idx"),
@@ -235,10 +278,23 @@ object SimhashPairs {
           .bitwiseAND(lit((1L << bits) - 1)).as("chunk_value")))).as("ch"))
       .select(col("doc"), col("simhash"),
         col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
-    chunked.select(col("chunk_idx"), col("chunk_value"),
+    // Salted self-join option: template-biased fingerprints can put
+    // 25%+ of the corpus in single chunk buckets, serializing a
+    // bucket's O(n²) pair generation in ONE task (AQE skew-join
+    // thresholds are hundreds of MB and never fire at sketch sizes).
+    // With saltSlices > 1 the left side hashes into sub-buckets and
+    // the right side replicates over every slice — each pair is still
+    // generated exactly once, but a hot bucket's work spreads across
+    // saltSlices tasks. Default 1 (off): replication costs more than
+    // the skew below ~10k-doc buckets; turn on for corpus-scale runs
+    // (DedupSpec asserts salted == unsalted results).
+    val aSide = chunked.select(col("chunk_idx"), col("chunk_value"),
+      pmod(xxhash64(col("doc")), lit(saltSlices)).cast("int").as("salt"),
       col("doc").as("doc_a"), col("simhash").as("sim_a"))
-      .join(chunked.select(col("chunk_idx"), col("chunk_value"),
-        col("doc").as("doc_b"), col("simhash").as("sim_b")), Seq("chunk_idx", "chunk_value"))
+    val bSide = chunked.select(col("chunk_idx"), col("chunk_value"),
+      explode(sequence(lit(0), lit(saltSlices - 1))).as("salt"),
+      col("doc").as("doc_b"), col("simhash").as("sim_b"))
+    aSide.join(bSide, Seq("chunk_idx", "chunk_value", "salt"))
       .filter(col("doc_a") < col("doc_b"))
       // hamming is cheap per-row bit math — cut BEFORE the distinct so
       // the dedup shuffle only carries surviving pairs
@@ -259,13 +315,16 @@ object SimhashPairs {
     * off the ~n·(n/2^bits) random chunk collisions. */
   def verifiedPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
-    val sh = graft.engine.CacheRegistry.retain(docs.select(col(idCol).as("doc"),
-      Dedup.shingles(col(textCol)).as("sh")))
+    val sh = graft.engine.CacheRegistry.retain(
+      Dedup.spread(docs.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc"),
+          Dedup.shingles(col(textCol)).as("sh")))
     val cands = pairs(docs, idCol, textCol, maxHamming = chunks - 1, chunks = chunks)
       .select(col("doc_a"), col("doc_b"))
     cands
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(Dedup.sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

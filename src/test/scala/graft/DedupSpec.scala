@@ -105,6 +105,11 @@ class DedupSpec extends AnyFunSuite {
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((0L, 3L))) // exact dup: hamming 0, all chunks match
     assert(pairs.find(p => p._1 == 0L && p._2 == 3L).get._3 === 0)
+    // the skew-spreading salted join must produce the identical pair set
+    val salted = graft.operators.SimhashPairs.pairs(docs, "doc_id", "text",
+      maxHamming = 16, chunks = 4, saltSlices = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(salted.sorted.toSeq === pairs.sorted.toSeq)
   }
 
   test("IVF ANN: identical vector found at rank 1; recall vs brute force") {
