@@ -136,9 +136,28 @@ object EventsMerge {
         round(max($"value"), 6).as("vmax"))
   }
 
+  /** As-of join under the hard gate: every click joined to the user's
+    * latest purchase at-or-before the click (ties on ts broken by max
+    * event_id). The operator is one shuffle + one window — the DuckDB
+    * oracle replays the same pick with a correlated argmax. */
+  private val q73AsofJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.asofJoin(
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id")
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_sessionize" -> q58Sessionize,
     "q59_percentiles" -> q59Percentiles,
+    "q73_asof_join" -> q73AsofJoin,
     "q15_latest_snapshot" -> q15Latest,
     "q16_entity_summary" -> q16EntitySummary,
     "q17_coalesce_nonnull" -> q17CoalesceNonNull,
@@ -146,6 +165,22 @@ object EventsMerge {
     "q19_event_dedup" -> q19EventDedup)
 
   val oracles: Map[String, String] = Map(
+    "q73_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    (SELECT p.event_id FROM p
+        |     WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |     ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_id
+        |  FROM c)
+        |SELECT m.user_id, m.click_id, m.purchase_id,
+        |  p.value AS purchase_value
+        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

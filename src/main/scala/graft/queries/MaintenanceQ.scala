@@ -41,18 +41,26 @@ object MaintenanceQ {
       FileHashRow(98L, 404L, 1L, Array[Byte](8))).toDF())
 
     val r = Repair.repairAll(users, snaps, keywords, files, hashes)
-    // lazy count aggregations unioned into ONE plan — a single job at
-    // the sink instead of ten eager count() actions (job-launch
-    // overhead dominated the query at fixture scale)
-    def row(name: String, in: DataFrame, out: DataFrame) =
-      in.agg(count(lit(1)).as("n_input"))
-        .crossJoin(out.agg(count(lit(1)).as("n_survivors")))
-        .select(lit(name).as("table_name"), col("n_input"), col("n_survivors"))
-    row("user_snapshots", users, r.users)
-      .union(row("submission_snapshots", snaps, r.snapshots))
-      .union(row("keywords", keywords, r.keywords))
-      .union(row("files", files, r.files))
-      .union(row("hashes", hashes, r.hashes))
+    // ONE aggregation for all ten counts: every table contributes
+    // (name, kind) marker rows into a single union, and one groupBy
+    // produces the report — one shuffle and one job instead of ten
+    // global aggregates (job-launch overhead dominated at fixture
+    // scale even when the eager count() actions became lazy ones)
+    def tagged(name: String, df: DataFrame, kind: String) =
+      df.select(lit(name).as("table_name"), lit(kind).as("kind"))
+    Seq(
+      ("user_snapshots", users, r.users),
+      ("submission_snapshots", snaps, r.snapshots),
+      ("keywords", keywords, r.keywords),
+      ("files", files, r.files),
+      ("hashes", hashes, r.hashes))
+      .map { case (name, in, out) =>
+        tagged(name, in, "in").union(tagged(name, out, "out"))
+      }
+      .reduce(_ union _)
+      .groupBy("table_name")
+      .agg(count(when($"kind" === "in", 1)).as("n_input"),
+        count(when($"kind" === "out", 1)).as("n_survivors"))
   }
 
   val queries: Map[String, Q] = Map("q41_repair" -> q41Repair)

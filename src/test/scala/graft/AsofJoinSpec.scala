@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics: latest-prior pick, <=-inclusive match, tie
+  * break by max tieBreak, left-outer null when no prior right row,
+  * per-key isolation. */
+class AsofJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("asof join picks latest prior right row per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // key 1, left id 100, t=10
+      (1L, 101L, 25L),
+      (2L, 200L, 10L), // key 2: no right rows at all
+      (1L, 102L, 5L)   // before any right row -> null
+    ).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 900L, 10L, "a"), // exactly at t=10: matches lid 100 (<=)
+      (1L, 901L, 10L, "b"), // tie on t: higher rid 901 wins
+      (1L, 902L, 20L, "c")  // latest prior for lid 101
+    ).toDF("k", "rid", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid")
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (1L, 100L, Some(901L), Some("b")), // <=-inclusive, tie -> max rid
+      (1L, 101L, Some(902L), Some("c")), // latest prior
+      (1L, 102L, None, None),            // nothing at or before t=5
+      (2L, 200L, None, None)))           // key isolation
+  }
+
+  test("asof join result is independent of input partitioning") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    def run(lp: Int, rp: Int) =
+      AsofJoin.asofJoin(left.repartition(lp), right.repartition(rp),
+        Seq("k"), "t", "t", "rid")
+        .selectExpr("k", "lid", "asof.rid AS rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1, 1) === run(7, 3))
+  }
+}
