@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 quantization for embedding columns — the
+  * standard 4× memory/bandwidth reduction for corpus-scale ANN (a
+  * 100 TB float32 embedding store becomes 25 TB, and int dot products
+  * vectorize wider on every CPU).
+  *
+  * q_i = round(x_i * 127 / max|x|), so values lie in [-127, 127].
+  * Cosine similarity over quantized vectors is scale-free (each
+  * vector's scale cancels in the normalization), so ANN ranking needs
+  * only the quantized values; the scale column is kept for dequantized
+  * dot products or distance estimates.
+  *
+  * Quantized values are carried as integral DOUBLEs: every product and
+  * partial sum stays far below 2^53, so the arithmetic is EXACT and
+  * engine-portable — a SQL oracle replays the entire quantized
+  * pipeline bit-for-bit (float multiply-accumulate would not be).
+  *
+  * The scale is computed in its own column first: referencing the
+  * max-abs subexpression inside the per-element lambda would
+  * re-evaluate it once per element after CollapseProject (the nested
+  * higher-order-function trap — see operators.Dedup notes).
+  */
+object Quantize {
+
+  /** Adds `outCol` (array<double> of integers in [-127, 127]) and
+    * `outCol + "_scale"` (the per-vector multiplier 127/max|x|;
+    * null for all-zero vectors, whose quantized form is null too). */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn(s"${outCol}_scale",
+        when(maxAbs > 0d, lit(127.0) / maxAbs))
+      .withColumn(outCol,
+        transform(col(vecCol),
+          x => round(x.cast("double") * col(s"${outCol}_scale"))))
+  }
+}

@@ -52,11 +52,59 @@ object EmbeddingsQ {
       $"label")
   }
 
+  /** Int8-quantized brute-force top-k: the 4×-smaller ANN path under
+    * the hard gate. Quantized dots are exact integer math, so DuckDB
+    * replays quantization, scoring, and ranking identically — the
+    * approximate answer itself is hash-checked. */
+  /** Index-order double fold for the integral-double quantized arrays
+    * (the native DotProductExpr takes array<float>); same fold order
+    * as DuckDB's list_sum(list_transform(list_zip)). */
+  private def ddot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  private val q74QuantizedKnn: Q = (s, d) => {
+    import s.implicits._
+    val z = graft.operators.Quantize.quantizeInt8(
+      t(s, d, "embeddings"), "embedding", "qv")
+    val qs = z.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"qv".as("qq"))
+    val cands = z.select($"vec_id".as("nid"), $"qv".as("nv"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    cands.crossJoin(broadcast(qs))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos",
+        ddot($"qq", $"nv") / (sqrt(ddot($"qq", $"qq")) * sqrt(ddot($"nv", $"nv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank".cast("long").as("rank"), $"nid",
+        round($"cos", 6).as("qcos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_knn_brute" -> q24KnnBrute,
-    "q25_vector_norms" -> q25Norms)
+    "q25_vector_norms" -> q25Norms,
+    "q74_quantized_knn" -> q74QuantizedKnn)
 
   val oracles: Map[String, String] = Map(
+    "q74_quantized_knn" ->
+      """WITH z AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE)
+        |      * (127.0 / list_max(list_transform(embedding,
+        |           y -> abs(CAST(y AS DOUBLE))))))) AS qv
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS qid, qv AS qq FROM z WHERE vec_id < 20),
+        |pairs AS (
+        |  SELECT qs.qid, z.vec_id AS nid,
+        |    list_sum(list_transform(list_zip(qs.qq, z.qv), p -> p[1] * p[2]))
+        |    / (sqrt(list_sum(list_transform(qs.qq, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(z.qv, x -> x * x)))) AS cos
+        |  FROM z CROSS JOIN qs WHERE z.vec_id <> qs.qid)
+        |SELECT qid, rank, nid, round(cos, 6) AS qcos FROM (
+        |  SELECT qid, nid, cos, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM pairs)
+        |WHERE rank <= 3""".stripMargin,
     "q24_knn_brute" ->
       """WITH qs AS (
         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

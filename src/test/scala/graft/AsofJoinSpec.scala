@@ -42,6 +42,22 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 200L, None, None)))           // key isolation
   }
 
+  test("asof join plan has exactly one exchange (the key window)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L, 5L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 90L, 3L)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid")
+    q.collect()
+    // AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan";
+    // count exchanges only in the final executed section
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._
