@@ -33,4 +33,16 @@ object Tables {
     graft.functions.GraftFunctions.registerAll(spark)
     all.foreach(n => t(spark, sfDir, n).createOrReplaceTempView(n))
   }
+
+  /** Rebalance an under-partitioned scan before CPU-heavy per-row work
+    * downstream: a single-row-group parquet file is ONE split, so the
+    * map side of the first aggregation (partial collects, regex,
+    * struct building) would run on one core. At real scale scans have
+    * >= defaultParallelism splits and this is a no-op (no shuffle
+    * added). Decode itself still happens in the scan task — use only
+    * where downstream per-row work dominates decode. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -89,14 +89,9 @@ object Dedup {
     bit_count(a.bitwiseXOR(b))
 
   /** Rebalance an under-partitioned input before CPU-heavy per-row
-    * sketch compute: a small corpus parquet arrives as ONE split, which
-    * would serialize shingling/hashing on a single core. At real scale
-    * the scan already has >= defaultParallelism splits and this is a
-    * no-op (no shuffle added). */
-  private[graft] def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+    * sketch compute (see [[graft.Tables.spread]]). */
+  private[graft] def spread(df: DataFrame): DataFrame =
+    graft.Tables.spread(df)
 
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) for candidates with

@@ -28,6 +28,9 @@ object MergeScaleQ {
     * assert the merge aggregation runs shuffle-free (SURVEY §4.4). */
   def nestedAtScale(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NOT spread: measured — the extra repartition shuffle costs more
+    // than map-side parallelism buys; the partial collects are light
+    // relative to the child shuffles the groupBys already do
     val orders = t(s, d, "orders")
     val lineitem = t(s, d, "lineitem")
     val snaps = orders.select(
