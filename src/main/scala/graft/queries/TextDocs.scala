@@ -213,7 +213,82 @@ object TextDocs {
       md5(UrlOps.redactPii(planted)).as("redacted_fp"))
   }
 
+  /** Unigram language-model document scoring (CCNet-style quality
+    * signal): corpus unigram distribution → per-doc mean token
+    * log-probability. Low scores flag gibberish / boilerplate; high
+    * scores flag trivially-common text. Scale shape: one vocabulary
+    * aggregation (small — broadcast into the scoring join) + one
+    * per-doc aggregation; both shuffles carry tokens, not text. */
+  private val q75UnigramLm: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val terms = docs.select($"doc_id", explode(tokens(lower($"text"))).as("term"))
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum($"c").as("n_total"))
+    terms.join(broadcast(counts), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log($"c".cast("double") / $"n_total")), 6).as("avg_logp"))
+  }
+
+  /** Gopher-style repetition rule: the most frequent bigram's share of
+    * all bigrams in the doc (> 0.18 flags templated/repetitive text).
+    * Bigrams are built per-row with zip_with (narrow), counted
+    * relationally — shuffle carries (doc_id, bigram), never text. */
+  private val q76Repetition: Q = (s, d) => {
+    import s.implicits._
+    val toks = tokens(lower($"text"))
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents")
+      .select($"doc_id", explode(bigrams).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum($"c").as("n_bigrams"), max($"c").as("top_c"))
+      .select($"doc_id",
+        $"n_bigrams".cast("long").as("n_bigrams"),
+        $"top_c".cast("long").as("top_c"),
+        round($"top_c".cast("double") / $"n_bigrams", 6).as("top_bigram_frac"),
+        ($"top_c".cast("double") / $"n_bigrams" > 0.18).as("repetitive"))
+  }
+
+  /** Benchmark decontamination (training-data staple): docs sharing
+    * any 8-token gram with the "eval set" (stand-in: doc_id % 100 == 0)
+    * are flagged with their overlapping-gram count. The classic
+    * bucket-join on gram hashes — at 100 TB the eval gram set is tiny
+    * and broadcasts; the corpus side is one explode + one semi-shaped
+    * join, no all-pairs comparison. md5 grams keep it oracle-portable
+    * (a production run would use xxhash64). */
+  private val q77Decontaminate: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents").select($"doc_id", $"text")
+    // natural 8-gram overlap is zero at oracle scale, which would gate
+    // nothing — inject deterministic contamination: a paraphrase-style
+    // copy of each eval doc (leading eval text + new tail) that shares
+    // the eval doc's grams without being byte-identical
+    val contaminated = docs.filter($"doc_id" % 100 === 0)
+      .select(($"doc_id" + 200001).as("doc_id"),
+        concat($"text", lit(" with extra trailing commentary appended")).as("text"))
+    val grams = docs.unionByName(contaminated)
+      .select($"doc_id",
+        explode(graft.operators.Dedup.shingles($"text", 8)).as("g"))
+      .select($"doc_id", md5($"g").as("gh"))
+    val evalGrams = grams.filter($"doc_id" % 100 === 0).select($"gh").distinct()
+    grams.filter($"doc_id" % 100 =!= 0)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q75_unigram_lm" -> q75UnigramLm,
+    "q76_repetition" -> q76Repetition,
+    "q77_decontaminate" -> q77Decontaminate,
     "q56_bpe_tokens" -> q56BpeTokens,
     "q66_winnow_fp" -> q66WinnowFp,
     "q68_tfidf" -> q68Tfidf,
@@ -226,6 +301,55 @@ object TextDocs {
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q75_unigram_lm" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS c FROM terms GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM c)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(CAST(c.c AS DOUBLE) / n.n_total)), 6) AS avg_logp
+        |FROM terms JOIN c USING (term) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+    "q76_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(length(t) - 1, 0)),
+        |    i -> t[i+1] || ' ' || t[i+2])) AS bigram
+        |  FROM tk),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS BIGINT) AS top_c,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac,
+        |  (CAST(max(c) AS DOUBLE) / sum(c) > 0.18) AS repetitive
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "q77_decontaminate" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200001 AS doc_id,
+        |    text || ' with extra trailing commentary appended' AS text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM all_docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) >= 8 THEN
+        |      list_distinct(list_transform(range(0, length(t) - 7),
+        |        i -> md5(array_to_string(t[i+1:i+8], ' '))))
+        |    ELSE [md5(array_to_string(t, ' '))] END AS g
+        |  FROM tk),
+        |grams AS (SELECT doc_id, unnest(g) AS gh FROM sh),
+        |ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 100 = 0)
+        |SELECT g.doc_id, count(*) AS n_contaminated_grams
+        |FROM grams g JOIN ev USING (gh)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
     "q72_pii_redact" ->
       """WITH planted AS (
         |  SELECT doc_id,
