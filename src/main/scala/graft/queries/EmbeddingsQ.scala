@@ -56,24 +56,23 @@ object EmbeddingsQ {
     * the hard gate. Quantized dots are exact integer math, so DuckDB
     * replays quantization, scoring, and ranking identically — the
     * approximate answer itself is hash-checked. */
-  /** Index-order double fold for the integral-double quantized arrays
-    * (the native DotProductExpr takes array<float>); same fold order
-    * as DuckDB's list_sum(list_transform(list_zip)). */
-  private def ddot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-
   private val q74QuantizedKnn: Q = (s, d) => {
     import s.implicits._
     val z = graft.operators.Quantize.quantizeInt8(
       t(s, d, "embeddings"), "embedding", "qv")
+    // int8 values are exact in float32 and every product/partial sum
+    // stays below 2^24, so the native float DotProductExpr computes
+    // the same exact integers as a double fold (and stays codegen'd —
+    // the interpreted zip_with/aggregate formulation was 10× slower)
+    val qf = $"qv".cast("array<float>")
     val qs = z.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"qv".as("qq"))
-    val cands = z.select($"vec_id".as("nid"), $"qv".as("nv"))
+      .select($"vec_id".as("qid"), qf.as("qq"))
+    val cands = z.select($"vec_id".as("nid"), qf.as("nv"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
     cands.crossJoin(broadcast(qs))
       .filter($"nid" =!= $"qid")
       .withColumn("cos",
-        ddot($"qq", $"nv") / (sqrt(ddot($"qq", $"qq")) * sqrt(ddot($"nv", $"nv"))))
+        dot($"qq", $"nv") / (sqrt(dot($"qq", $"qq")) * sqrt(dot($"nv", $"nv"))))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"qid", $"rank".cast("long").as("rank"), $"nid",
