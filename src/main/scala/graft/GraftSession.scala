@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The engine's recommended Spark session configuration — one place
+  * for the settings every entry point (Bench, Verify, QTime, library
+  * users) needs, so they can't drift:
+  *
+  *  - AQE on, INCLUDING cached plans: operators persist sketch tables,
+  *    and without `canChangeCachedPlanOutputPartitioning` their builds
+  *    are statically planned (sort-merge joins, fixed-width shuffles —
+  *    measured 3× slower on the dedup family).
+  *  - shuffle partitions sized to the cores actually available rather
+  *    than the 200 default (local mode; a real cluster would size to
+  *    executor cores × executors, with AQE coalescing the remainder).
+  *  - UTC session time zone: the reference stores UTC timestamps, and
+  *    the DuckDB oracle compares rendered datetimes.
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+}

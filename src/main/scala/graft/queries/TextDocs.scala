@@ -285,7 +285,26 @@ object TextDocs {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Deterministic per-group sampling ("take k docs per domain"):
+    * rank by md5(doc_id) within each group and keep the first k — a
+    * uniform sample that is reproducible across runs, engines, and
+    * cluster layouts (no RNG state, no row_number-over-arrival-order).
+    * Spark 4 plans the rank filter as WindowGroupLimit, so each group
+    * keeps a running top-k instead of fully sorting — the shuffle
+    * carries only (group, hash, id). */
+  private val q78GroupSample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    t(s, d, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_group_sample" -> q78GroupSample,
     "q75_unigram_lm" -> q75UnigramLm,
     "q76_repetition" -> q76Repetition,
     "q77_decontaminate" -> q77Decontaminate,
@@ -301,6 +320,13 @@ object TextDocs {
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q78_group_sample" ->
+      """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
     "q75_unigram_lm" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

@@ -58,6 +58,26 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
   }
 
+  test("asof join equals naive per-left argmax on randomized input") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = Seq.tabulate(300)(i => (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(40).toLong))
+    val right = Seq.tabulate(200)(i => (rnd.nextInt(8).toLong, 1000L + i, rnd.nextInt(40).toLong))
+    val out = AsofJoin.asofJoin(
+        left.toDF("k", "lid", "t"), right.toDF("k", "rid", "t"),
+        Seq("k"), "t", "t", "rid")
+      .selectExpr("k", "lid", "asof.rid AS rid")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    // naive reference: max (t, rid) among right rows with t <= left.t
+    left.foreach { case (k, lid, t) =>
+      val expected = right.filter(r => r._1 == k && r._3 <= t)
+        .sortBy(r => (r._3, r._2)).lastOption.map(_._2)
+      assert(out((k, lid)) === expected, s"left ($k, $lid, $t)")
+    }
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._
