@@ -78,4 +78,68 @@ object EventStreams {
         md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("fingerprint")
+
+  case class BandedDoc(band_id: Int, band_hash: Long, doc_id: Long, sig: Seq[Long])
+  case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+  /** Streaming NEAR-dup detection — the stateful LSH counterpart of
+    * [[graft.operators.Dedup.minhashLshPairs]]: each doc's minhash
+    * signature is banded, state lives per (band, hash) bucket, and a
+    * new doc is compared only against its bucket's retained signatures
+    * (the matching-component fraction is the unbiased minhash estimate
+    * of Jaccard). Emits (doc, dup_of, estimate) for hits above the
+    * threshold.
+    *
+    * Scale/state design: state per bucket is a FIFO-capped list of
+    * (doc_id, k longs) — `maxPerBucket` bounds a boilerplate bucket's
+    * state at the cost of missing dups of evicted docs (the batch LSH
+    * job is the backstop, mirroring the reference's repair-job
+    * pattern). A pair colliding in several bands emits once per
+    * colliding band — downstream consumers dedup, exactly like the
+    * batch operator's candidate `distinct()`.
+    *
+    * Determinism: each micro-batch's bucket members are processed in
+    * doc_id order, so emissions don't depend on partition arrival
+    * order. */
+  def nearDupDocStream(
+      docs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.7,
+      maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val banded = docs
+      .select(col("doc_id"),
+        graft.functions.TextHashes.minhashSignature(
+          Dedup.shingles(col("text")), k).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(Dedup.bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"),
+        col("doc_id"), col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(b => (b.band_id, b.band_hash))
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, batch: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val hits = List.newBuilder[NearDupHit]
+          batch.toSeq.sortBy(_.doc_id).foreach { d =>
+            seen.foreach { case (prevId, prevSig) =>
+              if (prevId != d.doc_id) {
+                val matches = prevSig.iterator.zip(d.sig.iterator).count {
+                  case (a, b) => a == b
+                }
+                val est = matches.toDouble / k
+                if (est >= threshold) hits += NearDupHit(d.doc_id, prevId, est)
+              }
+            }
+            seen = ((d.doc_id, d.sig) :: seen).take(maxPerBucket)
+          }
+          state.update(seen)
+          hits.result().iterator
+      }
+  }
 }

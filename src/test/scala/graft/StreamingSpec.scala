@@ -73,6 +73,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchResult.length === 3)
   }
 
+  test("streaming near-dup: LSH bucket state catches dups across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_neardup_stream").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    writeBatch(Seq(
+      (1L, base),
+      (2L, "completely different content about spark shuffles and parquet pruning")))
+    val schema = s.read.parquet(s"$dir/in").schema
+    val q = EventStreams.nearDupDocStream(
+      s.readStream.schema(schema).parquet(s"$dir/in"), bands = 16)
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    // exact dup of doc 1 arrives in a LATER micro-batch: only bucket
+    // STATE (not the batch itself) can link it back
+    writeBatch(Seq((3L, base)))
+    q.processAllAvailable(); q.stop()
+    val hits = s.table("near_dups")
+      .select("doc_id", "dup_of", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists(h => h._1 == 3L && h._2 == 1L && h._3 == 1.0),
+      s"cross-batch dup not caught: ${hits.toSeq}")
+    assert(!hits.exists(h => Set(h._1, h._2).contains(2L))) // unrelated doc clean
+  }
+
   test("incremental latest-entity state across micro-batches (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
