@@ -48,6 +48,24 @@ object Similarity {
     when(pmod(plane * lit(379) + dim * lit(607) + plane * dim * lit(131),
       lit(1009)) < 504, 1.0).otherwise(-1.0)
 
+  /** Deterministic random-projection dimensionality reduction
+    * (Achlioptas-style ±1 projections / Johnson–Lindenstrauss):
+    * feature p = Σ_j vec[j] · w(p, j) with the same ±1 plane family
+    * the LSH bucketing uses. Reduces a d-dim embedding to `outDims`
+    * signed sums — the standard 100 TB compression step before
+    * storage or coarse ANN — with no RNG state: projections are
+    * reproducible across runs, engines (the oracle replays them), and
+    * backfills. Per-row narrow compute; no shuffle. */
+  def randomProjection(vec: Column, outDims: Int,
+      portablePlanes: Boolean = false): Column =
+    transform(sequence(lit(0), lit(outDims - 1)), p =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            (if (portablePlanes) portablePlaneComponent(p, j)
+             else planeComponent(p, j))),
+        lit(0.0), (acc, x) => acc + x))
+
   /** Sign-bit LSH bucket id from `nPlanes` random hyperplanes. */
   def lshBucket(vec: Column, nPlanes: Int = 8,
       portablePlanes: Boolean = false): Column =

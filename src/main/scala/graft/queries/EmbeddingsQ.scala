@@ -79,12 +79,35 @@ object EmbeddingsQ {
         round($"cos", 6).as("qcos"))
   }
 
+  /** Random-projection reduction under the hard gate: 64-dim → 16-dim
+    * with the engine-portable plane family, every projected value
+    * hash-checked (DuckDB replays planes and the index-order fold). */
+  private val q79RandomProjection: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "embeddings")
+      .select($"vec_id", posexplode(
+        graft.operators.Similarity.randomProjection(
+          $"embedding", 16, portablePlanes = true)).as(Seq("pos", "f")))
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        round($"f", 6).as("f"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q24_knn_brute" -> q24KnnBrute,
     "q25_vector_norms" -> q25Norms,
-    "q74_quantized_knn" -> q74QuantizedKnn)
+    "q74_quantized_knn" -> q74QuantizedKnn,
+    "q79_random_projection" -> q79RandomProjection)
 
   val oracles: Map[String, String] = Map(
+    "q79_random_projection" ->
+      """SELECT vec_id, p AS pos, round(f, 6) AS f FROM (
+        |  SELECT e.vec_id, r.range AS p,
+        |    list_sum(list_transform(
+        |      list_zip(e.embedding, range(0, length(e.embedding))),
+        |      z -> CAST(z[1] AS DOUBLE) *
+        |        (CASE WHEN (r.range*379 + z[2]*607 + r.range*z[2]*131) % 1009 < 504
+        |         THEN 1.0 ELSE -1.0 END))) AS f
+        |  FROM embeddings e CROSS JOIN range(0, 16) r)""".stripMargin,
     "q74_quantized_knn" ->
       """WITH z AS (
         |  SELECT vec_id,
