@@ -43,7 +43,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-      spark.catalog.clearCache() // queries persist() internally; no cross-run reuse
+      // queries persist() internally; no cross-run reuse — and drop
+      // the registry's references so they don't accumulate over
+      // 79 queries × runs
+      graft.engine.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
     }
     val results = names.map { case (name, _) =>
       val sorted = samples(name).sorted

@@ -17,6 +17,7 @@ object QTime {
       val t0 = System.nanoTime()
       SparkEntry.queries(q)(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[qtime] $q run$r ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      graft.engine.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
     }
     spark.stop()

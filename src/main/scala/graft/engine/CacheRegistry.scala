@@ -9,6 +9,13 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * cached blocks accumulate until LRU pressure. Bench's per-run
   * `clearCache()` subsumes this; other callers should invoke
   * [[releaseAll]] once per materialized query.
+  *
+  * Scope: the registry is process-global, sized for the library's
+  * one-query-at-a-time session model (Verify, Bench, the Api entry
+  * points). Concurrent queries in one JVM would release each other's
+  * caches — an unpersisted frame silently recomputes (correct, just
+  * slower), but interleave [[releaseAll]] only at real query
+  * boundaries.
   */
 object CacheRegistry {
   private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()

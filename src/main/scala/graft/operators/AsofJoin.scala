@@ -46,6 +46,9 @@ object AsofJoin {
       tieBreak: String): DataFrame = {
     require(left.columns.forall(_ != "asof"),
       "left side already has an 'asof' column")
+    val reserved = Set("__t", "__side", "__tie", "__payload")
+    require((left.columns ++ right.columns).forall(!reserved.contains(_)),
+      s"input columns may not use the reserved names ${reserved.mkString(", ")}")
     val leftCols = left.columns.filterNot(keys.contains).toSeq
     val rightPayloadCols = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rightPayloadCols.map(col): _*)

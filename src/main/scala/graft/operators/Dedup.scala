@@ -93,6 +93,31 @@ object Dedup {
   private[graft] def spread(df: DataFrame): DataFrame =
     graft.Tables.spread(df)
 
+  /** Bucketed candidate self-join over a (keys..., doc, simhash)
+    * sketch table: (doc_a, doc_b) pairs sharing the bucket key, each
+    * generated exactly once. With `saltSlices > 1` the left side
+    * hashes into sub-buckets and the right side replicates over every
+    * slice, spreading a hot bucket's O(n²) pair generation across
+    * saltSlices tasks — template-biased fingerprints can put 25%+ of a
+    * corpus into single chunk buckets, and AQE skew-join thresholds
+    * (hundreds of MB) never fire at sketch sizes. Default 1 adds no
+    * salt machinery at all: replication costs more than the skew saves
+    * below ~10k-doc buckets (DedupSpec asserts salted == unsalted). */
+  private[operators] def bucketSelfJoinPairs(
+      chunked: DataFrame, keys: Seq[String], saltSlices: Int): DataFrame = {
+    val aBase = chunked.select(keys.map(col) ++ Seq(
+      col("doc").as("doc_a"), col("simhash").as("sim_a")): _*)
+    val bBase = chunked.select(keys.map(col) ++ Seq(
+      col("doc").as("doc_b"), col("simhash").as("sim_b")): _*)
+    val joined =
+      if (saltSlices <= 1) aBase.join(bBase, keys)
+      else aBase
+        .withColumn("salt", pmod(xxhash64(col("doc_a")), lit(saltSlices)).cast("int"))
+        .join(bBase.withColumn("salt",
+          explode(sequence(lit(0), lit(saltSlices - 1)))), keys :+ "salt")
+    joined.filter(col("doc_a") < col("doc_b"))
+  }
+
   /** MinHash+LSH candidate pairs with exact-Jaccard verification.
     * Returns (doc_a, doc_b, jaccard) for candidates with
     * jaccard >= threshold.
@@ -147,7 +172,7 @@ object Dedup {
     * each candidate pair is verified exactly once. */
   def multiSketchPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, k: Int = 32, bands: Int = 4,
-      chunks: Int = 8): DataFrame = {
+      chunks: Int = 8, saltSlices: Int = 1): DataFrame = {
     val bits = 64 / chunks
     val base = graft.engine.CacheRegistry.retain(
       spread(docs.select(col(idCol), col(textCol)))
@@ -171,18 +196,7 @@ object Dedup {
         Seq("kind_key", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-    // salt slices like SimhashPairs.pairs (1 = off; raise for
-    // corpus-scale runs where hot chunk buckets serialize a task)
-    val saltSlices = 1
-    val shCands = chunked
-      .select(col("kind_key"), col("bucket"),
-        pmod(xxhash64(col("doc")), lit(saltSlices)).cast("int").as("salt"),
-        col("doc").as("doc_a"), col("simhash").as("sim_a"))
-      .join(chunked.select(col("kind_key"), col("bucket"),
-        explode(sequence(lit(0), lit(saltSlices - 1))).as("salt"),
-        col("doc").as("doc_b"), col("simhash").as("sim_b")),
-        Seq("kind_key", "bucket", "salt"))
-      .filter(col("doc_a") < col("doc_b"))
+    val shCands = bucketSelfJoinPairs(chunked, Seq("kind_key", "bucket"), saltSlices)
       .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
       .select("doc_a", "doc_b")
     mhCands.unionByName(shCands).distinct()
@@ -273,26 +287,10 @@ object SimhashPairs {
           .bitwiseAND(lit((1L << bits) - 1)).as("chunk_value")))).as("ch"))
       .select(col("doc"), col("simhash"),
         col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
-    // Salted self-join option: template-biased fingerprints can put
-    // 25%+ of the corpus in single chunk buckets, serializing a
-    // bucket's O(n²) pair generation in ONE task (AQE skew-join
-    // thresholds are hundreds of MB and never fire at sketch sizes).
-    // With saltSlices > 1 the left side hashes into sub-buckets and
-    // the right side replicates over every slice — each pair is still
-    // generated exactly once, but a hot bucket's work spreads across
-    // saltSlices tasks. Default 1 (off): replication costs more than
-    // the skew below ~10k-doc buckets; turn on for corpus-scale runs
-    // (DedupSpec asserts salted == unsalted results).
-    val aSide = chunked.select(col("chunk_idx"), col("chunk_value"),
-      pmod(xxhash64(col("doc")), lit(saltSlices)).cast("int").as("salt"),
-      col("doc").as("doc_a"), col("simhash").as("sim_a"))
-    val bSide = chunked.select(col("chunk_idx"), col("chunk_value"),
-      explode(sequence(lit(0), lit(saltSlices - 1))).as("salt"),
-      col("doc").as("doc_b"), col("simhash").as("sim_b"))
-    aSide.join(bSide, Seq("chunk_idx", "chunk_value", "salt"))
-      .filter(col("doc_a") < col("doc_b"))
-      // hamming is cheap per-row bit math — cut BEFORE the distinct so
-      // the dedup shuffle only carries surviving pairs
+    // hamming is cheap per-row bit math — cut BEFORE the distinct so
+    // the dedup shuffle only carries surviving pairs (salting
+    // semantics: Dedup.bucketSelfJoinPairs)
+    Dedup.bucketSelfJoinPairs(chunked, Seq("chunk_idx", "chunk_value"), saltSlices)
       .withColumn("hamming", Dedup.hamming(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming").distinct()

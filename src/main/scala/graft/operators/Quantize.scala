@@ -33,8 +33,12 @@ object Quantize {
     val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     df.withColumn(s"${outCol}_scale",
         when(maxAbs > 0d, lit(127.0) / maxAbs))
+      // whole-array null for zero vectors (NOT an array of null
+      // elements — consumers like DotProductExpr read elements without
+      // per-slot null checks); callers filter on isNotNull
       .withColumn(outCol,
-        transform(col(vecCol),
-          x => round(x.cast("double") * col(s"${outCol}_scale"))))
+        when(col(s"${outCol}_scale").isNotNull,
+          transform(col(vecCol),
+            x => round(x.cast("double") * col(s"${outCol}_scale")))))
   }
 }

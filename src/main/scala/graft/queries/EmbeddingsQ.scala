@@ -65,9 +65,11 @@ object EmbeddingsQ {
     // the same exact integers as a double fold (and stays codegen'd —
     // the interpreted zip_with/aggregate formulation was 10× slower)
     val qf = $"qv".cast("array<float>")
-    val qs = z.filter($"vec_id" < 20)
+    // zero vectors quantize to null and have no cosine — excluded on
+    // both sides (the oracle's z CTE applies the same max|x| > 0 cut)
+    val qs = z.filter($"vec_id" < 20 && $"qv".isNotNull)
       .select($"vec_id".as("qid"), qf.as("qq"))
-    val cands = z.select($"vec_id".as("nid"), qf.as("nv"))
+    val cands = z.filter($"qv".isNotNull).select($"vec_id".as("nid"), qf.as("nv"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
     cands.crossJoin(broadcast(qs))
       .filter($"nid" =!= $"qid")
@@ -114,7 +116,9 @@ object EmbeddingsQ {
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE)
         |      * (127.0 / list_max(list_transform(embedding,
         |           y -> abs(CAST(y AS DOUBLE))))))) AS qv
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE list_max(list_transform(embedding,
+        |    y -> abs(CAST(y AS DOUBLE)))) > 0),
         |qs AS (SELECT vec_id AS qid, qv AS qq FROM z WHERE vec_id < 20),
         |pairs AS (
         |  SELECT qs.qid, z.vec_id AS nid,

@@ -48,12 +48,13 @@ object MaintenanceQ {
     // scale even when the eager count() actions became lazy ones)
     def tagged(name: String, df: DataFrame, kind: String) =
       df.select(lit(name).as("table_name"), lit(kind).as("kind"))
-    Seq(
+    val tables = Seq(
       ("user_snapshots", users, r.users),
       ("submission_snapshots", snaps, r.snapshots),
       ("keywords", keywords, r.keywords),
       ("files", files, r.files),
       ("hashes", hashes, r.hashes))
+    val counts = tables
       .map { case (name, in, out) =>
         tagged(name, in, "in").union(tagged(name, out, "out"))
       }
@@ -61,6 +62,13 @@ object MaintenanceQ {
       .groupBy("table_name")
       .agg(count(when($"kind" === "in", 1)).as("n_input"),
         count(when($"kind" === "out", 1)).as("n_survivors"))
+    // keep the one-row-per-table invariant: an EMPTY input table must
+    // still report (0, 0), not vanish from the union
+    tables.map(_._1).toDF("table_name")
+      .join(counts, Seq("table_name"), "left")
+      .select($"table_name",
+        coalesce($"n_input", lit(0L)).as("n_input"),
+        coalesce($"n_survivors", lit(0L)).as("n_survivors"))
   }
 
   val queries: Map[String, Q] = Map("q41_repair" -> q41Repair)

@@ -101,12 +101,18 @@ object EventStreams {
     * Determinism: each micro-batch's bucket members are processed in
     * doc_id order, so emissions don't depend on partition arrival
     * order. */
+  /** @param stateTtlMs idle-bucket expiry (processing-time): buckets
+    *   not touched for this long are dropped, bounding TOTAL state by
+    *   the active working set rather than all buckets ever seen
+    *   (0 = keep forever — only for bounded backfills). A dup of an
+    *   expired doc re-registers silently; the batch job backstops. */
   def nearDupDocStream(
       docs: DataFrame,
       k: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.7,
-      maxPerBucket: Int = 64): Dataset[NearDupHit] = {
+      maxPerBucket: Int = 64,
+      stateTtlMs: Long = 0L): Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
     val banded = docs
@@ -119,27 +125,36 @@ object EventStreams {
         col("band.band_hash").as("band_hash"),
         col("doc_id"), col("sig"))
       .as[BandedDoc]
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded
       .groupByKey(b => (b.band_id, b.band_hash))
       .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, batch: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) =>
-          var seen = state.getOption.getOrElse(Nil)
-          val hits = List.newBuilder[NearDupHit]
-          batch.toSeq.sortBy(_.doc_id).foreach { d =>
-            seen.foreach { case (prevId, prevSig) =>
-              if (prevId != d.doc_id) {
-                val matches = prevSig.iterator.zip(d.sig.iterator).count {
-                  case (a, b) => a == b
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val hits = List.newBuilder[NearDupHit]
+            batch.toSeq.sortBy(_.doc_id).foreach { d =>
+              seen.foreach { case (prevId, prevSig) =>
+                if (prevId != d.doc_id) {
+                  val matches = prevSig.iterator.zip(d.sig.iterator).count {
+                    case (a, b) => a == b
+                  }
+                  val est = matches.toDouble / k
+                  if (est >= threshold) hits += NearDupHit(d.doc_id, prevId, est)
                 }
-                val est = matches.toDouble / k
-                if (est >= threshold) hits += NearDupHit(d.doc_id, prevId, est)
               }
+              seen = ((d.doc_id, d.sig) :: seen).take(maxPerBucket)
             }
-            seen = ((d.doc_id, d.sig) :: seen).take(maxPerBucket)
+            state.update(seen)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            hits.result().iterator
           }
-          state.update(seen)
-          hits.result().iterator
       }
   }
 }
