@@ -303,7 +303,33 @@ object TextDocs {
       .select($"lang", $"rk".cast("long").as("rk"), $"doc_id")
   }
 
+  /** The corpus-release manifest — the artifact a curation pipeline
+    * actually ships: every doc that passes the language, quality, and
+    * exact-dup-representative gates (q67's cheap gates; near-dup
+    * cluster representatives are q67/q62's job and applied the same
+    * way), with its split assignment, token count, and content
+    * fingerprint. One scan + one fingerprint window + one filter. */
+  private val q80CorpusRelease: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tk = tokens($"text")
+    val bucket = substring(md5($"doc_id".cast("string")), 1, 2)
+    val base = t(s, d, "documents").select($"doc_id",
+      stopHits($"text").as("hits"),
+      size(tk).cast("long").as("n_tokens"),
+      round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("ttr4"),
+      fingerprint($"text").as("fp"),
+      when(bucket < "cd", "train").when(bucket < "e6", "val")
+        .otherwise("test").as("split"))
+      .withColumn("exact_rep", min($"doc_id").over(Window.partitionBy($"fp")))
+    base
+      .filter($"hits" >= 3 && $"n_tokens" >= 20 && $"ttr4" >= 0.3 &&
+        $"doc_id" === $"exact_rep")
+      .select($"doc_id", $"split", $"n_tokens", $"fp".as("fingerprint"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q80_corpus_release" -> q80CorpusRelease,
     "q78_group_sample" -> q78GroupSample,
     "q75_unigram_lm" -> q75UnigramLm,
     "q76_repetition" -> q76Repetition,
@@ -320,6 +346,24 @@ object TextDocs {
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q80_corpus_release" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    length(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS hits,
+        |    length(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    round(CAST(length(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / length(string_split_regex(trim(text), '\s+')), 4) AS ttr4,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    min(doc_id) OVER (PARTITION BY
+        |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS exact_rep
+        |  FROM documents)
+        |SELECT doc_id, split, n_tokens, fp AS fingerprint
+        |FROM base
+        |WHERE hits >= 3 AND n_tokens >= 20 AND ttr4 >= 0.3 AND doc_id = exact_rep""".stripMargin,
     "q78_group_sample" ->
       """SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id FROM (
         |  SELECT lang, doc_id, row_number() OVER (
