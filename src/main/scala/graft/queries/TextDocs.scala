@@ -328,7 +328,32 @@ object TextDocs {
       .select($"doc_id", $"split", $"n_tokens", $"fp".as("fingerprint"))
   }
 
+  /** Leakage-safe split assignment: duplicate documents must land in
+    * the SAME split, or near-identical text leaks from train into
+    * test. The split key is the hash of the duplicate-cluster
+    * REPRESENTATIVE (min doc_id per content fingerprint), not the doc
+    * id — every member of a cluster inherits one split. Exact-dup
+    * clusters here; swapping the representative for q62's near-dup
+    * cluster id gives the same shape one level stronger. Includes
+    * q23's injected duplicates so the gate proves cluster-consistency
+    * on real multi-member clusters. */
+  private val q81LeakageSafeSplit: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select($"doc_id", $"text")
+    val dups = docs.filter($"doc_id" < 20)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val bucket = substring(md5($"exact_rep".cast("string")), 1, 2)
+    docs.unionByName(dups)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .withColumn("exact_rep", min($"doc_id").over(Window.partitionBy($"fp")))
+      .select($"doc_id", $"exact_rep",
+        when(bucket < "cd", "train").when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q81_leakage_safe_split" -> q81LeakageSafeSplit,
     "q80_corpus_release" -> q80CorpusRelease,
     "q78_group_sample" -> q78GroupSample,
     "q75_unigram_lm" -> q75UnigramLm,
@@ -346,6 +371,21 @@ object TextDocs {
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q81_leakage_safe_split" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20),
+        |fp AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY
+        |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS exact_rep
+        |  FROM all_docs)
+        |SELECT doc_id, exact_rep,
+        |  CASE WHEN substring(md5(CAST(exact_rep AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substring(md5(CAST(exact_rep AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM fp""".stripMargin,
     "q80_corpus_release" ->
       """WITH base AS (
         |  SELECT doc_id,
