@@ -58,6 +58,20 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected one shuffle, plan:\n$plan")
   }
 
+  test("asof join rejects inputs using its reserved internal column names") {
+    val s = spark
+    import s.implicits._
+    val clean = Seq((1L, 10L, 5L)).toDF("k", "lid", "t")
+    val dirty = Seq((1L, 10L, 5L)).toDF("k", "__t", "t")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(dirty, clean, Seq("k"), "t", "t", "lid")
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(clean.withColumnRenamed("lid", "asof"),
+        clean, Seq("k"), "t", "t", "lid")
+    }
+  }
+
   test("asof join equals naive per-left argmax on randomized input") {
     val s = spark
     import s.implicits._

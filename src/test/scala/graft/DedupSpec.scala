@@ -231,4 +231,23 @@ class DedupSpec extends AnyFunSuite {
     assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("int8 quantization: values in [-127,127], zero vector -> whole-array null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f))) // zero vector
+      .toDF("vec_id", "embedding")
+    val q = graft.operators.Quantize.quantizeInt8(df, "embedding", "qv")
+      .select($"vec_id", $"qv", $"qv_scale").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_ => r.getSeq[Double](1)), Option(r.get(2))))).toMap
+    val (qv1, scale1) = q(1L)
+    assert(scale1.isDefined && scale1.get === 127.0) // 127 / max|x| = 127/1.0
+    assert(qv1.get === Seq(64.0, -127.0, 32.0)) // round(0.5*127)=64 (HALF_UP)
+    assert(qv1.get.forall(v => v >= -127 && v <= 127 && v == math.rint(v)))
+    val (qv2, scale2) = q(2L)
+    assert(qv2.isEmpty && scale2.isEmpty) // null array, NOT [null, null, null]
+  }
 }
