@@ -232,6 +232,17 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("CacheRegistry: retained frames are cached until releaseAll") {
+    val s = spark
+    import s.implicits._
+    val retained = graft.engine.CacheRegistry.retain(
+      Seq(1L, 2L, 3L).toDF("x"))
+    retained.count()
+    assert(retained.storageLevel.useMemory)
+    graft.engine.CacheRegistry.releaseAll()
+    assert(retained.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("int8 quantization: values in [-127,127], zero vector -> whole-array null") {
     val s = spark
     import s.implicits._

@@ -86,6 +86,29 @@ class MergeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental merge equals full merge for ANY batch split (property)") {
+    val s = spark
+    import s.implicits._
+    forAllSeeded(genSnapshots, 6) { rows =>
+      if (rows.size >= 2) {
+        def nestedOf(rs: Seq[SubmissionSnapshotRow]) =
+          Merge.nestedSubmissionSnapshots(
+            rs.toDF(), Fixtures.keywords(s).limit(0), Fixtures.files(s).limit(0),
+            Fixtures.fileHashes(s).limit(0), Fixtures.contributors(s))
+        val full = mergeOf(rows)
+        // split at an arbitrary point: head part is "already merged",
+        // tail part is "the new batch" (entities may span both)
+        val (prev, batch) = rows.splitAt(rows.size / 2)
+        val incremental = Merge.incrementalMergeSubmissions(
+          Merge.mergeSubmissions(nestedOf(prev)),
+          nestedOf(rows),
+          nestedOf(batch))
+          .orderBy("site_submission_id").toJSON.collect().toSeq
+        assert(incremental === full)
+      }
+    }
+  }
+
   test("a strictly newer snapshot always wins the latest-pick (property)") {
     forAllSeeded(genSnapshots, 8) { rows =>
       if (rows.nonEmpty) {
