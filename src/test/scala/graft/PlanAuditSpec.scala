@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Continuous plan audits: the physical-plan properties the engine
+  * promises (filter pushdown to the scan, broadcast dimension joins,
+  * rank-filter → WindowGroupLimit) asserted as tests so a plan
+  * regression fails the build, not just the benchmark. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("point-lookup filters reach the parquet scan (PushedFilters)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_planaudit").toString
+    (1L to 100L).map(i => (i, s"w${i % 3}", i * 2))
+      .toDF("id", "website_id", "payload")
+      .write.parquet(s"$dir/t")
+    val q = s.read.parquet(s"$dir/t")
+      .filter($"website_id" === "w1" && $"id" === 7L)
+      .select($"payload")
+    val plan = executed(q)
+    assert(plan.contains("PushedFilters: ["), s"no pushdown:\n$plan")
+    assert(plan.contains("EqualTo(website_id,w1)") && plan.contains("EqualTo(id,7)"),
+      s"point-lookup predicates not pushed:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("payload,extra"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("small dimension joins broadcast (no shuffle on the fact side)") {
+    val s = spark
+    import s.implicits._
+    val fact = (1L to 1000L).map(i => (i, i % 10)).toDF("k", "dim_id")
+    val dim = (0L to 9L).map(i => (i, s"d$i")).toDF("dim_id", "name")
+    val plan = executed(fact.join(broadcast(dim), Seq("dim_id")))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("rank-filter plans as WindowGroupLimit (per-group top-k, no full sort)") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).map(i => (i, s"g${i % 5}")).toDF("doc_id", "grp")
+    val w = Window.partitionBy($"grp")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    val q = docs.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+    val plan = executed(q)
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not plan as a group limit:\n$plan")
+  }
+}
