@@ -16,20 +16,36 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * caches — an unpersisted frame silently recomputes (correct, just
   * slower), but interleave [[releaseAll]] only at real query
   * boundaries.
+  *
+  * The registry holds WEAK references: a caller who materializes an
+  * operator's result and never calls [[releaseAll]] does not pin the
+  * frame — once unreachable it is collected and its cache entries fall
+  * back to ordinary LRU eviction, exactly as a plain `persist()`
+  * would. Dead entries are pruned on every [[retain]], so the buffer
+  * is bounded by the number of LIVE retained frames.
   */
 object CacheRegistry {
-  private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val frames =
+    scala.collection.mutable.ArrayBuffer[java.lang.ref.WeakReference[Dataset[_]]]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and remember it for [[releaseAll]]. */
+  /** Persist `df` (MEMORY_AND_DISK) and remember it for [[releaseAll]].
+    * The registry weakly references `df` ITSELF (not a wrapper), so the
+    * entry stays live exactly as long as some plan/caller path does. */
   def retain[T](df: Dataset[T]): Dataset[T] = synchronized {
     df.persist()
-    frames += df.toDF()
+    frames.filterInPlace(_.get != null)
+    frames += new java.lang.ref.WeakReference[Dataset[_]](df)
     df
   }
 
-  /** Unpersist every retained frame (non-blocking) and forget them. */
+  /** Unpersist every live retained frame (non-blocking), forget all.
+    * A frame collected before release falls back to plain-persist()
+    * semantics: its blocks stay until LRU eviction or clearCache. */
   def releaseAll(): Unit = synchronized {
-    frames.foreach(_.unpersist(false))
+    frames.foreach(r => Option(r.get).foreach(_.unpersist(false)))
     frames.clear()
   }
+
+  /** Live retained-frame count (post-GC view) — for specs. */
+  def liveCount: Int = synchronized { frames.count(_.get != null) }
 }

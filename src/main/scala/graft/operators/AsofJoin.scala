@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
   * under any partitioning. A right row at exactly leftTime matches
   * (<= semantics, side 0 sorts before side 1).
   *
+  * Null times: right rows with a null rightTime are EXCLUDED — "no
+  * timestamp" cannot satisfy `rightTime <= leftTime`, matching SQL
+  * comparison semantics (a correlated `WHERE r.t <= l.t` drops them).
+  * Left rows with a null leftTime get a null `asof` payload for the
+  * same reason (they sort before every timestamped right row).
+  *
   * Output: every left row and column, plus an `asof` struct of the
   * right side's non-key columns (null when no prior right row exists
   * — left-outer semantics).
@@ -62,7 +68,7 @@ object AsofJoin {
         lit(1).as("__side"),
         lit(null).cast(tieType).as("__tie"),
         lit(null).cast(rType).as("__payload")): _*)
-    val rSide = right.select(
+    val rSide = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ leftCols.map(c =>
         lit(null).cast(leftSchema(c).dataType).as(c)) ++ Seq(
         col(rightTime).as("__t"),

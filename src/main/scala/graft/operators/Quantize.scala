@@ -27,12 +27,16 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** Adds `outCol` (array<double> of integers in [-127, 127]) and
-    * `outCol + "_scale"` (the per-vector multiplier 127/max|x|;
-    * null for all-zero vectors, whose quantized form is null too). */
+    * `outCol + "_scale"` (the per-vector multiplier 127/max|x|; null
+    * for all-zero vectors AND for vectors containing a null element,
+    * whose quantized form is null too — the output array never has
+    * null slots, so consumers like DotProductExpr may read elements
+    * without per-slot null checks; callers filter on isNotNull). */
   def quantizeInt8(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     df.withColumn(s"${outCol}_scale",
-        when(maxAbs > 0d, lit(127.0) / maxAbs))
+        when(forall(col(vecCol), x => x.isNotNull) && maxAbs > 0d,
+          lit(127.0) / maxAbs))
       // whole-array null for zero vectors (NOT an array of null
       // elements — consumers like DotProductExpr read elements without
       // per-slot null checks); callers filter on isNotNull

@@ -94,9 +94,13 @@ object EventStreams {
     * (doc_id, k longs) — `maxPerBucket` bounds a boilerplate bucket's
     * state at the cost of missing dups of evicted docs (the batch LSH
     * job is the backstop, mirroring the reference's repair-job
-    * pattern). A pair colliding in several bands emits once per
-    * colliding band — downstream consumers dedup, exactly like the
-    * batch operator's candidate `distinct()`.
+    * pattern). A pair colliding in several bands is emitted ONCE: only
+    * the LOWEST band whose signature slices match emits (each band can
+    * recompute the colliding-band set from the two full signatures it
+    * already holds, so suppression needs no extra shuffle or state).
+    * Under FIFO eviction, if the older doc was evicted from that
+    * lowest band's bucket but survives in a higher band's, the pair is
+    * missed — the same eviction-miss class already documented above.
     *
     * Determinism: each micro-batch's bucket members are processed in
     * doc_id order, so emissions don't depend on partition arrival
@@ -128,15 +132,23 @@ object EventStreams {
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    val rows = k / bands
     banded
       .groupByKey(b => (b.band_id, b.band_hash))
       .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupHit](
         OutputMode.Append, timeoutConf) {
-        (_, batch: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) =>
+        (key, batch: Iterator[BandedDoc], state: GroupState[List[(Long, Seq[Long])]]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
+            // the lowest band whose signature slices are equal — the one
+            // band allowed to emit this pair (band_hash equality in THIS
+            // bucket implies this band is in the set)
+            def firstCollidingBand(a: Seq[Long], b: Seq[Long]): Int =
+              (0 until bands).find { j =>
+                (j * rows until (j + 1) * rows).forall(i => a(i) == b(i))
+              }.getOrElse(key._1)
             var seen = state.getOption.getOrElse(Nil)
             val hits = List.newBuilder[NearDupHit]
             batch.toSeq.sortBy(_.doc_id).foreach { d =>
@@ -146,7 +158,8 @@ object EventStreams {
                     case (a, b) => a == b
                   }
                   val est = matches.toDouble / k
-                  if (est >= threshold) hits += NearDupHit(d.doc_id, prevId, est)
+                  if (est >= threshold && firstCollidingBand(prevSig, d.sig) == key._1)
+                    hits += NearDupHit(d.doc_id, prevId, est)
                 }
               }
               seen = ((d.doc_id, d.sig) :: seen).take(maxPerBucket)

@@ -92,6 +92,24 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join excludes null right times; null left time gets null asof") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, Some(10L)),
+      (1L, 101L, None) // null left time: no right row can be <= it
+    ).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 900L, None, "null-time"), // excluded: rightTime <= leftTime is never true
+      (1L, 901L, Some(5L), "real")
+    ).toDF("k", "rid", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid")
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(100L) === Some("real")) // NOT the null-time row carried forward
+    assert(out(101L) === None)
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._

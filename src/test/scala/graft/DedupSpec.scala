@@ -261,4 +261,33 @@ class DedupSpec extends AnyFunSuite {
     val (qv2, scale2) = q(2L)
     assert(qv2.isEmpty && scale2.isEmpty) // null array, NOT [null, null, null]
   }
+
+  test("int8 quantization: a null ELEMENT nulls the whole output array") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](0.5f, null, 1.0f)), // null slot
+      (2L, Seq[java.lang.Float](0.5f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = graft.operators.Quantize.quantizeInt8(df, "embedding", "qv")
+      .select($"vec_id", $"qv").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // contract: consumers may read elements without per-slot null checks,
+    // so a vector with null elements quantizes to null wholesale
+    assert(q(1L).isEmpty)
+    assert(q(2L).isDefined)
+  }
+
+  test("CacheRegistry: weak registry is bounded by live frames") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.releaseAll()
+    val held = (1 to 3).map(i =>
+      graft.engine.CacheRegistry.retain(Seq(i.toLong).toDF("x")))
+    held.foreach(_.count())
+    assert(graft.engine.CacheRegistry.liveCount === 3)
+    graft.engine.CacheRegistry.releaseAll()
+    assert(graft.engine.CacheRegistry.liveCount === 0)
+    assert(held.forall(_.storageLevel === org.apache.spark.storage.StorageLevel.NONE))
+  }
 }
