@@ -117,6 +117,18 @@ object LlmOps {
       threshold = 0.4)
   }
 
+  /** The bucketed scale path for q50, under the SAME brute-force
+    * all-pairs oracle: IVF-cell candidates with the triangle-inequality
+    * completeness guarantee, exact-cosine verified. A hash match here
+    * proves recall is exactly 1.0 at the q50 threshold — the operator
+    * contract, not a tuned approximation (see
+    * [[graft.operators.EmbeddingDedup.cosinePairsBucketed]]). */
+  private val q82EmbeddingNeardupBucketed: Q = (s, d) => {
+    import graft.operators.EmbeddingDedup
+    EmbeddingDedup.cosinePairsBucketed(t(s, d, "embeddings"), "vec_id",
+      "embedding", threshold = 0.4, numCells = 16)
+  }
+
   /** IVF ANN, oracle-checked end to end: with a deterministic centroid
     * set (the 16 smallest vec_ids) the whole algorithm — nearest-cell
     * assignment, nprobe cell probing, within-cell top-k — is exact
@@ -228,6 +240,7 @@ object LlmOps {
     "q35_multimodal" -> q35Multimodal,
     "q70_multimodal_resize" -> q70MultimodalResize,
     "q50_embedding_neardup" -> q50EmbeddingNeardup,
+    "q82_embedding_neardup_bucketed" -> q82EmbeddingNeardupBucketed,
     "q51_ivf_ann" -> q51IvfAnn)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
@@ -412,6 +425,17 @@ object LlmOps {
         |    AS frames_csv
         |FROM m""".stripMargin,
     "q50_embedding_neardup" ->
+      """SELECT id_a, id_b, round(c, 6) AS cos FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |    AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE c >= 0.4""".stripMargin,
+    // the bucketed variant must EQUAL brute force — same oracle as q50
+    "q82_embedding_neardup_bucketed" ->
       """SELECT id_a, id_b, round(c, 6) AS cos FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_sum(list_transform(list_zip(a.embedding, b.embedding),

@@ -232,6 +232,58 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("bucketed cosine near-dup equals brute force and prunes a clustered corpus") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    // clustered corpus: 8 well-separated centers (seeded), 25 members
+    // each = center + small jitter — the production near-dup shape
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for {
+      c <- centers.indices; m <- 0 until 25
+    } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 25 + m).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val threshold = 0.9
+    val brute = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = EmbeddingDedup.cosinePairsBucketed(
+      emb, "vec_id", "embedding", threshold, numCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed === brute) // exact recall AND no false pairs
+    assert(brute.nonEmpty)
+    val nCand = EmbeddingDedup.bucketedCandidates(
+      emb, "vec_id", "embedding", threshold, numCells = 8).count()
+    val allPairs = rows.size.toLong * (rows.size - 1) / 2
+    assert(nCand < allPairs / 2,
+      s"no pruning on a clustered corpus: $nCand candidates vs $allPairs pairs")
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("bucketed cosine near-dup stays exact when pruning degenerates (uniform data)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // loose threshold on uniform vectors: probe radius covers every
+    // cell, candidates degenerate to all-pairs — output must STILL be
+    // exactly the brute-force answer
+    val threshold = 0.3
+    val brute = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = EmbeddingDedup.cosinePairsBucketed(
+      emb, "vec_id", "embedding", threshold, numCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed === brute)
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("CacheRegistry: retained frames are cached until releaseAll") {
     val s = spark
     import s.implicits._
@@ -278,16 +330,48 @@ class DedupSpec extends AnyFunSuite {
     assert(q(2L).isDefined)
   }
 
-  test("CacheRegistry: weak registry is bounded by live frames") {
+  test("CacheRegistry: retain grows the registry, releaseAll drains our frames") {
     val s = spark
     import s.implicits._
-    graft.engine.CacheRegistry.releaseAll()
+    // the registry is process-global: other suites may retain concurrently,
+    // so assert deltas and OUR frames' storage levels, not absolute counts
+    val before = graft.engine.CacheRegistry.liveCount
     val held = (1 to 3).map(i =>
       graft.engine.CacheRegistry.retain(Seq(i.toLong).toDF("x")))
     held.foreach(_.count())
-    assert(graft.engine.CacheRegistry.liveCount === 3)
+    assert(graft.engine.CacheRegistry.liveCount >= before + 3)
     graft.engine.CacheRegistry.releaseAll()
-    assert(graft.engine.CacheRegistry.liveCount === 0)
     assert(held.forall(_.storageLevel === org.apache.spark.storage.StorageLevel.NONE))
+  }
+
+  test("CacheRegistry: withRetained releases scope-local frames, spares outer ones") {
+    val s = spark
+    import s.implicits._
+    val outer = graft.engine.CacheRegistry.retain(Seq(100L).toDF("x"))
+    outer.count()
+    val inner = graft.engine.CacheRegistry.withRetained {
+      val f = graft.engine.CacheRegistry.retain(Seq(200L).toDF("x"))
+      f.count()
+      assert(f.storageLevel.useMemory)
+      f
+    }
+    assert(inner.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    assert(outer.storageLevel.useMemory) // outer frame untouched by the scope
+    graft.engine.CacheRegistry.releaseAll()
+    assert(outer.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("CacheRegistry: withRetained releases on exception too") {
+    val s = spark
+    import s.implicits._
+    var f: org.apache.spark.sql.DataFrame = null
+    intercept[RuntimeException] {
+      graft.engine.CacheRegistry.withRetained {
+        f = graft.engine.CacheRegistry.retain(Seq(1L).toDF("x"))
+        f.count()
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(f.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 }

@@ -11,13 +11,30 @@ import org.scalatest.funsuite.AnyFunSuite
   * promises (filter pushdown to the scan, broadcast dimension joins,
   * rank-filter → WindowGroupLimit) asserted as tests so a plan
   * regression fails the build, not just the benchmark. */
-class PlanAuditSpec extends AnyFunSuite {
+class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+
+  private def tempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tempDirs += p
+    p.toString
+  }
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+    }
+    super.afterAll()
+  }
 
   private def executed(df: DataFrame): String = {
     df.collect()
@@ -27,7 +44,7 @@ class PlanAuditSpec extends AnyFunSuite {
   test("point-lookup filters reach the parquet scan (PushedFilters)") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_planaudit").toString
+    val dir = tempDir("graft_planaudit")
     (1L to 100L).map(i => (i, s"w${i % 3}", i * 2))
       .toDF("id", "website_id", "payload")
       .write.parquet(s"$dir/t")
@@ -48,7 +65,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // parquet-backed so the size comes from file statistics, the same
     // estimate the engine's real queries rely on — a hinted join would
     // only verify the hint is honored, not that planning still works
-    val dir = Files.createTempDirectory("graft_broadcast").toString
+    val dir = tempDir("graft_broadcast")
     (1L to 1000L).map(i => (i, i % 10)).toDF("k", "dim_id")
       .write.parquet(s"$dir/fact")
     (0L to 9L).map(i => (i, s"d$i")).toDF("dim_id", "name")
