@@ -51,12 +51,19 @@ object Bench {
     }
     val results = names.map { case (name, _) =>
       val sorted = samples(name).sorted
-      name -> sorted(sorted.size / 2)
+      (name, sorted.head, sorted(sorted.size / 2), sorted.last)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // [min, median, max] per query so a cross-round swing on unchanged
+    // code is attributable to shared-machine noise from the artifact
+    // alone (observed 5–15× single-shot swings); `queries` stays the
+    // plain median map for contract compatibility
+    val spread = results
+      .map { case (k, mn, med, mx) => "\"" + k + "\":[" + mn + "," + med + "," + mx + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -316,10 +316,15 @@ object EmbeddingDedup {
     * this on a clustered corpus). Honest worst case: on UNIFORM
     * vectors at a loose threshold (the synthetic test corpus at 0.4)
     * radius + theta_t exceeds pi, every cell is probed, and the plan
-    * degenerates to a cell-keyed all-pairs — same asymptotics as brute
-    * force, never worse than it, and still exactly correct. That
-    * degeneration is a property of the DATA (uniform 64-d vectors
-    * have no near-neighbor structure to exploit), not of the operator.
+    * degenerates to a cell-keyed all-pairs — same O(n²) asymptotics as
+    * brute force, still exactly correct, and in wall-clock terms WORSE
+    * than the plain cross join (measured ~3× at sf0.1: the centroid
+    * training passes and per-candidate angle math buy nothing when no
+    * candidate is pruned). That degeneration is a property of the DATA
+    * (uniform vectors have no near-neighbor structure to exploit), not
+    * of the operator: pick this path when the corpus is expected to
+    * have duplicate structure, the brute baseline when it is tiny or
+    * structureless.
     */
   def cosinePairsBucketed(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numCells: Int = 16): DataFrame =

@@ -88,6 +88,34 @@ object MergeScaleQ {
   private val q55MergeScale: Q = (s, d) =>
     webShape(Merge.mergeSubmissions(nestedAtScale(s, d)))
 
+  /** The bucketed nested store for q83: [[nestedAtScale]] materialized
+    * once per JVM per sf dir via [[graft.storage.Storage.appendBucketed]]
+    * (hash-bucketed AND sorted by the entity key at write time), then
+    * read back through the catalog so bucket metadata survives. The
+    * merge aggregation over this store runs with NO entity-key Exchange
+    * — the write-once layout pays the shuffle so every subsequent merge
+    * doesn't (SURVEY §4.4; the 100 TB pattern, reference analog: the
+    * deferred index build of indexes.sql:1–3). Bench passes after the
+    * first measure exactly the shuffle-free merge; the first pass bills
+    * the one-time layout write (visible in the bench spread). */
+  def bucketedNested(s: SparkSession, d: String): DataFrame = synchronized {
+    val tbl = "graft_nested_bucketed_" +
+      java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+    if (!s.catalog.tableExists(tbl)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_store").toString
+      new graft.storage.Storage(s, root).appendBucketed(
+        tbl, nestedAtScale(s, d),
+        Seq("website_id", "site_submission_id"), numBuckets = 32)
+    }
+    s.table(tbl)
+  }
+
+  /** q55's merge over the bucketed store, under q55's oracle: same
+    * answer, shuffle-free plan (MergeSpec asserts no Exchange). */
+  private val q83MergeScaleBucketed: Q = (s, d) =>
+    webShape(Merge.mergeSubmissions(bucketedNested(s, d)))
+
   /** Incremental merge maintenance under the hard gate: materialize
     * the merge of everything scanned before the cutoff, ingest the
     * rest as "the new batch" (re-merging only touched entities via
@@ -111,12 +139,16 @@ object MergeScaleQ {
 
   val queries: Map[String, Q] = Map(
     "q55_merge_scale" -> q55MergeScale,
-    "q65_incremental_merge" -> q65IncrementalMerge)
+    "q65_incremental_merge" -> q65IncrementalMerge,
+    "q83_merge_scale_bucketed" -> q83MergeScaleBucketed)
 
-  /** q65 must produce the identical answer to q55 — same oracle. */
+  /** q65 and q83 must produce the identical answer to q55 — same
+    * oracle: the incremental and shuffle-free paths are pure plan
+    * changes, never answer changes. */
   val oracles: Map[String, String] = Map(
     "q55_merge_scale" -> mergeScaleSql,
-    "q65_incremental_merge" -> mergeScaleSql)
+    "q65_incremental_merge" -> mergeScaleSql,
+    "q83_merge_scale_bucketed" -> mergeScaleSql)
 
   private lazy val mergeScaleSql: String =
       """WITH snaps AS (

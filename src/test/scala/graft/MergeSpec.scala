@@ -170,12 +170,10 @@ class MergeSpec extends AnyFunSuite {
 
   test("q55-scale merge over a bucketed nested store is shuffle-free (SURVEY §4.4)") {
     val s = spark
-    val st = new graft.storage.Storage(s,
-      java.nio.file.Files.createTempDirectory("graft_bucketed").toString)
+    // the exact q83 path: materialize-once bucketed store + catalog read
     val nested = graft.queries.MergeScaleQ.nestedAtScale(s, "/root/testdata/sf0.001")
-    st.appendBucketed("nested_submission_snapshots_b", nested,
-      Seq("website_id", "site_submission_id"), numBuckets = 4)
-    val merged = Merge.mergeSubmissions(st.readBucketed("nested_submission_snapshots_b"))
+    val merged = Merge.mergeSubmissions(
+      graft.queries.MergeScaleQ.bucketedNested(s, "/root/testdata/sf0.001"))
     val plan = merged.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"merge over the bucketed nested store should not shuffle:\n$plan")
