@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB: the only shuffle is the window's hash-partition on the key
   * — the same cost class as any keyed aggregation over both inputs.
-  * A skewed key can be pre-split by coarse time bucket (carrying each
-  * bucket's last right row into the next bucket) without changing the
-  * semantics.
+  * A skewed key (one entity holding a large share of both sides, the
+  * classic feature-store hot user) serializes on a single task in
+  * [[asofJoin]]; [[asofJoinSplit]] pre-splits the time axis into
+  * coarse buckets and carries each bucket's last right row into every
+  * later bucket, so the window partitions on (key, bucket) and the hot
+  * key's work spreads over `numSplits` tasks with IDENTICAL results
+  * (AsofJoinSpec proves split == unsplit on generated data, hot key
+  * included).
   *
   * Determinism: right rows tied on rightTime are ordered by `tieBreak`
   * and the LAST wins (i.e. the max tieBreak), so results are stable
@@ -43,16 +48,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  def asofJoin(
-      left: DataFrame,
-      right: DataFrame,
-      keys: Seq[String],
-      leftTime: String,
-      rightTime: String,
-      tieBreak: String): DataFrame = {
+  /** Build the tagged union sides shared by [[asofJoin]] and
+    * [[asofJoinSplit]]: left rows (side=1, null payload) and
+    * timestamped right rows (side=0, struct payload). */
+  private def sides(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, tieBreak: String)
+      : (DataFrame, DataFrame) = {
     require(left.columns.forall(_ != "asof"),
       "left side already has an 'asof' column")
-    val reserved = Set("__t", "__side", "__tie", "__payload")
+    val reserved = Set("__t", "__side", "__tie", "__payload", "__b")
     require((left.columns ++ right.columns).forall(!reserved.contains(_)),
       s"input columns may not use the reserved names ${reserved.mkString(", ")}")
     val leftCols = left.columns.filterNot(keys.contains).toSeq
@@ -75,7 +80,18 @@ object AsofJoin {
         lit(0).as("__side"),
         col(tieBreak).as("__tie"),
         rStruct.as("__payload")): _*)
+    (lSide, rSide)
+  }
 
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String): DataFrame = {
+    val (lSide, rSide) =
+      sides(left, right, keys, leftTime, rightTime, tieBreak)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -83,5 +99,80 @@ object AsofJoin {
       .withColumn("asof", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .drop("__t", "__side", "__tie", "__payload")
+  }
+
+  /** Skew-resistant as-of join: identical semantics to [[asofJoin]],
+    * but the window partitions on (key, COARSE TIME BUCKET) instead of
+    * the key alone, so one hot entity's rows spread over `numSplits`
+    * tasks instead of serializing on one.
+    *
+    * Completeness across bucket boundaries: each bucket's LAST right
+    * row (max (time, tieBreak)) is replicated into every later bucket,
+    * so a left row whose latest prior right row lives in an earlier
+    * bucket still sees it — specifically the replica from the nearest
+    * earlier bucket with any right rows, which sorts after every other
+    * carried replica (later bucket ⇒ strictly later time) and before
+    * every native row of the left row's bucket (bucket assignment is a
+    * monotone floor of the time axis). Replication cost is bounded by
+    * numSplits²/2 rows per key — noise next to the inputs.
+    *
+    * The bucket boundaries come from one tiny min/max job over both
+    * time columns (same cost class as the sampling pass behind Spark's
+    * own range partitioning; documented driver action, one row). When
+    * the time axis is degenerate (empty inputs, all-null or constant
+    * times) the operator falls back to the unsplit path — buckets
+    * could not spread work anyway.
+    *
+    * Trade-off vs [[asofJoin]]: one extra window pass over the right
+    * side (the per-bucket last pick) and the replicated rows; use it
+    * when a key can dominate a partition, the plain path when keys are
+    * well-distributed. AsofJoinSpec asserts split == unsplit on
+    * randomized data with a hot key; q84 runs it under q73's oracle.
+    */
+  def asofJoinSplit(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      numSplits: Int = 8): DataFrame = {
+    require(numSplits >= 2, "numSplits must be >= 2 (use asofJoin for 1)")
+    val bounds = left.select(col(leftTime).cast("double").as("t"))
+      .unionByName(right.select(col(rightTime).cast("double").as("t")))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(1) ||
+        !(bounds.getDouble(1) > bounds.getDouble(0)))
+      return asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
+    val lo = bounds.getDouble(0)
+    val width = (bounds.getDouble(1) - lo) / numSplits
+    // monotone bucket of a time value; null times fall through to a
+    // valid bucket (greatest/least skip nulls) and keep their null-
+    // sorts-first semantics inside it, same as the unsplit path
+    def bucketOf(t: Column): Column =
+      greatest(lit(0), least(lit(numSplits - 1),
+        floor((t.cast("double") - lit(lo)) / lit(width)).cast("int")))
+
+    val (lSide, rSide) =
+      sides(left, right, keys, leftTime, rightTime, tieBreak)
+    val lb = lSide.withColumn("__b", bucketOf(col("__t")))
+    val rb = rSide.withColumn("__b", bucketOf(col("__t")))
+    val byBucket = (keys :+ "__b").map(col)
+    val wLast = Window.partitionBy(byBucket: _*)
+      .orderBy(col("__t").desc, col("__tie").desc)
+    val carried = rb
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__b", explode(
+        when(col("__b") < numSplits - 1,
+          sequence(col("__b") + 1, lit(numSplits - 1)))
+          .otherwise(array().cast("array<int>"))))
+    val w = Window.partitionBy(byBucket: _*)
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lb.unionByName(rb).unionByName(carried)
+      .withColumn("asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__tie", "__payload", "__b")
   }
 }

@@ -154,18 +154,41 @@ object EventsMerge {
         $"asof".getField("value").as("purchase_value"))
   }
 
+  /** q73's lookup through the skew-split path ([[graft.operators
+    * .AsofJoin.asofJoinSplit]]): the (key, time-bucket) pre-split with
+    * carried per-bucket last rows must produce the IDENTICAL answer —
+    * same oracle as q73, so "splitting changes the plan, never the
+    * answer" sits under the hard gate like q64 (salting) and q83
+    * (bucketed merge). */
+  private val q84AsofJoinSplit: Q = (s, d) => {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.asofJoinSplit(
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id",
+      numSplits = 8)
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q58_sessionize" -> q58Sessionize,
     "q59_percentiles" -> q59Percentiles,
     "q73_asof_join" -> q73AsofJoin,
+    "q84_asof_join_split" -> q84AsofJoinSplit,
     "q15_latest_snapshot" -> q15Latest,
     "q16_entity_summary" -> q16EntitySummary,
     "q17_coalesce_nonnull" -> q17CoalesceNonNull,
     "q18_json_merge" -> q18JsonMerge,
     "q19_event_dedup" -> q19EventDedup)
 
-  val oracles: Map[String, String] = Map(
-    "q73_asof_join" ->
+  /** Shared by q73 (plain) and q84 (skew-split): the split is a pure
+    * plan change, so both must reproduce the same correlated argmax. */
+  private lazy val asofSql: String =
       """WITH c AS (
         |  SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'click'),
@@ -180,7 +203,11 @@ object EventsMerge {
         |  FROM c)
         |SELECT m.user_id, m.click_id, m.purchase_id,
         |  p.value AS purchase_value
-        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
+        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q73_asof_join" -> asofSql,
+    "q84_asof_join_split" -> asofSql,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -110,6 +110,69 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(101L) === None)
   }
 
+  test("skew-split asof equals unsplit on randomized data with a hot key") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // 70% of rows on key 1 (the hot entity), rest spread over 7 keys;
+    // deliberately includes time ties and left rows before any right
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    val left = Seq.tabulate(400)(i => (key(), i.toLong, rnd.nextInt(60).toLong))
+      .toDF("k", "lid", "t")
+    val right = Seq.tabulate(300)(i => (key(), 1000L + i, rnd.nextInt(60).toLong, s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val unsplit = canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid"))
+    for (splits <- Seq(2, 3, 8)) {
+      val split = canon(AsofJoin.asofJoinSplit(
+        left, right, Seq("k"), "t", "t", "rid", numSplits = splits))
+      assert(split === unsplit, s"numSplits=$splits")
+    }
+  }
+
+  test("skew-split asof: null times and degenerate axes match unsplit") {
+    val s = spark
+    import s.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    // null left time + null right time mixed in
+    val left = Seq((1L, 100L, Some(10L)), (1L, 101L, None), (2L, 102L, Some(3L)))
+      .toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, None), (1L, 901L, Some(5L)), (2L, 902L, Some(9L)))
+      .toDF("k", "rid", "t")
+    assert(canon(AsofJoin.asofJoinSplit(left, right, Seq("k"), "t", "t", "rid"))
+      === canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid")))
+    // constant time axis: falls back to the unsplit path (width = 0)
+    val lconst = Seq((1L, 100L, 5L), (1L, 101L, 5L)).toDF("k", "lid", "t")
+    val rconst = Seq((1L, 900L, 5L), (1L, 901L, 5L)).toDF("k", "rid", "t")
+    assert(canon(AsofJoin.asofJoinSplit(lconst, rconst, Seq("k"), "t", "t", "rid"))
+      === canon(AsofJoin.asofJoin(lconst, rconst, Seq("k"), "t", "t", "rid")))
+    // empty right side
+    val rempty = Seq.empty[(Long, Long, Long)].toDF("k", "rid", "t")
+    assert(canon(AsofJoin.asofJoinSplit(left, rempty, Seq("k"), "t", "t", "rid"))
+      === canon(AsofJoin.asofJoin(left, rempty, Seq("k"), "t", "t", "rid")))
+  }
+
+  test("skew-split asof spreads a hot key over multiple window partitions") {
+    val s = spark
+    import s.implicits._
+    // every row on ONE key: the unsplit window serializes on one task,
+    // the split plan must partition the window by (k, __b)
+    val left = (0L until 200L).map(i => (1L, i, i)).toDF("k", "lid", "t")
+    val right = (0L until 200L).map(i => (1L, 1000L + i, i)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinSplit(left, right, Seq("k"), "t", "t", "rid", numSplits = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("__b"),
+      s"split plan should window on (key, __b):\n$plan")
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._
