@@ -14,10 +14,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * name round-trips) — exercised in EnrichmentSpec against a
   * local in-JVM HTTP server; point it at the real host in production.
   *
-  * Rate limiting is per-partition (interval × parallelism ≈ global
-  * rate; run with a single partition or a distributed token bucket for
-  * a hard global cap — the reference's single process makes 1 req/s
-  * total, so callers wanting exact parity coalesce(1) this stage).
+  * Rate limiting defaults to a HARD GLOBAL CAP: the enrichment stage
+  * runs on a single partition (coalesce(1)), so the total request rate
+  * is 1/minIntervalMs regardless of the input's partitioning — exact
+  * parity with the reference's single process (user_lookup.py:114).
+  * An accidentally 200-partition input must not hammer the remote API
+  * at 200 req/s, so spreading is OPT-IN (`globalRateCap = false`),
+  * for callers who own the remote quota and accept interval ×
+  * parallelism as the aggregate rate. Enrichment throughput is gated
+  * by the remote API either way — parallelism buys nothing a larger
+  * quota doesn't.
   */
 object Enrichment {
 
@@ -62,19 +68,26 @@ object Enrichment {
     * @param lookup the remote call stand-in; deterministic default =
     *               the F15 username guess (a real Weasyl client goes
     *               here, initialized once per partition)
+    * @param globalRateCap when true (the default), run the stage on ONE
+    *               partition so the per-partition limiter IS the global
+    *               limiter (total rate ≤ 1/minIntervalMs, reference
+    *               parity). Opt out only when the remote quota allows
+    *               interval × parallelism requests per second.
     */
   def enrichUsernames(
       df: DataFrame,
       usernameCol: String,
       cache: Map[String, String],
       minIntervalMs: Long = 1000L,
-      lookup: String => Option[String] = d => Some(guessUsername(d))): DataFrame = {
+      lookup: String => Option[String] = d => Some(guessUsername(d)),
+      globalRateCap: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val bcCache = spark.sparkContext.broadcast(cache)
     val outSchema = StructType(df.schema.fields :+
       StructField("canonical_username", StringType, nullable = true))
     val idx = df.schema.fieldIndex(usernameCol)
-    val rdd = df.rdd.mapPartitions { it =>
+    val in = if (globalRateCap) df.coalesce(1) else df
+    val rdd = in.rdd.mapPartitions { it =>
       // per-partition init: client + local rate-limiter state
       var lastCall = 0L
       val memo = scala.collection.mutable.Map.empty[String, Option[String]]

@@ -71,9 +71,61 @@ object MaintenanceQ {
         coalesce($"n_survivors", lit(0L)).as("n_survivors"))
   }
 
-  val queries: Map[String, Q] = Map("q41_repair" -> q41Repair)
+  /** Q13/S8 under the hard gate (reference scripts/cron/dump_db.py:
+    * 13–42, minus its 10/100-row dev caps per SURVEY Appendix A8):
+    * dump every fixture snapshot table AND the merged-submission
+    * export to JSONL via [[graft.maintenance.Dump]], read each file
+    * back with the original schema, and emit per table the re-read
+    * row count plus both exceptAll directions against the pre-dump
+    * frame. The oracle pins (count, 0, 0) — any row the JSONL
+    * round-trip drops, duplicates, or corrupts (timestamps, base64
+    * binary hashes, nested keyword/file structs, null-field
+    * omission) breaks the hash match. */
+  private val q85DumpRoundtrip: Q = (s, _) => {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dump_roundtrip").toString
+    val merged = graft.engine.Merge.mergeSubmissions(
+      graft.engine.Merge.nestedSubmissionSnapshots(
+        Fixtures.submissionSnapshots(s), Fixtures.keywords(s),
+        Fixtures.files(s), Fixtures.fileHashes(s), Fixtures.contributors(s)))
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "user_snapshots" -> Fixtures.userSnapshots(s),
+      "submission_snapshots" -> Fixtures.submissionSnapshots(s),
+      "keywords" -> Fixtures.keywords(s),
+      "files" -> Fixtures.files(s),
+      "file_hashes" -> Fixtures.fileHashes(s),
+      "merged_submissions" -> merged)
+    tables.map { case (name, df) =>
+      val path = s"$root/$name"
+      if (name == "merged_submissions") graft.maintenance.Dump.mergedJsonl(df, path)
+      else graft.maintenance.Dump.snapshotsJsonl(df, path)
+      val back = s.read.schema(df.schema).json(path)
+      back.agg(count(lit(1)).as("row_count"))
+        .crossJoin(df.exceptAll(back).agg(count(lit(1)).as("n_missing")))
+        .crossJoin(back.exceptAll(df).agg(count(lit(1)).as("n_extra")))
+        .select(lit(name).as("table_name"),
+          $"row_count", $"n_missing", $"n_extra")
+    }.reduce(_ unionByName _)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q41_repair" -> q41Repair,
+    "q85_dump_roundtrip" -> q85DumpRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "q85_dump_roundtrip" ->
+      """SELECT table_name, CAST(row_count AS BIGINT) AS row_count,
+        | CAST(n_missing AS BIGINT) AS n_missing,
+        | CAST(n_extra AS BIGINT) AS n_extra
+        |FROM (VALUES
+        | ('user_snapshots', 3, 0, 0),
+        | ('submission_snapshots', 4, 0, 0),
+        | ('keywords', 5, 0, 0),
+        | ('files', 5, 0, 0),
+        | ('file_hashes', 5, 0, 0),
+        | ('merged_submissions', 2, 0, 0)
+        |) t(table_name, row_count, n_missing, n_extra)""".stripMargin,
     "q41_repair" ->
       """SELECT table_name, CAST(n_input AS BIGINT) AS n_input,
         | CAST(n_survivors AS BIGINT) AS n_survivors

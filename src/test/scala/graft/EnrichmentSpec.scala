@@ -80,4 +80,52 @@ class EnrichmentSpec extends AnyFunSuite {
       assert(elapsedMs >= 150.0, s"elapsed ${elapsedMs}ms")
     }
   }
+
+  test("global rate cap holds across a multi-partition input (default on)") {
+    val s = spark
+    import s.implicits._
+    EnrichmentSpec.callTimes.clear()
+    val df = (1 to 6).map(i => s"user$i").toDF("display_name").repartition(8)
+    assert(df.rdd.getNumPartitions === 8)
+    val out = Enrichment.enrichUsernames(
+      df, "display_name", cache = Map.empty, minIntervalMs = 80L,
+      lookup = EnrichmentSpec.recordingLookup)
+      .collect()
+    assert(out.length === 6)
+    val times = EnrichmentSpec.callTimes.toSeq.sorted
+    assert(times.size === 6) // memo still deduplicates
+    // the cap is GLOBAL: every consecutive pair of calls — regardless
+    // of which input partition the rows came from — is spaced by the
+    // interval (70ms bound absorbs currentTimeMillis/nanoTime skew)
+    val gaps = times.zip(times.tail).map { case (a, b) => (b - a) / 1e6 }
+    assert(gaps.forall(_ >= 70.0),
+      s"call gaps ${gaps.map(_.round)}ms must all be >= ~80ms")
+  }
+
+  test("globalRateCap=false opts out and preserves input parallelism") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 6).map(i => s"user$i").toDF("display_name").repartition(8)
+    val out = Enrichment.enrichUsernames(
+      df, "display_name", cache = Map.empty, minIntervalMs = 1L,
+      lookup = d => Some(d.toUpperCase), globalRateCap = false)
+    assert(out.rdd.getNumPartitions === 8)
+    assert(out.collect().length === 6)
+  }
+}
+
+/** JVM-global call-time sink: closures are serialized per task even in
+  * local mode, so a captured buffer would be a per-task copy — a
+  * static object reached by class reference is the same instance for
+  * every task in the test JVM. */
+object EnrichmentSpec {
+  object callTimes {
+    private val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    def add(t: Long): Unit = synchronized { buf += t }
+    def clear(): Unit = synchronized { buf.clear() }
+    def toSeq: Seq[Long] = synchronized { buf.toSeq }
+  }
+  def recordingLookup: String => Option[String] = { d =>
+    callTimes.add(System.nanoTime()); Some(d.toUpperCase)
+  }
 }
