@@ -146,12 +146,17 @@ object AsofJoin {
       return asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
     val lo = bounds.getDouble(0)
     val width = (bounds.getDouble(1) - lo) / numSplits
-    // monotone bucket of a time value; null times fall through to a
-    // valid bucket (greatest/least skip nulls) and keep their null-
-    // sorts-first semantics inside it, same as the unsplit path
-    def bucketOf(t: Column): Column =
-      greatest(lit(0), least(lit(numSplits - 1),
-        floor((t.cast("double") - lit(lo)) / lit(width)).cast("int")))
+    // monotone bucket of a time value; null times pin to bucket 0 —
+    // unsplit semantics give a null-time row no prior right row, and
+    // bucket 0 is the only bucket guaranteed to hold no carried
+    // replicas, so the nulls-sort-first window yields a null payload
+    // there by construction rather than by accident of ordering
+    def bucketOf(t: Column): Column = {
+      val d = t.cast("double")
+      when(d.isNull, lit(0)).otherwise(
+        greatest(lit(0), least(lit(numSplits - 1),
+          floor((d - lit(lo)) / lit(width)).cast("int"))))
+    }
 
     val (lSide, rSide) =
       sides(left, right, keys, leftTime, rightTime, tieBreak)

@@ -134,6 +134,32 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-split asof: null-time rows with a left row strictly inside bucket 0") {
+    val s = spark
+    import s.implicits._
+    // left at the GLOBAL MIN time (bucket 0, far from the last bucket),
+    // a null-time right row, and a right row at the global max: both
+    // paths must return a null asof for the left row — the null-time
+    // right row is excluded and the t=hi row is later. Guards against
+    // null-time rows being bucketed where carried replicas exist.
+    val left = Seq((1L, 100L, Some(0L)), (1L, 101L, None)).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 900L, None),       // null-time: excluded by <= semantics
+      (1L, 901L, Some(100L))  // after every left row
+    ).toDF("k", "rid", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    val unsplit = canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid"))
+    assert(unsplit === Seq(100L -> None, 101L -> None))
+    for (splits <- Seq(2, 4, 8)) {
+      assert(canon(AsofJoin.asofJoinSplit(
+        left, right, Seq("k"), "t", "t", "rid", numSplits = splits))
+        === unsplit, s"numSplits=$splits")
+    }
+  }
+
   test("skew-split asof: null times and degenerate axes match unsplit") {
     val s = spark
     import s.implicits._
