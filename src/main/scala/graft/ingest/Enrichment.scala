@@ -15,15 +15,26 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * local in-JVM HTTP server; point it at the real host in production.
   *
   * Rate limiting defaults to a HARD GLOBAL CAP: the enrichment stage
-  * runs on a single partition (coalesce(1)), so the total request rate
-  * is 1/minIntervalMs regardless of the input's partitioning — exact
-  * parity with the reference's single process (user_lookup.py:114).
-  * An accidentally 200-partition input must not hammer the remote API
-  * at 200 req/s, so spreading is OPT-IN (`globalRateCap = false`),
-  * for callers who own the remote quota and accept interval ×
-  * parallelism as the aggregate rate. Enrichment throughput is gated
-  * by the remote API either way — parallelism buys nothing a larger
-  * quota doesn't.
+  * runs on a single partition (repartition(1)), so the total request
+  * rate is 1/minIntervalMs regardless of the input's partitioning —
+  * exact parity with the reference's single process
+  * (user_lookup.py:114). An accidentally 200-partition input must not
+  * hammer the remote API at 200 req/s, so spreading is OPT-IN
+  * (`globalRateCap = false`), for callers who own the remote quota and
+  * accept interval × parallelism as the aggregate rate. Enrichment
+  * throughput is gated by the remote API either way — parallelism buys
+  * nothing a larger quota doesn't.
+  *
+  * The cap MUST be `repartition(1)`, not `coalesce(1)`: coalesce has
+  * no stage boundary, so it would collapse the ENTIRE upstream
+  * pipeline of `df` into one task — at scale, a heavy upstream
+  * transform would silently lose all its parallelism whenever the
+  * (default-on) cap is active. repartition inserts an exchange:
+  * upstream stages keep their width and only the rate-limited map
+  * serializes. The extra shuffle is the price of the cap, and it is
+  * tiny next to the 1 req/s network wait it guards
+  * (reference analog: the 1 req/s lock is on the HTTP call, not the
+  * whole job — user_lookup.py:114).
   */
 object Enrichment {
 
@@ -86,7 +97,8 @@ object Enrichment {
     val outSchema = StructType(df.schema.fields :+
       StructField("canonical_username", StringType, nullable = true))
     val idx = df.schema.fieldIndex(usernameCol)
-    val in = if (globalRateCap) df.coalesce(1) else df
+    // repartition, NOT coalesce: keep upstream stages wide (see class doc)
+    val in = if (globalRateCap) df.repartition(1) else df
     val rdd = in.rdd.mapPartitions { it =>
       // per-partition init: client + local rate-limiter state
       var lastCall = 0L

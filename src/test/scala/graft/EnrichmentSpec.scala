@@ -102,6 +102,35 @@ class EnrichmentSpec extends AnyFunSuite {
       s"call gaps ${gaps.map(_.round)}ms must all be >= ~80ms")
   }
 
+  test("global cap serializes ONLY the rate-limited map: upstream stages stay wide") {
+    val s = spark
+    import s.implicits._
+    EnrichmentSpec.upstreamParts.clear()
+    // a recording upstream transform over 8 partitions: with the cap
+    // implemented as repartition(1) (a real exchange) this stage keeps
+    // all 8 tasks; a coalesce(1) cap would collapse it to ONE task and
+    // this test would see a single partition id
+    val df = (1 to 64).map(i => s"user${i % 8}").toDF("display_name")
+      .repartition(8)
+      .as[String]
+      .mapPartitions { it =>
+        EnrichmentSpec.upstreamParts.add(
+          org.apache.spark.TaskContext.getPartitionId().toLong)
+        it
+      }
+      .toDF("display_name")
+    val out = Enrichment.enrichUsernames(
+      df, "display_name", cache = Map.empty, minIntervalMs = 1L,
+      lookup = d => Some(d.toUpperCase))
+    // the capped stage itself is one partition (the global limiter)...
+    assert(out.rdd.getNumPartitions === 1)
+    assert(out.collect().length === 64)
+    // ...but the upstream map ran across all 8 input partitions
+    assert(EnrichmentSpec.upstreamParts.toSeq.distinct.size === 8,
+      s"upstream ran in partitions ${EnrichmentSpec.upstreamParts.toSeq.distinct.sorted}; " +
+        "expected 8 — the global cap must not collapse upstream stages")
+  }
+
   test("globalRateCap=false opts out and preserves input parallelism") {
     val s = spark
     import s.implicits._
@@ -127,5 +156,11 @@ object EnrichmentSpec {
   }
   def recordingLookup: String => Option[String] = { d =>
     callTimes.add(System.nanoTime()); Some(d.toUpperCase)
+  }
+  object upstreamParts {
+    private val buf = scala.collection.mutable.ArrayBuffer[Long]()
+    def add(t: Long): Unit = synchronized { buf += t }
+    def clear(): Unit = synchronized { buf.clear() }
+    def toSeq: Seq[Long] = synchronized { buf.toSeq }
   }
 }
