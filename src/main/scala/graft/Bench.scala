@@ -63,7 +63,21 @@ object Bench {
       .map { case (k, mn, med, mx) => "\"" + k + "\":[" + mn + "," + med + "," + mx + "]" }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+    println(json)
+    // The driver snapshot keeps only a truncated tail of stdout (≈ the
+    // last 32 queries), so the full per-query {min, median, max} map is
+    // also written to a file that gets committed with the round —
+    // without it, most of the corpus is invisible to round-over-round
+    // trend analysis. Override the path with SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
