@@ -98,9 +98,20 @@ object MergeScaleQ {
     * deferred index build of indexes.sql:1–3). Bench passes after the
     * first measure exactly the shuffle-free merge; the first pass bills
     * the one-time layout write (visible in the bench spread). */
+  /** Catalog table name for the per-JVM bucketed store of a data dir.
+    * The FULL path is folded in two ways — a readable sanitized form
+    * plus an md5 of the exact path — so two distinct dirs can never
+    * share a table (a bare hashCode key would silently serve one dir's
+    * store for another on collision, e.g. "Aa"/"BB"). */
+  private[graft] def bucketedTableName(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val readable = d.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
+    s"graft_nested_bucketed_${readable}_$digest"
+  }
+
   def bucketedNested(s: SparkSession, d: String): DataFrame = synchronized {
-    val tbl = "graft_nested_bucketed_" +
-      java.lang.Integer.toHexString(d.hashCode).replace('-', 'n')
+    val tbl = bucketedTableName(d)
     if (!s.catalog.tableExists(tbl)) {
       val root = java.nio.file.Files
         .createTempDirectory("graft_bucketed_store").toString

@@ -190,6 +190,19 @@ class MergeSpec extends AnyFunSuite {
     assert(nFiles === nFilesDirect)
   }
 
+  test("bucketedTableName: distinct dirs get distinct tables, even on hashCode collision") {
+    import graft.queries.MergeScaleQ.bucketedTableName
+    // "Aa" and "BB" have identical Java hashCodes — the old hashCode
+    // key would have served one dir's bucketed store for the other
+    assert("/data/Aa".hashCode === "/data/BB".hashCode)
+    assert(bucketedTableName("/data/Aa") !== bucketedTableName("/data/BB"))
+    // names must be valid catalog identifiers
+    val n = bucketedTableName("/root/testdata/sf0.1")
+    assert(n.matches("[A-Za-z0-9_]+"), n)
+    // deterministic per path
+    assert(n === bucketedTableName("/root/testdata/sf0.1"))
+  }
+
   test("longToBigEndianBinary matches struct.pack('>q') semantics (F9)") {
     val s = spark
     import s.implicits._
