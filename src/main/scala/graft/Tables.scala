@@ -40,9 +40,33 @@ object Tables {
     * struct building) would run on one core. At real scale scans have
     * >= defaultParallelism splits and this is a no-op (no shuffle
     * added). Decode itself still happens in the scan task — use only
-    * where downstream per-row work dominates decode. */
+    * where downstream per-row work dominates decode.
+    *
+    * Width is estimated from the scan's file list, NOT
+    * `df.rdd.getNumPartitions` — the RDD probe compiles a physical
+    * plan on the driver per call. `inputFiles` walks the analyzed
+    * plan's relations only. The estimate counts splittable files as
+    * ceil(size / maxPartitionBytes) splits, so a few huge multi-split
+    * files are not mistaken for an under-partitioned scan. A non-file
+    * source (empty `inputFiles`) is left untouched — in this codebase
+    * spread() guards parquet scans only. */
   def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) df
+    else {
+      val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .replaceAll("[^0-9]", "") match { case "" => 134217728L; case n => n.toLong }
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val estSplits = files.map { f =>
+        try math.max(1L,
+          (fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
+            + maxSplit - 1) / maxSplit)
+        catch { case _: java.io.IOException => 1L }
+      }.sum
+      if (estSplits < p) df.repartition(p) else df
+    }
   }
 }
