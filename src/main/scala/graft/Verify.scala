@@ -4,6 +4,23 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run one query to parquet inside a [[graft.engine.CacheRegistry
+    * .withRetained]] scope: operators persist sketch tables internally
+    * (Dedup, Similarity), and the scope unpersists exactly those frames
+    * once the write has materialized — the long-lived Verify session
+    * never accumulates cached blocks across queries. */
+  def runOne(spark: SparkSession, sfDir: String, outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    graft.engine.CacheRegistry.withRetained {
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,16 +33,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally {
-        // operators persist sketch tables internally; drop them so a
-        // 72-query run doesn't accumulate cached blocks
-        graft.engine.CacheRegistry.releaseAll()
-        spark.catalog.clearCache()
-      }
+      runOne(spark, sfDir, outDir, name, fn)
+      // frames retained during the query were released by the scope;
+      // anything still live would accumulate over an 85-query run
+      if (graft.engine.CacheRegistry.liveCount != 0)
+        System.err.println(s"[verify] $name leaked " +
+          s"${graft.engine.CacheRegistry.liveCount} retained frames")
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -132,16 +132,24 @@ object Api {
     s"""{"error":{"code":$code,"message":"$message"}}"""
 
   /** Point lookup with 404 semantics: the merged web JSON, or the
-    * error envelope when the entity has no snapshots (web.py:70–77). */
+    * error envelope when the entity has no snapshots (web.py:70–77).
+    *
+    * Runs inside a [[graft.engine.CacheRegistry.withRetained]] scope —
+    * this is the Api entry point that both BUILDS and MATERIALIZES a
+    * query, so any frames operators retain along the way are released
+    * here, not left for the session to leak. (The DataFrame-returning
+    * Api methods stay lazy; their caller owns materialization and
+    * should wrap it the same way.) */
   def submissionJsonOr404(api: Api, websiteId: String,
-      siteSubmissionId: String): String = {
-    val rows = submissionWebJson(
-      api.viewSubmission(websiteId, siteSubmissionId)).take(1)
-    if (rows.isEmpty)
-      errorEnvelope(404,
-        s"Submission $websiteId/$siteSubmissionId not found")
-    else rows.head.getString(0)
-  }
+      siteSubmissionId: String): String =
+    graft.engine.CacheRegistry.withRetained {
+      val rows = submissionWebJson(
+        api.viewSubmission(websiteId, siteSubmissionId)).take(1)
+      if (rows.isEmpty)
+        errorEnvelope(404,
+          s"Submission $websiteId/$siteSubmissionId not found")
+      else rows.head.getString(0)
+    }
 
   /** The merged-submission web envelope (submission.py:106–125):
     * {website_id, site_submission_id, cache_data{…},

@@ -45,6 +45,35 @@ class ApiSpec extends AnyFunSuite {
       === Array("s1", "s2"))
   }
 
+  test("Verify.runOne and submissionJsonOr404 release operator-retained frames") {
+    val s = spark
+    import s.implicits._
+    import graft.engine.CacheRegistry
+    CacheRegistry.releaseAll()
+    val out = Files.createTempDirectory("graft_verify_scope").toString
+    // a query that retains internally, like Dedup/Similarity do
+    Verify.runOne(s, "unused", out, "retainer",
+      (sp, _) => {
+        val df = CacheRegistry.retain(Seq(1, 2, 3).toDF("v"))
+        assert(CacheRegistry.liveCount === 1)
+        df
+      })
+    assert(CacheRegistry.liveCount === 0,
+      "Verify's per-query scope must release retained frames")
+    assert(s.read.parquet(s"$out/retainer").count() === 3L)
+    // a FAILING query releases too (withRetained releases on exception)
+    Verify.runOne(s, "unused", out, "boom",
+      (sp, _) => {
+        CacheRegistry.retain(Seq(1).toDF("v"))
+        throw new RuntimeException("boom")
+      })
+    assert(CacheRegistry.liveCount === 0)
+    // the materializing Api entry point is scoped the same way
+    val api = freshApi()
+    assert(Api.submissionJsonOr404(api, "fa", "s1").contains("cache_data"))
+    assert(CacheRegistry.liveCount === 0)
+  }
+
   test("hashSearch joins through files to snapshots (Q7)") {
     val api = freshApi()
     val hits = api.hashSearch(1L, Array(0xAA.toByte, 0xBB.toByte, 0x01.toByte))
