@@ -146,21 +146,28 @@ object AsofJoin {
       return asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
     val lo = bounds.getDouble(0)
     val width = (bounds.getDouble(1) - lo) / numSplits
-    // monotone bucket of a time value; null times pin to bucket 0 —
-    // unsplit semantics give a null-time row no prior right row, and
-    // bucket 0 is the only bucket guaranteed to hold no carried
-    // replicas, so the nulls-sort-first window yields a null payload
-    // there by construction rather than by accident of ordering
+    // monotone bucket of a non-null time value (right rows with null
+    // times are excluded at the source in `sides`)
     def bucketOf(t: Column): Column = {
       val d = t.cast("double")
-      when(d.isNull, lit(0)).otherwise(
-        greatest(lit(0), least(lit(numSplits - 1),
-          floor((d - lit(lo)) / lit(width)).cast("int"))))
+      greatest(lit(0), least(lit(numSplits - 1),
+        floor((d - lit(lo)) / lit(width)).cast("int")))
     }
 
     val (lSide, rSide) =
       sides(left, right, keys, leftTime, rightTime, tieBreak)
-    val lb = lSide.withColumn("__b", bucketOf(col("__t")))
+    // Null-time LEFT rows spread across buckets by a deterministic row
+    // hash: null __t sorts before every non-null row in the window
+    // (nulls-first ascending), so the running last-non-null payload is
+    // null for them in ANY bucket, carried replicas included — the
+    // unsplit semantics (null asof) hold wherever they land. Spreading
+    // matters because a hot key whose left side is dominated by null
+    // timestamps would otherwise re-concentrate on one (key, bucket)
+    // task — the very skew this operator exists to remove.
+    val lb = lSide.withColumn("__b",
+      when(col("__t").isNull,
+        pmod(hash(lSide.columns.map(col): _*), lit(numSplits)).cast("int"))
+        .otherwise(bucketOf(col("__t"))))
     val rb = rSide.withColumn("__b", bucketOf(col("__t")))
     val byBucket = (keys :+ "__b").map(col)
     val wLast = Window.partitionBy(byBucket: _*)

@@ -160,6 +160,73 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-split asof equals unsplit with RANDOMIZED null times on both sides") {
+    val s = spark
+    import s.implicits._
+    // nullable-time generalization of the hot-key property: 15% of
+    // left times and 15% of right times are null, placement random, so
+    // any future bucketing refactor is covered for arbitrary null
+    // placements — not just the hand-picked boundary cases below
+    val rnd = new scala.util.Random(13)
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    def time(): Option[Long] =
+      if (rnd.nextInt(100) < 15) None else Some(rnd.nextInt(60).toLong)
+    val leftRows = Seq.tabulate(400)(i => (key(), i.toLong, time()))
+    val rightRows = Seq.tabulate(300)(i => (key(), 1000L + i, time(), s"v$i"))
+    val left = leftRows.toDF("k", "lid", "t")
+    val right = rightRows.toDF("k", "rid", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val unsplit = canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid"))
+    // sanity vs the naive argmax (null right times excluded, null left
+    // times match nothing)
+    val byLid = unsplit.map(r => r._2 -> r._3).toMap
+    leftRows.foreach { case (k, lid, t) =>
+      val expected = t.flatMap { lt =>
+        rightRows.filter(r => r._1 == k && r._3.exists(_ <= lt))
+          .sortBy(r => (r._3.get, r._2)).lastOption.map(_._2)
+      }
+      assert(byLid(lid) === expected, s"left ($k, $lid, $t)")
+    }
+    for (splits <- Seq(2, 4, 8)) {
+      val split = canon(AsofJoin.asofJoinSplit(
+        left, right, Seq("k"), "t", "t", "rid", numSplits = splits))
+      assert(split === unsplit, s"numSplits=$splits")
+    }
+  }
+
+  test("skew-split asof: null-time left rows spread across buckets, not pinned") {
+    val s = spark
+    import s.implicits._
+    // regression for the bucket-0 concentration: a hot key whose left
+    // side is ALL null timestamps must not land on a single (key,
+    // bucket). The row-hash spread is deterministic, so just assert
+    // >1 distinct bucket is used AND results still match unsplit.
+    val left = (0L until 64L).map(i => (1L, i, None: Option[Long]))
+      .toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, Some(0L)), (1L, 901L, Some(100L)))
+      .toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinSplit(left, right, Seq("k"), "t", "t", "rid", numSplits = 8)
+    val out = q.selectExpr("lid", "asof.rid AS rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(out === (0L until 64L).map(_ -> None))
+    // count distinct buckets the null-time left rows hash into by
+    // replaying the operator's spread expression
+    import org.apache.spark.sql.functions._
+    val lSideCols = Seq("k", "lid", "t", "__t", "__side", "__tie", "__payload")
+    val buckets = left
+      .withColumn("__t", col("t")).withColumn("__side", lit(1))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__payload", lit(null).cast("struct<rid:bigint,t:bigint>"))
+      .select(pmod(hash(lSideCols.map(col): _*), lit(8)).cast("int").as("b"))
+      .distinct().count()
+    assert(buckets > 1L,
+      "null-time left rows should spread over multiple buckets")
+  }
+
   test("skew-split asof: null times and degenerate axes match unsplit") {
     val s = spark
     import s.implicits._
