@@ -102,6 +102,123 @@ class StreamingSpec extends AnyFunSuite {
     assert(!hits.exists(h => Set(h._1, h._2).contains(2L))) // unrelated doc clean
   }
 
+  test("near-dup stream: FIFO eviction from the lowest colliding band misses the pair; batch backstop recovers") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Dedup
+    val k = 32; val bands = 8; val threshold = 0.7
+    // Adversarial construction for the DOCUMENTED eviction miss
+    // (EventStreams.scala: only the LOWEST colliding band may emit a
+    // pair; under FIFO eviction, if the older doc was evicted from
+    // that band's bucket but survives in a higher band's, the pair is
+    // missed). We need a triple:
+    //   A: the old doc.  B: a near-dup of A (est >= threshold),
+    //   colliding with A in >= 2 bands, lowest = j.
+    //   F: filler that shares A's band-j BUCKET (evicting A there at
+    //   maxPerBucket=1) but is below threshold vs both, and does NOT
+    //   collide with A in some higher A-B band j' (so A survives
+    //   there and the lowest-band suppression causes the miss).
+    // Band hashes are opaque, so search perturbed texts using the
+    // operator's own signature/banding functions (seeded: determinstic).
+    val rnd = new scala.util.Random(99)
+    val baseWords = (0 until 40).map(i => s"tok$i")
+    val aText = baseWords.mkString(" ")
+    val bCandidates = (0 until 12).map { i =>
+      baseWords.updated(30 + i % 9, s"chg$i").mkString(" ") }
+    val fCandidates = (0 until 400).map { i =>
+      var w = baseWords
+      val n = 8 + rnd.nextInt(12)
+      (0 until n).foreach(_ =>
+        w = w.updated(rnd.nextInt(40), s"f${i}x${rnd.nextInt(1000)}"))
+      w.mkString(" ")
+    }
+    val all = (Seq(aText) ++ bCandidates ++ fCandidates).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val info = all.toDF("id", "text")
+      .select($"id",
+        Dedup.minhashSignature(Dedup.shingles($"text"), k).as("sig"))
+      .select($"id", $"sig", Dedup.bandKeys($"sig", k, bands).as("bk"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(1)))))
+      .toMap
+    def est(x: Long, y: Long): Double =
+      info(x)._1.zip(info(y)._1).count(p => p._1 == p._2).toDouble / k
+    def collidingBands(x: Long, y: Long): Seq[Int] =
+      (0 until bands).filter(j => info(x)._2(j) == info(y)._2(j))
+    val aId = 0L
+    val found = (for {
+      bId <- (1L to bCandidates.length.toLong).iterator
+      if est(aId, bId) >= threshold
+      c = collidingBands(aId, bId)
+      if c.length >= 2
+      j = c.min
+      fId <- (bCandidates.length + 1L until all.length.toLong).iterator
+      if est(fId, aId) < threshold && est(fId, bId) < threshold
+      if info(fId)._2(j) == info(aId)._2(j) // F lands in A's band-j bucket
+      if c.exists(j2 => j2 > j && info(fId)._2(j2) != info(aId)._2(j2)) // A survives in j'
+    } yield (bId, fId)).buffered.headOption
+    assert(found.isDefined,
+      "seeded search found no adversarial (B, F) triple — widen candidates")
+    val (bId, fId) = found.get
+    val texts = all.toMap
+    // stream: A, then F (evicts A from the lowest band's bucket), then B
+    val dir = Files.createTempDirectory("graft_evict_stream").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    writeBatch(Seq((1L, texts(aId))))
+    val schema = s.read.parquet(s"$dir/in").schema
+    val q = EventStreams.nearDupDocStream(
+      s.readStream.schema(schema).parquet(s"$dir/in"),
+      k = k, bands = bands, threshold = threshold, maxPerBucket = 1)
+      .writeStream.format("memory").queryName("evict_dups")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    writeBatch(Seq((2L, texts(fId))))
+    q.processAllAvailable()
+    writeBatch(Seq((3L, texts(bId))))
+    q.processAllAvailable(); q.stop()
+    val hits = s.table("evict_dups")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // THE DOCUMENTED MISS: B vs A is above threshold and they still
+    // share higher bands, but the lowest colliding band's bucket lost
+    // A to FIFO eviction, and higher bands suppress by design
+    assert(!hits.contains((3L, 1L)),
+      s"expected the documented eviction miss, got $hits")
+    // positive control: same triple WITHOUT eviction pressure emits the
+    // pair — the miss above is caused by FIFO eviction, not similarity
+    val dir2 = Files.createTempDirectory("graft_evict_ctrl").toString
+    new java.io.File(s"$dir2/in").mkdirs()
+    Seq((1L, texts(aId))).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir2/in")
+    val q2 = EventStreams.nearDupDocStream(
+      s.readStream.schema(schema).parquet(s"$dir2/in"),
+      k = k, bands = bands, threshold = threshold, maxPerBucket = 64)
+      .writeStream.format("memory").queryName("evict_ctrl")
+      .outputMode("append").option("checkpointLocation", s"$dir2/ckpt").start()
+    q2.processAllAvailable()
+    Seq((2L, texts(fId))).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir2/in")
+    q2.processAllAvailable()
+    Seq((3L, texts(bId))).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir2/in")
+    q2.processAllAvailable(); q2.stop()
+    val ctrlHits = s.table("evict_ctrl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ctrlHits.contains((3L, 1L)),
+      s"control without eviction should emit the pair, got $ctrlHits")
+    // and the batch LSH job is the backstop that recovers exactly it
+    val batchPairs = Dedup.minhashLshPairs(
+      Seq((1L, texts(aId)), (2L, texts(fId)), (3L, texts(bId)))
+        .toDF("doc_id", "text"), "doc_id", "text", k, bands, threshold)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.engine.CacheRegistry.releaseAll()
+    assert(batchPairs.contains((1L, 3L)),
+      s"batch backstop must recover the evicted pair, got $batchPairs")
+  }
+
   test("incremental latest-entity state across micro-batches (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
