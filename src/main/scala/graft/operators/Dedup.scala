@@ -156,6 +156,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Per-doc sketch frame (doc, sh, sig) — the table a production
+    * deployment persists ONCE per corpus so later ingest batches never
+    * re-read or re-hash the corpus text (at 100 TB, additionally
+    * persist the exploded band table bucketed by (band_id, band_hash);
+    * [[incrementalMinhashPairs]] derives it narrowly when absent). */
+  def corpusSketch(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32): DataFrame =
+    spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+
+  /** Incremental cross-batch near-dup detection — the daily-ingest
+    * shape of MinHash dedup at corpus scale: a NEW batch of documents
+    * is checked against an EXISTING corpus via the corpus's persisted
+    * sketch table ([[corpusSketch]]); text is shingled and minhashed
+    * only for the batch. Candidate generation broadcasts the batch's
+    * band keys over the corpus band table, so the corpus side streams
+    * with no shuffle and no recompute — cost per ingest is
+    * O(batch · bands) + candidate verification, independent of corpus
+    * size. Returns (batch_doc, corpus_doc, jaccard >= threshold).
+    *
+    * Same signature/band functions as [[minhashLshPairs]], so the
+    * result is exactly that operator's output on the union corpus,
+    * restricted to one-side-in-batch pairs (DedupSpec asserts this).
+    */
+  def incrementalMinhashPairs(corpusSketch: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 32, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val corpus = graft.engine.CacheRegistry.retain(corpusSketch)
+    val batchSk = graft.engine.CacheRegistry.retain(
+      spread(batch.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+        .withColumn("sig", minhashSignature(col("sh"), k)))
+    def bandsOf(df: DataFrame) = df.select(col("doc"),
+      explode(bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("doc"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+    val cands = bandsOf(corpus)
+      .join(broadcast(bandsOf(batchSk)
+          .select(col("doc").as("batch_doc"), col("band_id"), col("band_hash"))),
+        Seq("band_id", "band_hash"))
+      .select(col("batch_doc"), col("doc").as("corpus_doc"))
+      .distinct() // a pair may collide in several bands
+    cands
+      .join(batchSk.select(col("doc").as("batch_doc"), col("sh").as("sh_a")),
+        Seq("batch_doc"))
+      .join(corpus.select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
+        Seq("corpus_doc"))
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
   /** Multi-sketch near-dup pair generation: the UNION of the
     * minhash-banding and simhash-chunk candidate sets, verified once
     * by exact Jaccard. Single-sketch recall is probabilistic —

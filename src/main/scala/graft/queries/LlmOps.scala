@@ -228,8 +228,27 @@ object LlmOps {
           .otherwise("keep").as("decision"))
   }
 
+  /** Incremental cross-batch MinHash dedup under the hard gate: docs
+    * with doc_id % 10 == 0 play the NEW ingest batch, the rest the
+    * existing corpus whose sketch table is already persisted (built
+    * inline here; production reads it). The emitted (batch, corpus)
+    * near-dup pairs are checked against DuckDB's batch-vs-corpus
+    * all-pairs exact Jaccard — so the run proves the batch-side-only
+    * banding reached full recall, exactly like q28 does for the
+    * whole-corpus operator. */
+  private val q86IncrementalDedup: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    Dedup.incrementalMinhashPairs(
+      Dedup.corpusSketch(docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text"),
+      docs.filter($"doc_id" % 10 === 0),
+      "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+      .select($"batch_doc", $"corpus_doc", round($"jaccard", 6).as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
+    "q86_incremental_dedup" -> q86IncrementalDedup,
     "q62_dedup_clusters" -> q62DedupClusters,
     "q67_curation" -> q67Curation,
     "q63_ivf_train" -> q63IvfTrain,
@@ -273,9 +292,32 @@ object LlmOps {
        |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Batch-vs-corpus ground truth for q86: exact Jaccard over exactly
+    * the (doc_id%10==0, doc_id%10!=0) pair orientation the incremental
+    * operator emits. */
+  private val batchVsCorpusJaccardSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(t) >= 3 THEN
+      |      list_distinct(list_transform(range(0, length(t) - 2),
+      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |    ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM tk),
+      |pj AS (
+      |  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+      |    CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+      |      / length(list_distinct(list_concat(a.s, b.s))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+      |SELECT batch_doc, corpus_doc, round(j, 6) AS jaccard
+      |FROM pj WHERE j >= 0.8""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q27_simhash" -> allPairsJaccardSql,
     "q28_minhash_lsh" -> allPairsJaccardSql,
+    "q86_incremental_dedup" -> batchVsCorpusJaccardSql,
     "q67_curation" ->
       s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
          |edges AS (

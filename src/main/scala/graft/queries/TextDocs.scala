@@ -352,7 +352,73 @@ object TextDocs {
           .otherwise("test").as("split"))
   }
 
+  /** Stratified mixture sampling (data-mixing staple): downsample each
+    * language stratum to a target rate so the corpus matches a mixture
+    * spec. Rates live in a broadcast weights TABLE (the production
+    * shape — re-weighting is a config change, not a code change;
+    * unlisted strata fall back to a default rate), and membership is a
+    * pure function of the doc id — first md5 hex byte of a salted id
+    * under a per-stratum threshold — so the sample is reproducible
+    * across runs/engines and stable under corpus growth, like q69's
+    * splits. One broadcast join + one narrow filter + one grouped agg:
+    * scan-bound at 100 TB. Emits per-(lang) kept counts with id-sum/
+    * min/max membership probes. */
+  private val q87MixtureSample: Q = (s, d) => {
+    import s.implicits._
+    // keep-rate as a 256-bucket hex threshold: en 50%, zh 25%, es 75%,
+    // de 100%, default 12.5% ('zz' sorts above every hex byte = keep all)
+    val weights = Seq(("en", "80"), ("zh", "40"), ("es", "c0"), ("de", "zz"))
+      .toDF("lang", "thr")
+    val bucket = substring(md5(concat(lit("mix"), $"doc_id".cast("string"))), 1, 2)
+    t(s, d, "documents")
+      .join(broadcast(weights), Seq("lang"), "left")
+      .filter(bucket < coalesce($"thr", lit("20")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"doc_id").as("id_sum"),
+        min($"doc_id").as("id_min"),
+        max($"doc_id").as("id_max"))
+  }
+
+  /** Token-budget output sharding: pack documents, in doc_id order,
+    * into consecutive shards of ~`capacity` tokens (the unit a
+    * downstream trainer streams). The global running token total is
+    * computed as a DISTRIBUTED two-phase prefix sum — per-range-bucket
+    * window (doc_id div bucketWidth keeps buckets contiguous in id
+    * order) plus a broadcast per-bucket offset table — never a global
+    * single-partition window, which is the classic 100 TB prefix-sum
+    * trap. The oracle computes the naive global running sum, so the
+    * hash match proves the two-phase decomposition is exactly the
+    * global prefix sum. A doc's shard is where its FIRST token lands;
+    * shards can overhang by at most one doc. */
+  private val q88TokenShards: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val capacity = 4096.0
+    val bucketWidth = 500L
+    val base = t(s, d, "documents")
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("bkt", floor($"doc_id" / bucketWidth).cast("long"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // offsets: one row per bucket — the only global window runs over
+    // this tiny frame, then broadcasts
+    val wOff = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy($"bkt").agg(sum($"n_tokens").as("tot"))
+      .withColumn("off", coalesce(sum($"tot").over(wOff), lit(0L)))
+      .select($"bkt", $"off")
+    base.withColumn("cum_in", sum($"n_tokens").over(wIn))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("shard",
+        floor(($"off" + $"cum_in" - $"n_tokens") / capacity).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_mixture_sample" -> q87MixtureSample,
+    "q88_token_shards" -> q88TokenShards,
     "q81_leakage_safe_split" -> q81LeakageSafeSplit,
     "q80_corpus_release" -> q80CorpusRelease,
     "q78_group_sample" -> q78GroupSample,
@@ -371,6 +437,33 @@ object TextDocs {
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q87_mixture_sample" ->
+      """WITH w(lang, thr) AS (VALUES
+        |  ('en', '80'), ('zh', '40'), ('es', 'c0'), ('de', 'zz')),
+        |kept AS (
+        |  SELECT d.lang, d.doc_id
+        |  FROM documents d LEFT JOIN w ON d.lang = w.lang
+        |  WHERE substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        |        < coalesce(w.thr, '20'))
+        |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM kept GROUP BY lang""".stripMargin,
+    // naive global running sum — the hash match proves the two-phase
+    // distributed prefix sum equals it exactly
+    "q88_token_shards" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    length(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tok)
+        |SELECT CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin,
     "q81_leakage_safe_split" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -46,6 +46,39 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
   }
 
+  test("incremental minhash equals whole-corpus LSH restricted to batch-vs-corpus pairs") {
+    val s = spark
+    import s.implicits._
+    // 8 docs: ids 0,2 are the "batch", the rest the corpus; dups span
+    // both directions (batch doc duplicating corpus doc and vice versa)
+    val all = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "one two three four five six seven eight nine ten twelve"),
+      (4L, "unrelated corpus text about catalyst rules and broadcast joins"),
+      (5L, "another unrelated corpus document mentioning shuffle partitions")
+    ).toDF("doc_id", "text")
+    val isBatch = (id: Long) => id % 2 == 0
+    val batch = all.filter($"doc_id" % 2 === 0)
+    val corpus = all.filter($"doc_id" % 2 =!= 0)
+    val inc = Dedup.incrementalMinhashPairs(
+      Dedup.corpusSketch(corpus, "doc_id", "text"), batch,
+      "doc_id", "text", k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the whole-corpus operator on the union, restricted
+    // to pairs with exactly one side in the batch (same k/bands —
+    // signatures are doc-local, so band collisions are identical)
+    val whole = Dedup.minhashLshPairs(all, "doc_id", "text",
+      k = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => isBatch(p._1) != isBatch(p._2))
+      .map(p => if (isBatch(p._1)) p else (p._2, p._1, p._3)).toSet
+    assert(inc === whole)
+    assert(inc.exists(p => p._1 == 0L && p._2 == 1L)) // batch dup of corpus doc
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("simhash: identical texts equal, near-dups close, unrelated far") {
     val s = spark
     import s.implicits._
