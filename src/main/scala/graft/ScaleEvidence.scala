@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** At-scale crossover evidence for the bucketed embedding near-dup
+  * operator (round-6 verdict "What's missing" #3: q82 is oracle-exact
+  * but, on the uniform test corpus, slower than the brute path at
+  * sf0.1 — so the 100 TB claim rested on the plan argument alone).
+  *
+  * The uniform corpus is the operator's documented worst case: IVF
+  * triangle-inequality pruning exploits cluster structure, and uniform
+  * 64-dim vectors have none (measured: same-label and cross-label
+  * cosines in embeddings.parquet are identically distributed). The
+  * production near-dup corpus — web text embeddings — is the opposite:
+  * topic clusters plus tight near-duplicate twins. This harness builds
+  * that shape at increasing scale and measures where the bucketed path
+  * overtakes brute force, asserting output equality at every point
+  * (the completeness theorem is data-independent; only SPEED depends
+  * on structure).
+  *
+  * Corpus construction (fully deterministic, no RNG state):
+  *  - cluster centers = the first K vectors of the driver's
+  *    embeddings.parquet (64-dim uniform vectors are near-orthogonal —
+  *    measured p99 pairwise cosine 0.29 — so they are well-separated
+  *    centers);
+  *  - members = center + 0.14·jitter(base) with jitter components in
+  *    [-1,1] from xxhash64 — intra-cluster cosine ≈ 0.7, below the
+  *    0.9 threshold;
+  *  - consecutive ids (2j, 2j+1) are near-duplicate twins: same base
+  *    jitter plus 0.05·jitter(id) — twin cosine ≈ 0.96, above the
+  *    threshold. True pairs ≈ n/2, i.e. linear in n, like real
+  *    re-crawl/re-encode duplication.
+  *
+  * Scaling discipline mirrors the 100 TB deployment: numCells grows
+  * with n (n/256 — cells stay ~constant-sized), so bucketed candidate
+  * count is ~n·256 (linear) while brute force considers n(n-1)/2.
+  *
+  * Run:  sbt "runMain graft.ScaleEvidence"
+  * Env:  SPARK_GRAFT_SF_DIR (default sf0.1 — only centers are read),
+  *       SPARK_GRAFT_SCALE_NS (default "2048,8192,32768"),
+  *       SPARK_GRAFT_SCALE_OUT (default SCALE_EVIDENCE.json).
+  */
+object ScaleEvidence {
+
+  /** Deterministic jitter component in [-1, 1] for (salt, row, dim). */
+  private def jitter(salt: String, row: org.apache.spark.sql.Column,
+      dim: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(lit(salt), row, dim), lit(2001L)) / 1000.0 - 1.0
+
+  /** n-member clustered corpus with twin near-dups, centers drawn from
+    * the driver embeddings table. */
+  private[graft] def corpus(spark: SparkSession, sfDir: String, n: Long,
+      clusters: Int): DataFrame = {
+    val centers = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < clusters)
+      .select(col("vec_id").as("cluster"), col("embedding").as("center"))
+    spark.range(n).toDF("vec_id")
+      .withColumn("base", col("vec_id") / 2 cast "long")
+      .withColumn("cluster", pmod(col("base"), lit(clusters.toLong)))
+      .join(broadcast(centers), "cluster")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (element_at(col("center"), j + 1).cast("double")
+            + lit(0.14) * jitter("member", col("base"), j)
+            + lit(0.05) * jitter("twin", col("vec_id"), j)).cast("float"))
+          .as("embedding"))
+  }
+
+  /** Min of `passes` noop-forced runs: first-run JIT/codegen cost for
+    * this pipeline shape is 5–20 s (measured), which would otherwise be
+    * billed to whichever size runs first. */
+  private def timeNoop(df: => DataFrame, passes: Int = 2): Double =
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      graft.engine.CacheRegistry.releaseAll()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    import graft.operators.EmbeddingDedup
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_SCALE_NS", "2048,8192,32768")
+      .split(",").map(_.trim.toLong).toSeq
+    val threshold = 0.9
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warm both pipeline shapes once at a size whose cost is noise, so
+    // per-size timings measure data volume, not first-run codegen/JIT
+    locally {
+      val w = corpus(spark, sfDir, 512, 8).persist(); w.count()
+      EmbeddingDedup.cosinePairs(w, "vec_id", "embedding", threshold)
+        .write.format("noop").mode("overwrite").save()
+      EmbeddingDedup.cosinePairsBucketed(w, "vec_id", "embedding", threshold, 8)
+        .write.format("noop").mode("overwrite").save()
+      graft.engine.CacheRegistry.releaseAll()
+      w.unpersist()
+    }
+
+    val points = sizes.map { n =>
+      val clusters = math.max(8, (n / 256).toInt)
+      // materialize the corpus once so generation cost isn't billed to
+      // either path
+      val emb = corpus(spark, sfDir, n, clusters).persist()
+      emb.count()
+
+      val bruteSec = timeNoop(
+        EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", threshold))
+      val bucketedSec = timeNoop(
+        EmbeddingDedup.cosinePairsBucketed(
+          emb, "vec_id", "embedding", threshold, numCells = clusters))
+
+      // exactness: the two paths must produce identical pair sets —
+      // measured here at every scale point, not assumed from the spec
+      val brute = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", threshold)
+      val bucketed = EmbeddingDedup.cosinePairsBucketed(
+        emb, "vec_id", "embedding", threshold, numCells = clusters)
+      val missing = brute.exceptAll(bucketed).count()
+      val extra = bucketed.exceptAll(brute).count()
+      val truePairs = brute.count()
+      val cands = EmbeddingDedup.bucketedCandidates(
+        emb, "vec_id", "embedding", threshold, clusters).count()
+      graft.engine.CacheRegistry.releaseAll()
+      emb.unpersist()
+
+      val brutePairs = n * (n - 1) / 2
+      System.err.println(f"[scale] n=$n%6d brute=$bruteSec%7.2fs " +
+        f"bucketed=$bucketedSec%7.2fs cands=$cands (${cands * 100.0 / brutePairs}%.2f%% " +
+        f"of $brutePairs) pairs=$truePairs exact=${missing == 0 && extra == 0}")
+      s"""{"n":$n,"clusters":$clusters,"threshold":$threshold,""" +
+        s""""true_pairs":$truePairs,"brute_pairs":$brutePairs,""" +
+        s""""bucketed_candidates":$cands,"brute_sec":$bruteSec,""" +
+        s""""bucketed_sec":$bucketedSec,"missing":$missing,"extra":$extra}"""
+    }
+
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}]}"""
+    println(json)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[scale] could not write $outPath: ${e.getMessage}")
+    }
+    spark.stop()
+  }
+}

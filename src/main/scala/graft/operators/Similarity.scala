@@ -219,11 +219,17 @@ object EmbeddingDedup {
 
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // norms once per VECTOR, not per pair — sqrt(dot(v,v)) here is the
+    // same double the inline cosine would compute, so results are
+    // bit-identical while the O(n²) stage does 1 dot per pair, not 3
+    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("n_a"))
+    val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("n_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
@@ -246,30 +252,54 @@ object EmbeddingDedup {
     // hash-sampled seeds + Lloyd refinement: a raw sample almost surely
     // misses some real cluster (leaving a far-away cell with a huge
     // covering radius that defeats the prune); refinement repairs that.
-    // Completeness never depends on the centroids, only pruning does.
+    // Completeness never depends on the centroids, only pruning does —
+    // which is also why refinement runs over a deterministic 1-in-4
+    // hash sample of the corpus: cell geometry converges long before
+    // the full corpus is seen, and only the assignment/radius pass
+    // below must see every vector.
+    val refineInput =
+      embeddings.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
     val cents = graft.engine.CacheRegistry.retain(
-      IvfAnn.refine(embeddings, idCol, vecCol,
+      IvfAnn.refine(refineInput, idCol, vecCol,
         IvfAnn.centroids(embeddings, idCol, vecCol, numCells), iters = 2))
 
-    // one narrow pass computes every (vector, centroid) angle; reused
-    // for both the assignment (min angle) and the probe filter
-    val angles = embeddings
+    // one narrow pass computes every (vector, centroid) angle — ids
+    // and scalars ONLY: carrying the vector itself through the n×C
+    // frame (and the assignment shuffle) would move n×C copies of a
+    // 64-float array. Vectors (and their norms, computed once per
+    // vector) are attached to the n-scale probe/member frames below,
+    // NOT to the candidate-pair output: the cell join then emits
+    // vector-carrying candidates with zero candidate-scale shuffles.
+    // Retained: both the assignment aggregate and the probe filter
+    // consume this frame, and the n×C dot products are the dominant
+    // non-candidate cost — unpersisted it is computed twice.
+    val angles = graft.engine.CacheRegistry.retain(embeddings
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))
-      .select(col("vid"), col("vec"), col("centroid_id"),
-        angle(col("vec"), col("centroid_vec")).as("ang"))
+      .select(col("vid"), col("centroid_id"),
+        angle(col("vec"), col("centroid_vec")).as("ang")))
 
-    val wAssign = Window.partitionBy(col("vid"))
-      .orderBy(col("ang").asc, col("centroid_id").asc)
-    val assigned = graft.engine.CacheRegistry.retain(
-      angles.withColumn("rk", row_number().over(wAssign))
-        .filter(col("rk") === 1)
-        .select(col("vid"), col("vec"), col("centroid_id").as("cell"),
-          col("ang")))
+    // nearest cell per vector: min over (ang, centroid_id) structs —
+    // lexicographic struct ordering gives the same deterministic
+    // (ang asc, centroid_id asc) winner as a rank-1 window, but as a
+    // declarative aggregate it partial-aggregates map-side, shuffling
+    // one struct per vector instead of all n×C rows
+    val assignedSlim = graft.engine.CacheRegistry.retain(
+      angles.groupBy(col("vid"))
+        .agg(min(struct(col("ang"), col("centroid_id"))).as("m"))
+        .select(col("vid"), col("m.centroid_id").as("cell"),
+          col("m.ang").as("ang")))
+
+    // vector + norm, once per vector; sqrt(dot(v,v)) is the same
+    // double the inline cosine would compute, so downstream results
+    // are bit-identical while verification does 1 dot per candidate
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).as("vec"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"))
 
     // covering radius per cell: max member angle to its own centroid.
     // C rows — broadcast to the probe filter.
-    val radii = assigned.groupBy(col("cell"))
+    val radii = assignedSlim.groupBy(col("cell"))
       .agg(max(col("ang")).as("radius"))
 
     // probe rule: vector a probes every cell j with
@@ -280,23 +310,32 @@ object EmbeddingDedup {
     val probes = angles
       .join(broadcast(radii), angles("centroid_id") === radii("cell"))
       .filter(col("ang") <= col("radius") + lit(thetaT + eps))
-      .select(col("vid").as("id_a"), col("vec").as("v_a"), col("cell"),
-        col("ang").as("ang_a"))
+      .select(col("vid"), col("cell"), col("ang").as("ang_a"))
+      .join(vecs, Seq("vid"))
+      .select(col("vid").as("id_a"), col("vec").as("v_a"),
+        col("nrm").as("n_a"), col("cell"), col("ang_a"))
 
     // Each member b lives in exactly one cell and only the probe side
     // carries id_a, so with the id_a < id_b orientation filter every
     // pair materializes AT MOST ONCE — no downstream distinct needed.
-    // The second filter is the per-member fine prune: the pair-level
-    // triangle-inequality bound ang(a, c_b) <= theta_t + ang(b, c_b)
-    // applied directly, so one far outlier in a cell inflates only its
-    // OWN candidate set, not (via the cell radius) everyone else's.
-    probes.join(
-        assigned.select(col("vid").as("id_b"), col("vec").as("v_b"),
-          col("cell"), col("ang").as("ang_b")),
-        Seq("cell"))
+    // The second filter is the per-member fine prune, BOTH sides of
+    // the triangle inequality: any true pair has
+    //   |ang(a, c_b) − ang(b, c_b)| <= ang(a, b) <= theta_t,
+    // so pairs whose centroid angles differ by more than theta_t are
+    // provably below threshold. On the ScaleEvidence corpus the lower
+    // side prunes little (high-dim cell members concentrate at similar
+    // centroid angles) but it costs one abs() and tightens corpora
+    // with angularly-spread cells. Being per-pair, one far outlier in
+    // a cell inflates only its OWN candidate set, not (via the cell
+    // radius) everyone else's.
+    val members = assignedSlim.join(vecs, Seq("vid"))
+      .select(col("vid").as("id_b"), col("vec").as("v_b"),
+        col("nrm").as("n_b"), col("cell"), col("ang").as("ang_b"))
+    probes.join(members, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(col("ang_a") <= col("ang_b") + lit(thetaT + eps))
-      .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
+      .filter(abs(col("ang_a") - col("ang_b")) <= lit(thetaT + eps))
+      .select(col("id_a"), col("v_a"), col("n_a"),
+        col("id_b"), col("v_b"), col("n_b"))
   }
 
   /** Bucketed near-dup pairs: IVF-cell candidate generation with a
@@ -313,7 +352,13 @@ object EmbeddingDedup {
     * dup case: tight duplicate clusters, high threshold) cells are
     * compact, radii small, and probes touch few cells — candidate
     * count collapses toward the true-pair count (DedupSpec measures
-    * this on a clustered corpus). Honest worst case: on UNIFORM
+    * this on a clustered corpus; the [[graft.ScaleEvidence]] sweep
+    * measures the wall-clock crossover against brute force at growing
+    * n on that corpus shape — see SCALE_EVIDENCE.json: candidate
+    * fraction falls as cells scale with n, and the bucketed path
+    * overtakes brute force in the tens-of-thousands of vectors, with
+    * outputs asserted identical at every point). Honest worst case:
+    * on UNIFORM
     * vectors at a loose threshold (the synthetic test corpus at 0.4)
     * radius + theta_t exceeds pi, every cell is probed, and the plan
     * degenerates to a cell-keyed all-pairs — same O(n²) asymptotics as
@@ -329,7 +374,10 @@ object EmbeddingDedup {
   def cosinePairsBucketed(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numCells: Int = 16): DataFrame =
     bucketedCandidates(embeddings, idCol, vecCol, threshold, numCells)
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      // precomputed per-vector norms: same doubles as the inline
+      // cosine, one dot per candidate instead of three
+      .withColumn("cos",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= threshold)
       // candidates are already unique per pair (see bucketedCandidates):
       // no distinct, so no extra shuffle on the verified output
