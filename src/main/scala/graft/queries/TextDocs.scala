@@ -416,9 +416,35 @@ object TextDocs {
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
+  /** Exact corpus quality percentiles per language — the statistics a
+    * curation pipeline computes BEFORE choosing its quality thresholds
+    * (q67/q80 hard-code thresholds; this is where they come from).
+    * Exact `percentile` (not percentile_approx) so the value is
+    * hash-checkable against DuckDB's quantile_cont — both interpolate
+    * linearly at rank p·(n−1). One grouped aggregation; at 100 TB
+    * exact per-group percentiles need the group's values on one
+    * reducer, which holds when groups are languages (hundreds of
+    * groups); switch to approx sketches only when a single group
+    * outgrows a reducer. */
+  private val q89QualityPercentiles: Q = (s, d) => {
+    import s.implicits._
+    val tk = tokens($"text")
+    t(s, d, "documents")
+      .select($"lang", size(tk).cast("double").as("nt"),
+        round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("ttr4"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile($"nt", lit(0.5)), 6).as("p50_tokens"),
+        round(percentile($"nt", lit(0.9)), 6).as("p90_tokens"),
+        round(percentile($"nt", lit(0.99)), 6).as("p99_tokens"),
+        round(percentile($"ttr4", lit(0.5)), 6).as("p50_ttr"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q87_mixture_sample" -> q87MixtureSample,
     "q88_token_shards" -> q88TokenShards,
+    "q89_quality_percentiles" -> q89QualityPercentiles,
     "q81_leakage_safe_split" -> q81LeakageSafeSplit,
     "q80_corpus_release" -> q80CorpusRelease,
     "q78_group_sample" -> q78GroupSample,
@@ -437,6 +463,19 @@ object TextDocs {
     "q23_exact_dup" -> q23ExactDup)
 
   val oracles: Map[String, String] = Map(
+    "q89_quality_percentiles" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nt,
+        |    round(CAST(length(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / length(string_split_regex(trim(text), '\s+')), 4) AS ttr4
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        |  round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+        |  round(quantile_cont(nt, 0.99), 6) AS p99_tokens,
+        |  round(quantile_cont(ttr4, 0.5), 6) AS p50_ttr
+        |FROM base GROUP BY lang""".stripMargin,
     "q87_mixture_sample" ->
       """WITH w(lang, thr) AS (VALUES
         |  ('en', '80'), ('zh', '40'), ('es', 'c0'), ('de', 'zz')),

@@ -99,4 +99,19 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"),
       s"rank filter did not plan as a group limit:\n$plan")
   }
+
+  test("q88 prefix sum: the single-partition exchange carries only bucket totals") {
+    // the two-phase prefix sum's 100 TB promise: per-doc running sums
+    // window over hash-partitioned range buckets; the ONE unpartitioned
+    // (SinglePartition) stage is the per-bucket offset table — if the
+    // full document frame ever flowed through it, this count changes
+    val q = graft.queries.TextDocs.queries("q88_token_shards")(
+      spark, "/root/testdata/sf0.001")
+    val plan = executed(q)
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles == 1,
+      s"expected exactly one SinglePartition exchange (bucket offsets), got $singles:\n$plan")
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"per-doc window not partitioned by range bucket:\n$plan")
+  }
 }
