@@ -259,9 +259,14 @@ object EmbeddingDedup {
     // below must see every vector.
     val refineInput =
       embeddings.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    val cents = graft.engine.CacheRegistry.retain(
-      IvfAnn.refine(refineInput, idCol, vecCol,
-        IvfAnn.centroids(embeddings, idCol, vecCol, numCells), iters = 2))
+    val seeds = IvfAnn.centroids(embeddings, idCol, vecCol, numCells)
+    val refined = graft.engine.CacheRegistry.retain(
+      IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
+    // exactness requires a NON-EMPTY centroid set (any non-empty set is
+    // complete; an empty one assigns nothing). A tiny corpus can leave
+    // the 1-in-4 refine sample empty — fall back to the raw seeds.
+    val cents = if (refined.isEmpty)
+      graft.engine.CacheRegistry.retain(seeds) else refined
 
     // one narrow pass computes every (vector, centroid) angle — ids
     // and scalars ONLY: carrying the vector itself through the n×C
@@ -371,6 +376,68 @@ object EmbeddingDedup {
     * have duplicate structure, the brute baseline when it is tiny or
     * structureless.
     */
+  /** Incremental cross-batch embedding near-dup — the embedding-side
+    * counterpart of [[graft.operators.Dedup.incrementalMinhashPairs]]:
+    * a NEW batch of vectors is checked against an EXISTING corpus
+    * through the corpus's IVF index (assignment + covering radii —
+    * the tables a production deployment persists once per corpus,
+    * built inline here from `corpus`). Only the batch is angled
+    * against the centroids; the corpus member table streams into the
+    * cell join with no recompute. Completeness is the same spherical
+    * triangle inequality as [[cosinePairsBucketed]]: for a true pair
+    * (a ∈ batch, b ∈ corpus), ang(a, c_b) <= theta_t + ang(b, c_b)
+    * <= theta_t + radius(cell_b), so a's probe into b's home cell
+    * always passes — output EQUALS the brute batch×corpus pairs at
+    * any threshold. Returns (batch_id, corpus_id, cos). */
+  def cosinePairsIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      numCells: Int = 16): DataFrame = {
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val eps = 1e-6
+    val seeds = IvfAnn.centroids(corpus, idCol, vecCol, numCells)
+    val refined = graft.engine.CacheRegistry.retain(
+      IvfAnn.refine(
+        corpus.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0),
+        idCol, vecCol, seeds, iters = 2))
+    // same empty-sample fallback as cosinePairsBucketed: exactness
+    // needs a non-empty centroid set
+    val cents = if (refined.isEmpty)
+      graft.engine.CacheRegistry.retain(seeds) else refined
+    def vecsOf(df: DataFrame) = df.select(col(idCol).as("vid"),
+      col(vecCol).as("vec"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("nrm"))
+    val corpusAngles = corpus
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("centroid_id"),
+        angle(col("vec"), col("centroid_vec")).as("ang"))
+    val assigned = graft.engine.CacheRegistry.retain(
+      corpusAngles.groupBy(col("vid"))
+        .agg(min(struct(col("ang"), col("centroid_id"))).as("m"))
+        .select(col("vid"), col("m.centroid_id").as("cell"),
+          col("m.ang").as("ang")))
+    val radii = assigned.groupBy(col("cell")).agg(max(col("ang")).as("radius"))
+    val probes = batch
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("centroid_id").as("cell"),
+        angle(col("vec"), col("centroid_vec")).as("ang_a"))
+      .join(broadcast(radii), Seq("cell"))
+      .filter(col("ang_a") <= col("radius") + lit(thetaT + eps))
+      .join(vecsOf(batch), Seq("vid"))
+      .select(col("vid").as("batch_id"), col("vec").as("v_a"),
+        col("nrm").as("n_a"), col("cell"), col("ang_a"))
+    val members = assigned.join(vecsOf(corpus), Seq("vid"))
+      .select(col("vid").as("corpus_id"), col("vec").as("v_b"),
+        col("nrm").as("n_b"), col("cell"), col("ang").as("ang_b"))
+    probes.join(members, Seq("cell"))
+      .filter(abs(col("ang_a") - col("ang_b")) <= lit(thetaT + eps))
+      .withColumn("cos",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
+  }
+
   def cosinePairsBucketed(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numCells: Int = 16): DataFrame =
     bucketedCandidates(embeddings, idCol, vecCol, threshold, numCells)

@@ -246,9 +246,25 @@ object LlmOps {
       .select($"batch_doc", $"corpus_doc", round($"jaccard", 6).as("jaccard"))
   }
 
+  /** Incremental cross-batch EMBEDDING near-dup under the hard gate:
+    * vec_id % 10 == 0 plays the new batch, the rest the indexed
+    * corpus; the emitted (batch, corpus) pairs carry the same
+    * exactness contract as q82 (triangle-inequality complete, exact
+    * cosine verified), checked against DuckDB's brute batch×corpus
+    * pairs. */
+  private val q90EmbeddingIncremental: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val emb = t(s, d, "embeddings")
+    EmbeddingDedup.cosinePairsIncremental(
+      emb.filter($"vec_id" % 10 =!= 0), emb.filter($"vec_id" % 10 === 0),
+      "vec_id", "embedding", threshold = 0.4, numCells = 16)
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
     "q86_incremental_dedup" -> q86IncrementalDedup,
+    "q90_embedding_incremental" -> q90EmbeddingIncremental,
     "q62_dedup_clusters" -> q62DedupClusters,
     "q67_curation" -> q67Curation,
     "q63_ivf_train" -> q63IvfTrain,
@@ -318,6 +334,15 @@ object LlmOps {
     "q27_simhash" -> allPairsJaccardSql,
     "q28_minhash_lsh" -> allPairsJaccardSql,
     "q86_incremental_dedup" -> batchVsCorpusJaccardSql,
+    // brute batch-vs-corpus ground truth: the incremental bucketed
+    // path must equal it exactly (recall 1.0 by construction)
+    "q90_embedding_incremental" ->
+      s"""SELECT batch_id, corpus_id, round(c, 6) AS cos FROM (
+         |  SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS c
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+         |WHERE c >= 0.4""".stripMargin,
     "q67_curation" ->
       s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
          |edges AS (

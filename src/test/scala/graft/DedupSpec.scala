@@ -296,6 +296,35 @@ class DedupSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("incremental embedding near-dup equals brute batch-vs-corpus pairs") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    // same clustered shape as the bucketed test: 8 centers, 25 members
+    val rnd = new scala.util.Random(91)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for { c <- centers.indices; m <- 0 until 25 } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 25 + m).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val corpus = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val threshold = 0.9
+    val inc = EmbeddingDedup.cosinePairsIncremental(
+      corpus, batch, "vec_id", "embedding", threshold, numCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: brute pairs on the union, restricted + re-oriented
+    // to (batch, corpus)
+    val brute = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => (p._1 % 5 == 0) != (p._2 % 5 == 0))
+      .map(p => if (p._1 % 5 == 0) p else (p._2, p._1, p._3)).toSet
+    assert(inc === brute)
+    assert(inc.nonEmpty)
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("bucketed cosine near-dup stays exact when pruning degenerates (uniform data)") {
     val s = spark
     import s.implicits._
@@ -313,6 +342,28 @@ class DedupSpec extends AnyFunSuite {
     val bucketed = EmbeddingDedup.cosinePairsBucketed(
       emb, "vec_id", "embedding", threshold, numCells = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed === brute)
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("bucketed cosine near-dup survives an empty refine sample (tiny corpus)") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    // pick ids whose 1-in-4 hash sample is provably empty, so the
+    // refined centroid set would be empty without the seed fallback
+    val ids = s.range(0, 100).select($"id")
+      .filter(pmod(xxhash64($"id"), lit(4)) =!= 0)
+      .as[Long].head(3).toSeq
+    val emb = ids.zipWithIndex.map { case (id, i) =>
+      (id, Seq.tabulate(8)(j => 1.0f + 0.01f * (i * 8 + j)))
+    }.toDF("vec_id", "embedding")
+    val brute = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bucketed = EmbeddingDedup.cosinePairsBucketed(
+      emb, "vec_id", "embedding", 0.9, numCells = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
     assert(bucketed === brute)
     graft.engine.CacheRegistry.releaseAll()
   }
