@@ -69,8 +69,9 @@ object ScaleEvidence {
 
   /** Min of `passes` noop-forced runs: first-run JIT/codegen cost for
     * this pipeline shape is 5–20 s (measured), which would otherwise be
-    * billed to whichever size runs first. */
-  private def timeNoop(df: => DataFrame, passes: Int = 2): Double =
+    * billed to whichever size runs first — and this shared machine's
+    * load swings individual passes several-fold. */
+  private def timeNoop(df: => DataFrame, passes: Int = 3): Double =
     (1 to passes).map { _ =>
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()

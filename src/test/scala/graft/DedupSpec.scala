@@ -346,6 +346,35 @@ class DedupSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("one CosineIndex serves multiple thresholds exactly") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for { c <- centers.indices; m <- 0 until 20 } yield {
+      val v = centers(c).map(x => (x + 0.08 * rnd.nextGaussian()).toFloat)
+      ((c * 20 + m).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val corpus = emb.filter($"vec_id" >= 10)
+    val batch = emb.filter($"vec_id" < 10)
+    // the index carries no theta: the SAME index must answer exactly
+    // at a tight and a loose threshold
+    val idx = EmbeddingDedup.buildCosineIndex(corpus, "vec_id", "embedding", 4)
+    for (threshold <- Seq(0.95, 0.6)) {
+      val inc = EmbeddingDedup.cosinePairsIncremental(
+        idx, batch, "vec_id", "embedding", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = EmbeddingDedup.cosinePairs(emb, "vec_id", "embedding", threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(p => (p._1 < 10) != (p._2 < 10))
+        .map(p => if (p._1 < 10) p else (p._2, p._1, p._3)).toSet
+      assert(inc === brute, s"threshold $threshold")
+    }
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("bucketed cosine near-dup survives an empty refine sample (tiny corpus)") {
     val s = spark
     import s.implicits._
