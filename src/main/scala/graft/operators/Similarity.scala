@@ -343,39 +343,6 @@ object EmbeddingDedup {
         col("id_b"), col("v_b"), col("n_b"))
   }
 
-  /** Bucketed near-dup pairs: IVF-cell candidate generation with a
-    * triangle-inequality completeness guarantee, then exact-cosine
-    * verification. Output is IDENTICAL to [[cosinePairs]] — the DuckDB
-    * all-pairs oracle checks this variant directly (q82).
-    *
-    * Why this beats tuned LSH banding for the *pairs* contract: sign
-    * banding is probabilistic (some true pair eventually lands outside
-    * every band), while the probe rule here is a theorem — a probes
-    * cell(b) whenever cos(a,b) >= threshold. Cost model: one broadcast
-    * pass computes all (vector, centroid) angles; candidates shuffle
-    * ONLY on the cell key. On clustered corpora (the production near-
-    * dup case: tight duplicate clusters, high threshold) cells are
-    * compact, radii small, and probes touch few cells — candidate
-    * count collapses toward the true-pair count (DedupSpec measures
-    * this on a clustered corpus; the [[graft.ScaleEvidence]] sweep
-    * measures the wall-clock crossover against brute force at growing
-    * n on that corpus shape — see SCALE_EVIDENCE.json: candidate
-    * fraction falls as cells scale with n, and the bucketed path
-    * overtakes brute force in the tens-of-thousands of vectors, with
-    * outputs asserted identical at every point). Honest worst case:
-    * on UNIFORM
-    * vectors at a loose threshold (the synthetic test corpus at 0.4)
-    * radius + theta_t exceeds pi, every cell is probed, and the plan
-    * degenerates to a cell-keyed all-pairs — same O(n²) asymptotics as
-    * brute force, still exactly correct, and in wall-clock terms WORSE
-    * than the plain cross join (measured ~3× at sf0.1: the centroid
-    * training passes and per-candidate angle math buy nothing when no
-    * candidate is pruned). That degeneration is a property of the DATA
-    * (uniform vectors have no near-neighbor structure to exploit), not
-    * of the operator: pick this path when the corpus is expected to
-    * have duplicate structure, the brute baseline when it is tiny or
-    * structureless.
-    */
   /** Reusable IVF near-dup index over a corpus: refined centroids,
     * per-vector (cell, angle) assignment, and vectors with
     * precomputed norms. THRESHOLD-INDEPENDENT — theta enters only at
@@ -472,6 +439,38 @@ object EmbeddingDedup {
       buildCosineIndex(corpus, idCol, vecCol, numCells),
       batch, idCol, vecCol, threshold)
 
+  /** Bucketed near-dup pairs: IVF-cell candidate generation with a
+    * triangle-inequality completeness guarantee, then exact-cosine
+    * verification. Output is IDENTICAL to [[cosinePairs]] — the DuckDB
+    * all-pairs oracle checks this variant directly (q82).
+    *
+    * Why this beats tuned LSH banding for the *pairs* contract: sign
+    * banding is probabilistic (some true pair eventually lands outside
+    * every band), while the probe rule here is a theorem — a probes
+    * cell(b) whenever cos(a,b) >= threshold. Cost model: one broadcast
+    * pass computes all (vector, centroid) angles; candidates shuffle
+    * ONLY on the cell key. On clustered corpora (the production near-
+    * dup case: tight duplicate clusters, high threshold) cells are
+    * compact, radii small, and probes touch few cells — candidate
+    * count collapses toward the true-pair count (DedupSpec measures
+    * this on a clustered corpus; the [[graft.ScaleEvidence]] sweep
+    * measures the wall-clock crossover against brute force at growing
+    * n on that corpus shape — see SCALE_EVIDENCE.json: candidate
+    * fraction falls as cells scale with n, and the bucketed path
+    * overtakes brute force in the tens-of-thousands of vectors, with
+    * outputs asserted identical at every point). Honest worst case:
+    * on UNIFORM vectors at a loose threshold (the synthetic test
+    * corpus at 0.4) radius + theta_t exceeds pi, every cell is probed,
+    * and the plan degenerates to a cell-keyed all-pairs — same O(n²)
+    * asymptotics as brute force, still exactly correct, and in
+    * wall-clock terms WORSE than the plain cross join (measured ~3× at
+    * sf0.1: the centroid training passes and per-candidate angle math
+    * buy nothing when no candidate is pruned). That degeneration is a
+    * property of the DATA (uniform vectors have no near-neighbor
+    * structure to exploit), not of the operator: pick this path when
+    * the corpus is expected to have duplicate structure, the brute
+    * baseline when it is tiny or structureless.
+    */
   def cosinePairsBucketed(embeddings: DataFrame, idCol: String,
       vecCol: String, threshold: Double, numCells: Int = 16): DataFrame =
     bucketedCandidates(embeddings, idCol, vecCol, threshold, numCells)
