@@ -156,49 +156,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Per-doc sketch frame (doc, sh, sig) — the table a production
-    * deployment persists ONCE per corpus so later ingest batches never
-    * re-read or re-hash the corpus text (at 100 TB, additionally
-    * persist the exploded band table bucketed by (band_id, band_hash);
-    * [[incrementalMinhashPairs]] derives it narrowly when absent). */
+  /** Per-doc sketch frame (doc, sh, sig, simhash) — the table a
+    * production deployment persists ONCE per corpus so later ingest
+    * batches never re-read or re-hash the corpus text (at 100 TB,
+    * additionally persist the exploded band/chunk tables bucketed by
+    * their bucket keys; [[incrementalMinhashPairs]] derives them
+    * narrowly when absent). Carries BOTH sketch families: single-
+    * sketch banding recall is probabilistic (measured at sf0.1:
+    * minhash 4×8 misses a few J 0.9+ pairs, simhash chunks miss
+    * others, the union misses none — see [[multiSketchPairs]]). */
   def corpusSketch(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32): DataFrame =
     spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+      .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"),
+        simhash(col(textCol)).as("simhash"))
       .withColumn("sig", minhashSignature(col("sh"), k))
 
   /** Incremental cross-batch near-dup detection — the daily-ingest
-    * shape of MinHash dedup at corpus scale: a NEW batch of documents
+    * shape of fuzzy dedup at corpus scale: a NEW batch of documents
     * is checked against an EXISTING corpus via the corpus's persisted
-    * sketch table ([[corpusSketch]]); text is shingled and minhashed
-    * only for the batch. Candidate generation broadcasts the batch's
-    * band keys over the corpus band table, so the corpus side streams
-    * with no shuffle and no recompute — cost per ingest is
-    * O(batch · bands) + candidate verification, independent of corpus
-    * size. Returns (batch_doc, corpus_doc, jaccard >= threshold).
-    *
-    * Same signature/band functions as [[minhashLshPairs]], so the
-    * result is exactly that operator's output on the union corpus,
-    * restricted to one-side-in-batch pairs (DedupSpec asserts this).
+    * sketch table ([[corpusSketch]]); text is shingled and sketched
+    * only for the batch. Candidates are the UNION of minhash-band and
+    * simhash-chunk collisions (the [[multiSketchPairs]] recall
+    * argument, applied cross-batch), each generated by broadcasting
+    * the batch's bucket keys over the corpus-side table, so the
+    * corpus streams with no shuffle and no recompute — cost per
+    * ingest is O(batch · buckets) + candidate verification,
+    * independent of corpus size. Returns
+    * (batch_doc, corpus_doc, jaccard >= threshold).
     */
   def incrementalMinhashPairs(corpusSketch: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 32, bands: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      chunks: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val bits = 64 / chunks
     val corpus = graft.engine.CacheRegistry.retain(corpusSketch)
     val batchSk = graft.engine.CacheRegistry.retain(
       spread(batch.select(col(idCol), col(textCol)))
-        .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+        .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"),
+          simhash(col(textCol)).as("simhash"))
         .withColumn("sig", minhashSignature(col("sh"), k)))
     def bandsOf(df: DataFrame) = df.select(col("doc"),
       explode(bandKeys(col("sig"), k, bands)).as("band"))
       .select(col("doc"), col("band.band_id").as("band_id"),
         col("band.band_hash").as("band_hash"))
-    val cands = bandsOf(corpus)
+    def chunksOf(df: DataFrame) = df.select(col("doc"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
+        c.as("chunk_idx"),
+        call_function("shiftright", col("simhash"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("chunk_value")))).as("ch"))
+      .select(col("doc"), col("simhash"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
+    val mhCands = bandsOf(corpus)
       .join(broadcast(bandsOf(batchSk)
           .select(col("doc").as("batch_doc"), col("band_id"), col("band_hash"))),
         Seq("band_id", "band_hash"))
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
-      .distinct() // a pair may collide in several bands
+    // pigeonhole: any pair within Hamming < chunks shares a chunk
+    val shCands = chunksOf(corpus)
+      .join(broadcast(chunksOf(batchSk).select(col("doc").as("batch_doc"),
+          col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
+        Seq("chunk_idx", "chunk_value"))
+      .filter(hamming(col("sim_a"), col("simhash")) <= chunks - 1)
+      .select(col("batch_doc"), col("doc").as("corpus_doc"))
+    val cands = mhCands.unionByName(shCands)
+      .distinct() // a pair may collide in several buckets/sketches
     cands
       .join(batchSk.select(col("doc").as("batch_doc"), col("sh").as("sh_a")),
         Seq("batch_doc"))

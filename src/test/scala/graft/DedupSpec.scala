@@ -46,7 +46,7 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated excluded
   }
 
-  test("incremental minhash equals whole-corpus LSH restricted to batch-vs-corpus pairs") {
+  test("incremental multi-sketch dedup equals exact batch-vs-corpus Jaccard") {
     val s = spark
     import s.implicits._
     // 8 docs: ids 0,2 are the "batch", the rest the corpus; dups span
@@ -66,15 +66,17 @@ class DedupSpec extends AnyFunSuite {
       Dedup.corpusSketch(corpus, "doc_id", "text"), batch,
       "doc_id", "text", k = 32, bands = 16, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    // ground truth: the whole-corpus operator on the union, restricted
-    // to pairs with exactly one side in the batch (same k/bands —
-    // signatures are doc-local, so band collisions are identical)
-    val whole = Dedup.minhashLshPairs(all, "doc_id", "text",
-      k = 32, bands = 16, threshold = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .filter(p => isBatch(p._1) != isBatch(p._2))
-      .map(p => if (isBatch(p._1)) p else (p._2, p._1, p._3)).toSet
+    // ground truth: EXACT batch-vs-corpus Jaccard (no sketch) — the
+    // multi-sketch candidates must reach every true pair here
+    val whole = batch
+      .select($"doc_id".as("ba"), Dedup.shingles($"text").as("sa"))
+      .crossJoin(corpus
+        .select($"doc_id".as("ca"), Dedup.shingles($"text").as("sb")))
+      .select($"ba", $"ca", Dedup.jaccard($"sa", $"sb").as("j"))
+      .filter($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(inc === whole)
+    assert(isBatch(0L)) // guard the fixture's batch membership
     assert(inc.exists(p => p._1 == 0L && p._2 == 1L)) // batch dup of corpus doc
     graft.engine.CacheRegistry.releaseAll()
   }
