@@ -184,10 +184,24 @@ object Dedup {
     * ingest is O(batch · buckets) + candidate verification,
     * independent of corpus size. Returns
     * (batch_doc, corpus_doc, jaccard >= threshold).
+    *
+    * Batch and corpus ids must be DISJOINT (a shared id would emit a
+    * degenerate self-pair); the daily-ingest contract guarantees it.
+    *
+    * The broadcast hint is applied only while the batch holds at most
+    * `maxBroadcastBatchDocs` documents (each contributes `bands` +
+    * `chunks` narrow key rows to the broadcast tables). A
+    * backfill-sized batch above the threshold gets NO hint — the
+    * candidate joins then shuffle on the bucket keys (AQE may still
+    * choose a broadcast from actual sizes), which is slower but
+    * cannot hit Spark's broadcast hard limit. The count that decides
+    * this materializes the retained batch sketch, work the candidate
+    * joins were about to do anyway.
     */
   def incrementalMinhashPairs(corpusSketch: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, k: Int = 32, bands: Int = 4,
-      chunks: Int = 8, threshold: Double = 0.8): DataFrame = {
+      chunks: Int = 8, threshold: Double = 0.8,
+      maxBroadcastBatchDocs: Long = 1000000L): DataFrame = {
     val bits = 64 / chunks
     val corpus = graft.engine.CacheRegistry.retain(corpusSketch)
     val batchSk = graft.engine.CacheRegistry.retain(
@@ -195,6 +209,8 @@ object Dedup {
         .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"),
           simhash(col(textCol)).as("simhash"))
         .withColumn("sig", minhashSignature(col("sh"), k)))
+    val hintBatch: DataFrame => DataFrame =
+      if (batchSk.count() <= maxBroadcastBatchDocs) broadcast else identity
     def bandsOf(df: DataFrame) = df.select(col("doc"),
       explode(bandKeys(col("sig"), k, bands)).as("band"))
       .select(col("doc"), col("band.band_id").as("band_id"),
@@ -207,13 +223,13 @@ object Dedup {
       .select(col("doc"), col("simhash"),
         col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
     val mhCands = bandsOf(corpus)
-      .join(broadcast(bandsOf(batchSk)
+      .join(hintBatch(bandsOf(batchSk)
           .select(col("doc").as("batch_doc"), col("band_id"), col("band_hash"))),
         Seq("band_id", "band_hash"))
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
     // pigeonhole: any pair within Hamming < chunks shares a chunk
     val shCands = chunksOf(corpus)
-      .join(broadcast(chunksOf(batchSk).select(col("doc").as("batch_doc"),
+      .join(hintBatch(chunksOf(batchSk).select(col("doc").as("batch_doc"),
           col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
         Seq("chunk_idx", "chunk_value"))
       .filter(hamming(col("sim_a"), col("simhash")) <= chunks - 1)

@@ -49,14 +49,15 @@ class DedupSpec extends AnyFunSuite {
   test("incremental multi-sketch dedup equals exact batch-vs-corpus Jaccard") {
     val s = spark
     import s.implicits._
-    // 8 docs: ids 0,2 are the "batch", the rest the corpus; dups span
-    // both directions (batch doc duplicating corpus doc and vice versa)
+    // 6 docs: even ids {0,2,4} are the "batch", odd ids {1,3,5} the
+    // corpus; dups span both directions (batch doc duplicating corpus
+    // doc and vice versa)
     val all = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "one two three four five six seven eight nine ten eleven"),
       (3L, "one two three four five six seven eight nine ten twelve"),
-      (4L, "unrelated corpus text about catalyst rules and broadcast joins"),
+      (4L, "unrelated batch text about catalyst rules and broadcast joins"),
       (5L, "another unrelated corpus document mentioning shuffle partitions")
     ).toDF("doc_id", "text")
     val isBatch = (id: Long) => id % 2 == 0
@@ -79,6 +80,52 @@ class DedupSpec extends AnyFunSuite {
     assert(isBatch(0L)) // guard the fixture's batch membership
     assert(inc.exists(p => p._1 == 0L && p._2 == 1L)) // batch dup of corpus doc
     graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("incremental dedup: oversized batch degrades to shuffle join, small batch keeps broadcast") {
+    val s = spark
+    import s.implicits._
+    val all = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "one two three four five six seven eight nine ten twelve")
+    ).toDF("doc_id", "text")
+    val batch = all.filter($"doc_id" % 2 === 0)
+    val corpus = all.filter($"doc_id" % 2 =!= 0)
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable size-based auto-broadcast so the plan shape is decided
+    // purely by the operator's hint (or its absence)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def bhjCount(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect() // finalize any adaptive plan
+        // AdaptiveSparkPlanExec is a leaf node — the finalized tree is
+        // only reachable through its string rendering
+        "BroadcastHashJoin".r
+          .findAllMatchIn(df.queryExecution.executedPlan.toString).length
+      }
+      def run(maxBroadcastDocs: Long) = Dedup.incrementalMinhashPairs(
+        Dedup.corpusSketch(corpus, "doc_id", "text"), batch,
+        "doc_id", "text", k = 32, bands = 16, threshold = 0.5,
+        maxBroadcastBatchDocs = maxBroadcastDocs)
+      // batch over the threshold: NO broadcast hint — the candidate
+      // joins shuffle instead of risking the broadcast hard limit
+      val big = run(maxBroadcastDocs = 0L)
+      assert(bhjCount(big) === 0, "oversized batch must not be broadcast")
+      val bigPairs = big.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bigPairs === Set((0L, 1L), (2L, 3L))) // answer unchanged
+      graft.engine.CacheRegistry.releaseAll()
+      // batch under the threshold: hint applies, corpus side never
+      // shuffles for candidate generation (both candidate joins BHJ)
+      val small = run(maxBroadcastDocs = 1000000L)
+      assert(bhjCount(small) >= 2, "small batch must broadcast its bucket keys")
+      assert(small.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((0L, 1L), (2L, 3L)))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      graft.engine.CacheRegistry.releaseAll()
+    }
   }
 
   test("simhash: identical texts equal, near-dups close, unrelated far") {
