@@ -202,8 +202,54 @@ object Dedup {
       idCol: String, textCol: String, k: Int = 32, bands: Int = 4,
       chunks: Int = 8, threshold: Double = 0.8,
       maxBroadcastBatchDocs: Long = 1000000L): DataFrame = {
-    val bits = 64 / chunks
     val corpus = graft.engine.CacheRegistry.retain(corpusSketch)
+    incrementalMinhashPairsFromStore(
+      corpus.select(col("doc"), col("sh")),
+      explodedBands(corpus, k, bands), explodedChunks(corpus, chunks),
+      batch, idCol, textCol, k, bands, chunks, threshold,
+      maxBroadcastBatchDocs)
+  }
+
+  /** Exploded minhash band-key table (doc, band_id, band_hash) of a
+    * [[corpusSketch]] frame — at rest, persisted bucketed by
+    * (band_id, band_hash) so candidate joins read bucket-local data. */
+  def explodedBands(sketch: DataFrame, k: Int = 32,
+      bands: Int = 4): DataFrame =
+    sketch.select(col("doc"),
+      explode(bandKeys(col("sig"), k, bands)).as("band"))
+      .select(col("doc"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+
+  /** Exploded simhash chunk table (doc, simhash, chunk_idx,
+    * chunk_value) of a [[corpusSketch]] frame — at rest, persisted
+    * bucketed by (chunk_idx, chunk_value). Carries the full simhash so
+    * the pigeonhole Hamming filter runs without a join back. */
+  def explodedChunks(sketch: DataFrame, chunks: Int = 8): DataFrame = {
+    val bits = 64 / chunks
+    sketch.select(col("doc"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
+        c.as("chunk_idx"),
+        call_function("shiftright", col("simhash"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("chunk_value")))).as("ch"))
+      .select(col("doc"), col("simhash"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
+  }
+
+  /** [[incrementalMinhashPairs]] against the AT-REST corpus layout:
+    * the three corpus-side tables a production deployment writes once
+    * per corpus — `corpusShingles` (doc, sh), `corpusBands`
+    * ([[explodedBands]]), `corpusChunks` ([[explodedChunks]]) — are
+    * read from persisted storage, so an ingest batch never re-reads or
+    * re-hashes corpus text even across JVMs (the in-JVM-cache variant
+    * above derives them from the sketch frame and delegates here).
+    * Same contract: batch/corpus ids disjoint, broadcast hint only
+    * under `maxBroadcastBatchDocs`. */
+  def incrementalMinhashPairsFromStore(
+      corpusShingles: DataFrame, corpusBands: DataFrame,
+      corpusChunks: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, k: Int = 32, bands: Int = 4,
+      chunks: Int = 8, threshold: Double = 0.8,
+      maxBroadcastBatchDocs: Long = 1000000L): DataFrame = {
     val batchSk = graft.engine.CacheRegistry.retain(
       spread(batch.select(col(idCol), col(textCol)))
         .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"),
@@ -211,26 +257,16 @@ object Dedup {
         .withColumn("sig", minhashSignature(col("sh"), k)))
     val hintBatch: DataFrame => DataFrame =
       if (batchSk.count() <= maxBroadcastBatchDocs) broadcast else identity
-    def bandsOf(df: DataFrame) = df.select(col("doc"),
-      explode(bandKeys(col("sig"), k, bands)).as("band"))
-      .select(col("doc"), col("band.band_id").as("band_id"),
-        col("band.band_hash").as("band_hash"))
-    def chunksOf(df: DataFrame) = df.select(col("doc"), col("simhash"),
-      explode(transform(sequence(lit(0), lit(chunks - 1)), c => struct(
-        c.as("chunk_idx"),
-        call_function("shiftright", col("simhash"), c * bits)
-          .bitwiseAND(lit((1L << bits) - 1)).as("chunk_value")))).as("ch"))
-      .select(col("doc"), col("simhash"),
-        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk_value").as("chunk_value"))
-    val mhCands = bandsOf(corpus)
-      .join(hintBatch(bandsOf(batchSk)
+    val mhCands = corpusBands
+      .join(hintBatch(explodedBands(batchSk, k, bands)
           .select(col("doc").as("batch_doc"), col("band_id"), col("band_hash"))),
         Seq("band_id", "band_hash"))
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
     // pigeonhole: any pair within Hamming < chunks shares a chunk
-    val shCands = chunksOf(corpus)
-      .join(hintBatch(chunksOf(batchSk).select(col("doc").as("batch_doc"),
-          col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
+    val shCands = corpusChunks
+      .join(hintBatch(explodedChunks(batchSk, chunks)
+          .select(col("doc").as("batch_doc"),
+            col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
         Seq("chunk_idx", "chunk_value"))
       .filter(hamming(col("sim_a"), col("simhash")) <= chunks - 1)
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
@@ -239,7 +275,7 @@ object Dedup {
     cands
       .join(batchSk.select(col("doc").as("batch_doc"), col("sh").as("sh_a")),
         Seq("batch_doc"))
-      .join(corpus.select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
+      .join(corpusShingles.select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
         Seq("corpus_doc"))
       .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

@@ -403,16 +403,36 @@ object EmbeddingDedup {
     * (a ∈ batch, b ∈ corpus), ang(a, c_b) <= theta_t + ang(b, c_b)
     * <= theta_t + radius(cell_b), so a's probe into b's home cell
     * always passes — output EQUALS the brute batch×corpus pairs at
-    * any threshold. Returns (batch_id, corpus_id, cos). */
+    * any threshold. Batch and corpus ids must be DISJOINT — a vector
+    * present on both sides emits its own (id, id, 1.0) self-pair.
+    * Returns (batch_id, corpus_id, cos). */
   def cosinePairsIncremental(index: CosineIndex, batch: DataFrame,
-      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    cosinePairsFromStore(index.cents, membersOf(index),
+      batch, idCol, vecCol, threshold)
+
+  /** The AT-REST member table of a [[CosineIndex]]:
+    * (vid, vec, nrm, cell, ang) — written once per corpus, partitioned
+    * by `cell` so a batch probe reads only the cells it lands in. */
+  def membersOf(index: CosineIndex): DataFrame =
+    index.assigned.join(index.vecs, Seq("vid"))
+      .select(col("vid"), col("vec"), col("nrm"), col("cell"), col("ang"))
+
+  /** [[cosinePairsIncremental]] against the persisted index layout:
+    * `cents` (centroid_id, centroid_vec) and `members`
+    * ([[membersOf]]) are read from storage — the corpus is never
+    * re-angled, even across JVMs; per-cell radii fold from the stored
+    * per-member angles. Same disjointness contract as above. */
+  def cosinePairsFromStore(cents: DataFrame, members: DataFrame,
+      batch: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
     val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
     val eps = 1e-6
-    val radii = index.assigned.groupBy(col("cell"))
+    val radii = members.groupBy(col("cell"))
       .agg(max(col("ang")).as("radius"))
     val probes = batch
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(index.cents))
+      .crossJoin(broadcast(cents))
       .select(col("vid"), col("centroid_id").as("cell"),
         angle(col("vec"), col("centroid_vec")).as("ang_a"))
       .join(broadcast(radii), Seq("cell"))
@@ -420,10 +440,10 @@ object EmbeddingDedup {
       .join(withNorms(batch, idCol, vecCol), Seq("vid"))
       .select(col("vid").as("batch_id"), col("vec").as("v_a"),
         col("nrm").as("n_a"), col("cell"), col("ang_a"))
-    val members = index.assigned.join(index.vecs, Seq("vid"))
+    val mem = members
       .select(col("vid").as("corpus_id"), col("vec").as("v_b"),
         col("nrm").as("n_b"), col("cell"), col("ang").as("ang_b"))
-    probes.join(members, Seq("cell"))
+    probes.join(mem, Seq("cell"))
       .filter(abs(col("ang_a") - col("ang_b")) <= lit(thetaT + eps))
       .withColumn("cos",
         Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))

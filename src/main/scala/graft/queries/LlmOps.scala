@@ -261,10 +261,99 @@ object LlmOps {
       "vec_id", "embedding", threshold = 0.4, numCells = 16)
   }
 
+  /** q91's backing store: the corpus sketch written ONCE per JVM per
+    * data dir as three catalog parquet tables — shingles bucketed by
+    * doc (the verification join key), band keys bucketed by
+    * (band_id, band_hash), chunk keys bucketed by (chunk_idx,
+    * chunk_value) — the at-rest layout [[graft.operators.Dedup
+    * .corpusSketch]]'s docstring promises. The write-once/read-forever
+    * pattern is q83's (MergeScaleQ.bucketedNested); the gate proves a
+    * later ingest batch needs ONLY these tables, never the corpus
+    * text. */
+  private[graft] def sketchStore(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    synchronized {
+      import graft.storage.Storage
+      val shT = Storage.tableNameFor("graft_sketch_shingles", d)
+      val bandT = Storage.tableNameFor("graft_sketch_bands", d)
+      val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
+      if (!s.catalog.tableExists(shT)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sketch_store").toString
+        val st = new Storage(s, root)
+        graft.engine.CacheRegistry.withRetained {
+          val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
+            t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text"))
+          st.appendBucketed(shT, sk.select("doc", "sh"),
+            Seq("doc"), numBuckets = 16)
+          st.appendBucketed(bandT, Dedup.explodedBands(sk, 32, 4),
+            Seq("band_id", "band_hash"), numBuckets = 16)
+          st.appendBucketed(chunkT, Dedup.explodedChunks(sk, 8),
+            Seq("chunk_idx", "chunk_value"), numBuckets = 16)
+        }
+      }
+      (s.table(shT), s.table(bandT), s.table(chunkT))
+    }
+
+  /** q86's incremental dedup driven from the PERSISTED sketch store:
+    * same batch split, same oracle — but the corpus side reads only
+    * [[sketchStore]]'s parquet tables (no in-JVM cache, no re-read of
+    * corpus text; the plan shows the catalog tables, pinned in
+    * StoreSpec). */
+  private val q91IncrementalDedupStored: Q = (s, d) => {
+    import s.implicits._
+    val (sh, bands, chunks) = sketchStore(s, d)
+    Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks,
+      t(s, d, "documents").filter($"doc_id" % 10 === 0),
+      "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+      .select($"batch_doc", $"corpus_doc", round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** q92's backing store: the corpus [[graft.operators.EmbeddingDedup
+    * .CosineIndex]] at rest — centroids as a small plain table, the
+    * member table (vid, vec, nrm, ang) hive-partitioned by `cell` so a
+    * probing batch touches only the cells it lands in. */
+  private[graft] def cosineStore(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
+    import graft.operators.EmbeddingDedup
+    import graft.storage.Storage
+    val centT = Storage.tableNameFor("graft_cosidx_cents", d)
+    val memT = Storage.tableNameFor("graft_cosidx_members", d)
+    if (!s.catalog.tableExists(memT)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cosine_index").toString
+      val st = new Storage(s, root)
+      graft.engine.CacheRegistry.withRetained {
+        val idx = EmbeddingDedup.buildCosineIndex(
+          t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", numCells = 16)
+        st.appendTable(centT, idx.cents)
+        st.appendPartitioned(memT, EmbeddingDedup.membersOf(idx), Seq("cell"))
+      }
+    }
+    (s.table(centT), s.table(memT))
+  }
+
+  /** q90's incremental embedding near-dup driven from the PERSISTED
+    * cosine index: same batch split, same brute batch×corpus oracle —
+    * the corpus is never re-angled, only [[cosineStore]]'s tables are
+    * read. */
+  private val q92EmbeddingIncrementalStored: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val (cents, members) = cosineStore(s, d)
+    EmbeddingDedup.cosinePairsFromStore(cents, members,
+      t(s, d, "embeddings").filter($"vec_id" % 10 === 0),
+      "vec_id", "embedding", threshold = 0.4)
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
     "q86_incremental_dedup" -> q86IncrementalDedup,
     "q90_embedding_incremental" -> q90EmbeddingIncremental,
+    "q91_incremental_dedup_stored" -> q91IncrementalDedupStored,
+    "q92_embedding_incremental_stored" -> q92EmbeddingIncrementalStored,
     "q62_dedup_clusters" -> q62DedupClusters,
     "q67_curation" -> q67Curation,
     "q63_ivf_train" -> q63IvfTrain,
@@ -330,19 +419,24 @@ object LlmOps {
       |SELECT batch_doc, corpus_doc, round(j, 6) AS jaccard
       |FROM pj WHERE j >= 0.8""".stripMargin
 
+  /** Brute batch-vs-corpus ground truth for q90/q92: the incremental
+    * bucketed path must equal it exactly (recall 1.0 by construction),
+    * whether the index is in-JVM (q90) or read from parquet (q92). */
+  private val batchVsCorpusCosineSql: String =
+    s"""SELECT batch_id, corpus_id, round(c, 6) AS cos FROM (
+       |  SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
+       |    ${cosSql("a.embedding", "b.embedding")} AS c
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+       |WHERE c >= 0.4""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q27_simhash" -> allPairsJaccardSql,
     "q28_minhash_lsh" -> allPairsJaccardSql,
     "q86_incremental_dedup" -> batchVsCorpusJaccardSql,
-    // brute batch-vs-corpus ground truth: the incremental bucketed
-    // path must equal it exactly (recall 1.0 by construction)
-    "q90_embedding_incremental" ->
-      s"""SELECT batch_id, corpus_id, round(c, 6) AS cos FROM (
-         |  SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
-         |    ${cosSql("a.embedding", "b.embedding")} AS c
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
-         |WHERE c >= 0.4""".stripMargin,
+    "q91_incremental_dedup_stored" -> batchVsCorpusJaccardSql,
+    "q90_embedding_incremental" -> batchVsCorpusCosineSql,
+    "q92_embedding_incremental_stored" -> batchVsCorpusCosineSql,
     "q67_curation" ->
       s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
          |edges AS (

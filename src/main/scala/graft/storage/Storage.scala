@@ -77,6 +77,28 @@ class Storage(spark: SparkSession, root: String) {
     * lives there; a bare parquet read would lose it). */
   def readBucketed(table: String): DataFrame = spark.table(table)
 
+  /** Catalog-registered append, hive-partitioned by `partitionCols`
+    * — the at-rest layout for probe-style reads (e.g. the cosine
+    * index member table partitioned by cell): a reader filtering on
+    * the partition column touches only the matching directories
+    * (static or dynamic partition pruning). */
+  def appendPartitioned(table: String, df: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    df.write.mode(SaveMode.Append)
+      .format("parquet")
+      .option("path", path(table))
+      .partitionBy(partitionCols: _*)
+      .saveAsTable(table)
+  }
+
+  /** Catalog-registered plain append (small unpartitioned tables that
+    * travel with a partitioned/bucketed store, e.g. centroids). */
+  def appendTable(table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append)
+      .format("parquet")
+      .option("path", path(table))
+      .saveAsTable(table)
+
   /** A10/A11 get-or-create dimension upsert: append only the rows whose
     * natural key is absent (archive_contributor.py:41–57 ON CONFLICT DO
     * NOTHING; website.py:46–55 EXISTS check). */
@@ -114,5 +136,18 @@ class Storage(spark: SparkSession, root: String) {
     upsertDimension("settings",
       Seq(("version", "0.2.1")).toDF("setting_id", "setting_value"),
       Seq("setting_id"))
+  }
+}
+
+object Storage {
+  /** Catalog-safe per-directory table name: a readable sanitized tail
+    * plus an md5 of the EXACT path, so two distinct dirs can never
+    * share a table (same scheme as the q83 bucketed store,
+    * MergeScaleQ.bucketedTableName). */
+  def tableNameFor(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val readable = dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
+    s"${prefix}_${readable}_$digest"
   }
 }
