@@ -20,12 +20,26 @@ import org.apache.spark.sql.SparkSession
   *
   * A small warmup job runs first so JVM/classloader startup isn't
   * billed to whichever query happens to run first.
+  *
+  * Budget mode: the driver's bench invocation runs under a timeout it
+  * does not announce (round 7 hit it: rc=124 under machine contention,
+  * leaving the driver blind). SPARK_GRAFT_BENCH_BUDGET_SEC (default
+  * 600) bounds measurement wall-clock — remaining passes are SKIPPED
+  * once a completed pass crosses the budget (every query keeps at
+  * least one sample; fewer passes only widens the median's noise), and
+  * the flag lands in the JSON (`passes`, `budget_exceeded`). The full
+  * result file is rewritten after every pass — and periodically during
+  * the first — so even a hard kill mid-run leaves a parseable
+  * per-query artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
@@ -36,48 +50,69 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
-    for (_ <- 1 to runs; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val began = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - began) / 1e9
+
+    /** One JSON line over every query sampled so far; written to
+      * `outPath` on each call so ANY truncation of the surrounding
+      * process leaves the latest complete snapshot on disk. */
+    def snapshot(passes: Int, budgetExceeded: Boolean,
+        partialPass: Boolean): String = {
+      val results = names.collect { case (name, _) if samples(name).nonEmpty =>
+        val sorted = samples(name).sorted
+        (name, sorted.head, sorted(sorted.size / 2), sorted.last)
       }
-      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
-      // queries persist() internally; no cross-run reuse — and drop
-      // the registry's references so they don't accumulate over
-      // 79 queries × runs
-      graft.engine.CacheRegistry.releaseAll()
-      spark.catalog.clearCache()
+      val qs = results.map { case (k, _, med, _) => "\"" + k + "\":" + med }
+        .mkString("{", ",", "}")
+      // [min, median, max] per query so a cross-round swing on
+      // unchanged code is attributable to shared-machine noise from
+      // the artifact alone (observed 5–15× single-shot swings);
+      // `queries` stays the plain median map for contract
+      // compatibility
+      val spread = results
+        .map { case (k, mn, med, mx) => "\"" + k + "\":[" + mn + "," + med + "," + mx + "]" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._3).sum
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","passes":$passes,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass}"""
+      // the driver snapshot keeps only a truncated tail of stdout, so
+      // the full per-query map is also persisted to a committed file
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+      json
     }
-    val results = names.map { case (name, _) =>
-      val sorted = samples(name).sorted
-      (name, sorted.head, sorted(sorted.size / 2), sorted.last)
+
+    var pass = 0
+    var budgetExceeded = false
+    while (pass < runs && !budgetExceeded) {
+      pass += 1
+      var qIdx = 0
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        // queries persist() internally; no cross-run reuse — and drop
+        // the registry's references so they don't accumulate over
+        // 92 queries × runs
+        graft.engine.CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+        qIdx += 1
+        // mid-first-pass checkpoints: a kill before any pass finishes
+        // still leaves the queries measured so far
+        if (pass == 1 && qIdx % 10 == 0 && qIdx < names.size)
+          snapshot(passes = 0, budgetExceeded = false, partialPass = true)
+      }
+      budgetExceeded = pass < runs && elapsedSec > budgetSec
+      snapshot(pass, budgetExceeded, partialPass = false)
     }
-    val qs = results.map { case (k, _, med, _) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    // [min, median, max] per query so a cross-round swing on unchanged
-    // code is attributable to shared-machine noise from the artifact
-    // alone (observed 5–15× single-shot swings); `queries` stays the
-    // plain median map for contract compatibility
-    val spread = results
-      .map { case (k, mn, med, mx) => "\"" + k + "\":[" + mn + "," + med + "," + mx + "]" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._3).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
-    println(json)
-    // The driver snapshot keeps only a truncated tail of stdout (≈ the
-    // last 32 queries), so the full per-query {min, median, max} map is
-    // also written to a file that gets committed with the round —
-    // without it, most of the corpus is invisible to round-over-round
-    // trend analysis. Override the path with SPARK_GRAFT_BENCH_OUT.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    println(snapshot(pass, budgetExceeded, partialPass = false))
     spark.stop()
   }
 }

@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** SQL registration for the engine's custom Catalyst expressions —
   * after `registerAll`, `spark.sql` users can call them like builtins
@@ -21,23 +23,24 @@ object GraftFunctions {
 
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "json_merge_objects", exprs => JsonMergeObjects(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "merge_files", exprs => MergeFiles(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "long_to_big_endian_binary", exprs => LongToBigEndianBinary(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "minhash_signature", exprs => MinhashSignatureExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64Expr(exprs.head), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "shingles", exprs => ShinglesExpr(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction(
-      "hamming_bytes", exprs => HammingBytesExpr(exprs.head, exprs(1)), "scala_udf")
+    // idempotent: callers re-enter per query (Tables.createViews runs
+    // per Verify/Bench query); re-registering an identical builder is
+    // harmless but floods the logs with "replaced a previously
+    // registered function" warnings — the only content a truncated
+    // driver artifact may capture
+    def register(name: String)(builder: Seq[Expression] => Expression): Unit =
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    register("json_merge_objects")(exprs => JsonMergeObjects(exprs.head))
+    register("merge_files")(exprs => MergeFiles(exprs.head))
+    register("long_to_big_endian_binary")(
+      exprs => LongToBigEndianBinary(exprs.head))
+    register("minhash_signature")(exprs => MinhashSignatureExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
+    register("simhash64")(exprs => SimHash64Expr(exprs.head))
+    register("shingles")(exprs => ShinglesExpr(exprs.head,
+      exprs(1).eval().asInstanceOf[Int]))
+    register("dot_product")(exprs => DotProductExpr(exprs.head, exprs(1)))
+    register("hamming_bytes")(exprs => HammingBytesExpr(exprs.head, exprs(1)))
   }
 }
