@@ -18,8 +18,14 @@ object VerifyOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    for (q <- args)
+    for (q <- args) {
       Verify.runOne(spark, sfDir, outDir, q, SparkEntry.queries(q))
+      // runOne's withRetained scope must have released every frame the
+      // query retained — same contract Verify's full loop enforces
+      assert(graft.engine.CacheRegistry.liveCount == 0,
+        s"$q leaked ${graft.engine.CacheRegistry.liveCount} retained frames")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -260,13 +260,15 @@ object EmbeddingDedup {
     val refineInput =
       embeddings.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
     val seeds = IvfAnn.centroids(embeddings, idCol, vecCol, numCells)
-    val refined = graft.engine.CacheRegistry.retain(
-      IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
     // exactness requires a NON-EMPTY centroid set (any non-empty set is
     // complete; an empty one assigns nothing). A tiny corpus can leave
-    // the 1-in-4 refine sample empty — fall back to the raw seeds.
-    val cents = if (refined.isEmpty)
-      graft.engine.CacheRegistry.retain(seeds) else refined
+    // the 1-in-4 refine sample empty — fall back to the raw seeds. The
+    // sample emptiness check runs BEFORE refine so only the frame
+    // actually used is ever retained (a refine of an empty sample is
+    // empty, so the branches are equivalent).
+    val cents = graft.engine.CacheRegistry.retain(
+      if (refineInput.isEmpty) seeds
+      else IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
 
     // one narrow pass computes every (vector, centroid) angle — ids
     // and scalars ONLY: carrying the vector itself through the n×C
@@ -371,14 +373,12 @@ object EmbeddingDedup {
   def buildCosineIndex(corpus: DataFrame, idCol: String, vecCol: String,
       numCells: Int = 16): CosineIndex = {
     val seeds = IvfAnn.centroids(corpus, idCol, vecCol, numCells)
-    val refined = graft.engine.CacheRegistry.retain(
-      IvfAnn.refine(
-        corpus.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0),
-        idCol, vecCol, seeds, iters = 2))
+    val refineInput = corpus.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
     // same empty-sample fallback as cosinePairsBucketed: exactness
-    // needs a non-empty centroid set
-    val cents = if (refined.isEmpty)
-      graft.engine.CacheRegistry.retain(seeds) else refined
+    // needs a non-empty centroid set; only the chosen frame is retained
+    val cents = graft.engine.CacheRegistry.retain(
+      if (refineInput.isEmpty) seeds
+      else IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
     val assigned = graft.engine.CacheRegistry.retain(corpus
       .select(col(idCol).as("vid"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))

@@ -416,30 +416,53 @@ object TextDocs {
         min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
-  /** Exact corpus quality percentiles per language — the statistics a
+  /** Corpus quality percentiles per language — the statistics a
     * curation pipeline computes BEFORE choosing its quality thresholds
     * (q67/q80 hard-code thresholds; this is where they come from).
     * Exact `percentile` (not percentile_approx) so the value is
     * hash-checkable against DuckDB's quantile_cont — both interpolate
-    * linearly at rank p·(n−1). One grouped aggregation; at 100 TB
-    * exact per-group percentiles need the group's values on one
-    * reducer, which holds when groups are languages (hundreds of
-    * groups); switch to approx sketches only when a single group
-    * outgrows a reducer. */
-  private val q89QualityPercentiles: Q = (s, d) => {
+    * linearly at rank p·(n−1). At 100 TB, exact per-group percentiles
+    * need the group's values on one reducer, which holds when groups
+    * are languages (hundreds of groups, bounded share of the corpus);
+    * a group above `exactGroupLimit` rows falls back to
+    * percentile_approx, whose reducer memory is O(accuracy) regardless
+    * of group size (the escape hatch this docstring used to only
+    * promise — PlanAuditSpec pins both paths). When no group is over
+    * the limit the plan is the plain single grouped aggregation. */
+  private[graft] def percentilesByLang(docs: DataFrame,
+      exactGroupLimit: Long = 50000000L, accuracy: Int = 10000): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val tk = tokens($"text")
-    t(s, d, "documents")
+    val stats = docs
       .select($"lang", size(tk).cast("double").as("nt"),
         round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("ttr4"))
-      .groupBy($"lang")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        round(percentile($"nt", lit(0.5)), 6).as("p50_tokens"),
-        round(percentile($"nt", lit(0.9)), 6).as("p90_tokens"),
-        round(percentile($"nt", lit(0.99)), 6).as("p99_tokens"),
-        round(percentile($"ttr4", lit(0.5)), 6).as("p50_ttr"))
+    def exactAgg(df: DataFrame) = df.groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(percentile($"nt", lit(0.5)), 6).as("p50_tokens"),
+      round(percentile($"nt", lit(0.9)), 6).as("p90_tokens"),
+      round(percentile($"nt", lit(0.99)), 6).as("p99_tokens"),
+      round(percentile($"ttr4", lit(0.5)), 6).as("p50_ttr"))
+    def approxAgg(df: DataFrame) = df.groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"),
+      round(percentile_approx($"nt", lit(0.5), lit(accuracy)), 6).as("p50_tokens"),
+      round(percentile_approx($"nt", lit(0.9), lit(accuracy)), 6).as("p90_tokens"),
+      round(percentile_approx($"nt", lit(0.99), lit(accuracy)), 6).as("p99_tokens"),
+      round(percentile_approx($"ttr4", lit(0.5), lit(accuracy)), 6).as("p50_ttr"))
+    // group census: one cheap partial-aggregated pass; empty in the
+    // common case, so the exact path keeps its original one-agg plan
+    val big = stats.groupBy($"lang").agg(count(lit(1)).as("gn"))
+      .filter($"gn" > exactGroupLimit).select("lang")
+    if (big.isEmpty) exactAgg(stats)
+    else {
+      val bigSet = broadcast(big)
+      exactAgg(stats.join(bigSet, Seq("lang"), "left_anti"))
+        .unionByName(approxAgg(stats.join(bigSet, Seq("lang"), "left_semi")))
+    }
   }
+
+  private val q89QualityPercentiles: Q = (s, d) =>
+    percentilesByLang(t(s, d, "documents"))
 
   val queries: Map[String, Q] = Map(
     "q87_mixture_sample" -> q87MixtureSample,

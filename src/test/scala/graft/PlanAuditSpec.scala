@@ -114,4 +114,43 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("hashpartitioning(bkt"),
       s"per-doc window not partitioned by range bucket:\n$plan")
   }
+
+  test("q89 percentiles: exact on language-sized groups, approx above the group limit") {
+    val s = spark
+    import s.implicits._
+    // 3 langs: "big" has 10 docs, the others 3 — mirrors a dominant
+    // language outgrowing a reducer while the tail stays exact
+    val docs = ((1 to 10).map(i => ("big", ("w " * i).trim)) ++
+      (1 to 3).map(i => ("sm1", ("x " * (i * 2)).trim)) ++
+      (1 to 3).map(i => ("sm2", ("y " * (i * 3)).trim)))
+      .toDF("lang", "text")
+    // all groups under the limit: single exact aggregation, no approx
+    // expression anywhere in the plan
+    val exact = graft.queries.TextDocs.percentilesByLang(
+      docs, exactGroupLimit = 100L)
+    val exactPlan = executed(exact)
+    assert(!exactPlan.contains("percentile_approx"),
+      s"approx engaged below the group limit:\n$exactPlan")
+    // "big" has even n=10: the exact median interpolates between the
+    // middle elements (5.5 tokens) — a value no document has
+    val exactBig = exact.filter($"lang" === "big").collect()(0)
+    assert(exactBig.getAs[Double]("p50_tokens") === 5.5)
+    // drop the limit below 10: "big" must switch to percentile_approx
+    // (actual-element median, no interpolation), the small groups stay
+    // exact and keep their interpolated values
+    val mixed = graft.queries.TextDocs.percentilesByLang(
+      docs, exactGroupLimit = 5L)
+    val mixedPlan = executed(mixed)
+    assert(mixedPlan.contains("percentile_approx"),
+      s"approx did not engage above the group limit:\n$mixedPlan")
+    val mixedRows = mixed.collect().map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("p50_tokens")).toMap
+    assert(Set(5.0, 6.0).contains(mixedRows("big")),
+      s"approx median must be an actual element, got ${mixedRows("big")}")
+    val exactRows = exact.collect().map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("p50_tokens")).toMap
+    assert(mixedRows("sm1") === exactRows("sm1"))
+    assert(mixedRows("sm2") === exactRows("sm2"))
+    assert(mixedRows.keySet === Set("big", "sm1", "sm2")) // no group lost
+  }
 }
