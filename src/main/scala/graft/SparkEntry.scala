@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.MaintenanceQ.queries ++
       graft.queries.WebListingQ.queries ++
       graft.queries.SqlSurfaceQ.queries ++
-      graft.queries.MergeScaleQ.queries
+      graft.queries.MergeScaleQ.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.MaintenanceQ.oracles ++
       graft.queries.WebListingQ.oracles ++
       graft.queries.SqlSurfaceQ.oracles ++
-      graft.queries.MergeScaleQ.oracles
+      graft.queries.MergeScaleQ.oracles ++
+      graft.queries.CorpusOps.oracles
 }

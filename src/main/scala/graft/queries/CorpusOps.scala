@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.SpanDedup
+
+/** Round-8 corpus-construction operators: epoch-aware mixture
+  * upsampling, cross-source n-gram contamination audit, and exact
+  * duplicate-span detection — the three ops a training-data pipeline
+  * runs between "corpus curated" (q67/q80) and "shards written" (q88).
+  * All oracle-checkable: membership and window positions are pure
+  * functions of the data (md5 buckets / token positions), no
+  * engine-specific state.
+  */
+object CorpusOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Epoch-aware mixture UPsampling — the other half of q87's
+    * downsampling: a mixture spec quotes epochs per source (e.g.
+    * "books ×3.0, web ×2.5, cc ×1.0, ref ×0.4") and each document is
+    * emitted floor(w) times plus one more iff its md5 bucket falls
+    * under the fractional threshold — deterministic, reproducible
+    * across engines, stable under corpus growth (same properties as
+    * q69/q87 membership). The weights live in a broadcast TABLE
+    * (n_full copies + a 256-bucket hex threshold for the fraction);
+    * re-weighting is a config change.
+    *
+    * Scale: broadcast join + per-row explode (narrow — fan-out ≤
+    * ceil(w), no shuffle) + one grouped agg. The epoch column is what
+    * a trainer keys curriculum decisions on. */
+  private val q93UpsampleEpochs: Q = (s, d) => {
+    import s.implicits._
+    // (source, full copies, fractional-epoch threshold): src1 ×2.5,
+    // src2 ×0.4, src3 ×3.0, src4 ×1.25; everything else ×1.0
+    val weights = Seq(
+      ("src1", 2, "80"), ("src2", 0, "66"), ("src3", 3, "00"),
+      ("src4", 1, "40"))
+      .toDF("source", "n_full", "thr")
+    val bucket = substring(md5(concat(lit("ep"), $"doc_id".cast("string"))), 1, 2)
+    t(s, d, "documents")
+      .join(broadcast(weights), Seq("source"), "left")
+      .withColumn("copies",
+        coalesce($"n_full", lit(1)) +
+          when(bucket < coalesce($"thr", lit("00")), 1).otherwise(0))
+      .filter($"copies" >= 1) // ×0.4 rows above threshold drop out
+      .withColumn("epoch", explode(sequence(lit(1L), $"copies".cast("long"))))
+      .groupBy($"source", $"epoch")
+      .agg(count(lit(1)).as("n"),
+        sum($"doc_id").as("id_sum"),
+        min($"doc_id").as("id_min"),
+        max($"doc_id").as("id_max"))
+  }
+
+  /** Cross-source 8-gram contamination audit
+    * ([[SpanDedup.overlapMatrix]]): which dataset pairs share verbatim
+    * 8-word windows, with Jaccard and containment over each pair's
+    * distinct-window sets. Run before mixing sources (and before
+    * trusting a held-out split drawn from a "different" source). */
+  private val q94SourceOverlap: Q = (s, d) =>
+    SpanDedup.overlapMatrix(t(s, d, "documents"), "doc_id", "text",
+      "source", k = 8)
+
+  /** Exact duplicate-span detection ([[SpanDedup.duplicateSpans]]):
+    * maximal runs of ≥ 8 tokens appearing verbatim in ≥ 2 documents —
+    * per-document 1-based [span_start, span_end] token bounds plus the
+    * number of duplicated windows merged into the span. */
+  private val q95DupSpans: Q = (s, d) =>
+    SpanDedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
+
+  val queries: Map[String, Q] = Map(
+    "q93_upsample_epochs" -> q93UpsampleEpochs,
+    "q94_source_overlap" -> q94SourceOverlap,
+    "q95_dup_spans" -> q95DupSpans)
+
+  val oracles: Map[String, String] = Map(
+    "q93_upsample_epochs" ->
+      """WITH w(source, n_full, thr) AS (VALUES
+        |  ('src1', 2, '80'), ('src2', 0, '66'), ('src3', 3, '00'),
+        |  ('src4', 1, '40')),
+        |c AS (
+        |  SELECT d.source, d.doc_id,
+        |    coalesce(w.n_full, 1) +
+        |      CASE WHEN substring(md5('ep' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+        |                < coalesce(w.thr, '00') THEN 1 ELSE 0 END AS copies
+        |  FROM documents d LEFT JOIN w ON d.source = w.source),
+        |e AS (
+        |  SELECT source, doc_id,
+        |    unnest(generate_series(1, copies)) AS epoch
+        |  FROM c WHERE copies >= 1)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch, count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max
+        |FROM e GROUP BY source, epoch""".stripMargin,
+    "q94_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(w[i:i+7], ' ') AS s
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+        |  WHERE len(w) >= 8),
+        |n AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.shared,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  round(CAST(p.shared AS DOUBLE) / (na.n + nb.n - p.shared), 6) AS jaccard,
+        |  round(CAST(p.shared AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+        |FROM p
+        |JOIN n na ON na.source = p.source_a
+        |JOIN n nb ON nb.source = p.source_b""".stripMargin,
+    "q95_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS s
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+        |  WHERE len(w) >= 8),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |hit AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM sh JOIN dup USING (s)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM hit)
+        |SELECT doc_id AS doc, min(pos) AS span_start,
+        |  CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin)
+}
