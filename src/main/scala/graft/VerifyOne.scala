@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: dump NAMED queries (args) to SPARK_GRAFT_OUT_DIR for a
-  * targeted oracle compare, instead of the full 90-query Verify run —
+  * targeted oracle compare, instead of the full all-query Verify run —
   * the iteration loop when one query's oracle is under repair.
   * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_OUT_DIR=... \
   *        sbt "runMain graft.VerifyOne q86_incremental_dedup" */
