@@ -86,6 +86,48 @@ object SpanDedup {
       .select(col("doc"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Duplicate-span REMOVAL — the transform downstream of
+    * [[duplicateSpans]]: every k-window that also occurs in an EARLIER
+    * document (lower id = the span's "owner") has its [pos, pos+k-1]
+    * token range deleted from the later document; the first occurrence
+    * survives verbatim, later occurrences keep only their novel
+    * tokens. Documents left empty (pure duplicates) are dropped.
+    * Returns (id, kept, n_kept, n_removed) where `kept` is the
+    * surviving text, lowercased and single-space joined.
+    *
+    * Reconstruction is a NARROW per-row array filter: removed
+    * positions arrive as one per-doc set (bounded by document length)
+    * and the token array is filtered in place with an index-aware
+    * higher-order function — no re-sort, no per-token shuffle, no
+    * collect_list regroup. Shuffles: the window-hash ownership agg +
+    * join (same layout as [[duplicateSpans]]) and the per-doc
+    * removed-set agg. */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 8): DataFrame = {
+    val win = graft.engine.CacheRegistry.retain(
+      positionalWindows(docs, idCol, textCol, k))
+    val owners = win.groupBy(col("wh"))
+      .agg(min(col("doc")).as("owner"), countDistinct(col("doc")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"), col("owner"))
+    // removed token positions, one set per doc (set size <= doc length)
+    val removed = win.join(owners, Seq("wh"))
+      .filter(col("doc") > col("owner"))
+      .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("doc")).agg(collect_set(col("p")).as("rm"))
+    docs
+      .select(col(idCol).as("doc"), Dedup.tokens(col(textCol)).as("toks"))
+      .join(removed, Seq("doc"), "left")
+      .withColumn("kept_arr", when(col("rm").isNull, col("toks"))
+        .otherwise(filter(col("toks"),
+          (_, i) => !array_contains(col("rm"), (i + lit(1)).cast("long")))))
+      .select(col("doc").as(idCol),
+        array_join(col("kept_arr"), " ").as("kept"),
+        size(col("kept_arr")).cast("long").as("n_kept"),
+        (size(col("toks")) - size(col("kept_arr"))).cast("long").as("n_removed"))
+      .filter(col("kept") =!= "")
+  }
+
   /** Cross-source k-gram overlap matrix — the contamination audit run
     * between datasets before mixing them: for every pair of sources
     * sharing at least one distinct k-word window, the shared distinct

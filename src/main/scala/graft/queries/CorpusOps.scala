@@ -70,10 +70,57 @@ object CorpusOps {
   private val q95DupSpans: Q = (s, d) =>
     SpanDedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text", k = 8)
 
+  /** Deterministic training-order shuffle: every document gets a
+    * contiguous 1-based global position in md5-pseudo-random order and
+    * a 64-doc shard — the "shuffle the corpus once, stream shards in
+    * order" layout SGD training consumes. The global row_number is
+    * computed WITHOUT a global sort: the md5 key's first hex byte is
+    * its range bucket (a hex-prefix bucket IS a range of the full key
+    * order), so a per-bucket row_number plus a broadcast per-bucket
+    * offset table reproduces the global ordering exactly — the only
+    * single-partition window runs over the 256-row bucket-count frame
+    * (the q88 two-phase prefix-sum pattern applied to ordering).
+    * Oracle = the naive global ORDER BY row_number, so the hash match
+    * proves the decomposition. */
+  private val q96TrainingOrder: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docsPerShard = 64L
+    val keyed = t(s, d, "documents")
+      .select($"doc_id",
+        md5(concat(lit("shuf"), $"doc_id".cast("string"))).as("k"))
+      .withColumn("bkt", substring($"k", 1, 2))
+    val wIn = Window.partitionBy($"bkt").orderBy($"k")
+    val wOff = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum($"cnt").over(wOff), lit(0L)))
+      .select($"bkt", $"off")
+    keyed
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("global_pos", $"off" + $"rn")
+      .select($"doc_id", $"global_pos",
+        floor(($"global_pos" - 1) / docsPerShard).cast("long").as("shard"))
+  }
+
+  /** Duplicate-span removal round-trip
+    * ([[SpanDedup.removeDuplicateSpans]]): later occurrences of any
+    * shared ≥ 8-token run are cut, first occurrences survive, empty
+    * leftovers drop. The oracle rebuilds every document's kept text
+    * independently, so the md5 match checks the reconstruction
+    * byte-for-byte. */
+  private val q97RemoveDupSpans: Q = (s, d) =>
+    SpanDedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+      k = 8)
+      .select(col("doc_id"), md5(col("kept")).as("kept_md5"),
+        col("n_kept"), col("n_removed"))
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
-    "q95_dup_spans" -> q95DupSpans)
+    "q95_dup_spans" -> q95DupSpans,
+    "q96_training_order" -> q96TrainingOrder,
+    "q97_remove_dup_spans" -> q97RemoveDupSpans)
 
   val oracles: Map[String, String] = Map(
     "q93_upsample_epochs" ->
@@ -137,5 +184,42 @@ object CorpusOps {
         |  FROM hit)
         |SELECT doc_id AS doc, min(pos) AS span_start,
         |  CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_windows
-        |FROM isl GROUP BY doc_id, island""".stripMargin)
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // naive global ORDER BY — the hash match proves the two-phase
+    // bucket/offset decomposition equals the global row_number
+    "q96_training_order" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  row_number() OVER (ORDER BY k) AS global_pos,
+        |  CAST(floor((row_number() OVER (ORDER BY k) - 1) / 64) AS BIGINT)
+        |    AS shard
+        |FROM k""".stripMargin,
+    "q97_remove_dup_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS s
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) g
+        |  WHERE len(w) >= 8),
+        |own AS (
+        |  SELECT s, min(doc_id) AS owner FROM sh
+        |  GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |rmpos AS (
+        |  SELECT DISTINCT sh.doc_id, unnest(generate_series(sh.pos, sh.pos + 7)) AS p
+        |  FROM sh JOIN own USING (s) WHERE sh.doc_id > own.owner),
+        |rml AS (SELECT doc_id, list(p) AS rm FROM rmpos GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT t.doc_id, len(t.w) AS n_in,
+        |    list_transform(
+        |      list_filter(generate_series(1, len(t.w)),
+        |        i -> NOT list_contains(coalesce(r.rm, []), i)),
+        |      i -> t.w[i]) AS kept_arr
+        |  FROM tok t LEFT JOIN rml r USING (doc_id))
+        |SELECT doc_id, md5(array_to_string(kept_arr, ' ')) AS kept_md5,
+        |  CAST(len(kept_arr) AS BIGINT) AS n_kept,
+        |  CAST(n_in - len(kept_arr) AS BIGINT) AS n_removed
+        |FROM rebuilt WHERE len(kept_arr) > 0""".stripMargin)
 }

@@ -72,6 +72,41 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(SpanDedup.duplicateSpans(docs, "doc_id", "text", k = 4).isEmpty)
   }
 
+  test("removeDuplicateSpans keeps first occurrence, cuts later ones, drops empties") {
+    val s = spark
+    import s.implicits._
+    val shared = words("s", 6)
+    val docs = Seq(
+      (1L, s"$shared x1 x2"),          // owner: survives whole
+      (2L, s"y1 y2 $shared y3"),       // later: loses the 6-token run
+      (3L, shared),                    // later, nothing else: dropped
+      (4L, words("q", 5))              // untouched (no dup windows)
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === ((s"$shared x1 x2".toLowerCase, 8L, 0L)))
+    assert(out(2L) === (("y1 y2 y3", 3L, 6L)))
+    assert(!out.contains(3L), "pure duplicate must be dropped")
+    assert(out(4L) === ((words("q", 5), 5L, 0L)))
+  }
+
+  test("removeDuplicateSpans cuts only the duplicated window range") {
+    val s = spark
+    import s.implicits._
+    // doc 2 shares only the middle 4 tokens (exactly one k=4 window)
+    val run = words("m", 4)
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3 a4"),
+      (2L, s"b1 b2 $run b3 b4")
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._3 === 0L)
+    assert(out(2L) === (("b1 b2 b3 b4", 4L, 4L)))
+  }
+
   test("overlapMatrix computes shared counts and jaccard over distinct windows") {
     val s = spark
     import s.implicits._
