@@ -115,12 +115,97 @@ object CorpusOps {
       .select(col("doc_id"), md5(col("kept")).as("kept_md5"),
         col("n_kept"), col("n_removed"))
 
+  /** Concat-and-chunk sequence packing — the GPT-style layout: all
+    * documents are conceptually concatenated in doc_id order and cut
+    * into fixed `seqLen`-token training sequences; a document may span
+    * a boundary. Emits, per document, the sequence its first token
+    * lands in, the offset inside that sequence, and the sequence its
+    * last token lands in — exactly what a loader needs to place
+    * attention-mask boundaries. Differs from q88 (whole-doc shard
+    * assignment): here the TOKEN stream is chunked, not the doc list.
+    * The global token prefix sum is the same two-phase decomposition
+    * as q88 — per-range-bucket window + broadcast per-bucket offsets;
+    * nothing document-sized crosses a single partition. Oracle = the
+    * naive global running sum. */
+  private val q98SequencePack: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seqLen = 2048L
+    val bucketWidth = 500L
+    val base = t(s, d, "documents")
+      .select($"doc_id",
+        size(graft.operators.Dedup.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("bkt", floor($"doc_id" / bucketWidth).cast("long"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy($"bkt").agg(sum($"n_tokens").as("tot"))
+      .withColumn("off", coalesce(sum($"tot").over(wOff), lit(0L)))
+      .select($"bkt", $"off")
+    base.withColumn("cum_in", sum($"n_tokens").over(wIn))
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("start_tok", $"off" + $"cum_in" - $"n_tokens") // 0-based
+      .select($"doc_id", $"n_tokens",
+        floor($"start_tok" / seqLen).cast("long").as("seq_first"),
+        ($"start_tok" % seqLen).cast("long").as("seq_offset"),
+        floor(($"start_tok" + $"n_tokens" - 1) / seqLen).cast("long").as("seq_last"))
+  }
+
+  /** Temperature-sampled mixture weights — the operator that PRODUCES
+    * the weights tables q87/q93 consume: per-source natural token
+    * share p_i and the temperature-flattened share
+    * sqrt(n_i)/Σ sqrt(n_j) (T = 2, i.e. w ∝ p^(1/T) — the standard
+    * multilingual/multi-source rebalancing), plus the implied
+    * upsample factor temp_share/nat_share. sqrt, not pow(x, 0.5):
+    * both engines correctly round IEEE sqrt, while pow's last ulp is
+    * libm-dependent. One grouped agg over the corpus + a single-row
+    * broadcast of the totals; shares rounded to 6 dp for
+    * engine-portable hashing. */
+  private val q99TemperatureWeights: Q = (s, d) => {
+    import s.implicits._
+    val perSource = t(s, d, "documents")
+      .select($"source",
+        size(graft.operators.Dedup.tokens($"text")).cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val tot = perSource.agg(sum($"n_tokens").as("tot"),
+      sum(sqrt($"n_tokens")).as("ws"))
+    perSource.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        round($"n_tokens" / $"tot", 6).as("nat_share"),
+        round(sqrt($"n_tokens") / $"ws", 6).as("temp_share"),
+        round((sqrt($"n_tokens") / $"ws") / ($"n_tokens" / $"tot"), 6)
+          .as("upsample"))
+  }
+
+  /** Bloom-prefiltered decontamination
+    * ([[graft.operators.Decontaminate.flagOverlap]]): q77's semantics
+    * (same contamination injection, same output) through the
+    * bloom-prune + exact-confirm path that survives eval sets too
+    * large to broadcast. The oracle is the plain exact join — the
+    * hash match proves the bloom sandwich changes nothing but the
+    * shuffle volume. */
+  private val q100BloomDecontaminate: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents").select($"doc_id", $"text")
+    val contaminated = docs.filter($"doc_id" % 100 === 0)
+      .select(($"doc_id" + 200001).as("doc_id"),
+        concat($"text", lit(" with extra trailing commentary appended"))
+          .as("text"))
+    val corpus = docs.unionByName(contaminated).filter($"doc_id" % 100 =!= 0)
+    val evalDocs = docs.filter($"doc_id" % 100 === 0)
+    graft.operators.Decontaminate.flagOverlap(corpus, evalDocs, k = 8)
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
     "q95_dup_spans" -> q95DupSpans,
     "q96_training_order" -> q96TrainingOrder,
-    "q97_remove_dup_spans" -> q97RemoveDupSpans)
+    "q97_remove_dup_spans" -> q97RemoveDupSpans,
+    "q98_sequence_pack" -> q98SequencePack,
+    "q99_temperature_weights" -> q99TemperatureWeights,
+    "q100_bloom_decontaminate" -> q100BloomDecontaminate)
 
   val oracles: Map[String, String] = Map(
     "q93_upsample_epochs" ->
@@ -221,5 +306,63 @@ object CorpusOps {
         |SELECT doc_id, md5(array_to_string(kept_arr, ' ')) AS kept_md5,
         |  CAST(len(kept_arr) AS BIGINT) AS n_kept,
         |  CAST(n_in - len(kept_arr) AS BIGINT) AS n_removed
-        |FROM rebuilt WHERE len(kept_arr) > 0""".stripMargin)
+        |FROM rebuilt WHERE len(kept_arr) > 0""".stripMargin,
+    // naive global running sum — the hash match proves the two-phase
+    // bucket/offset prefix sum equals the global token cursor
+    "q98_sequence_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+        |      AS start_tok
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(start_tok / 2048.0) AS BIGINT) AS seq_first,
+        |  CAST(start_tok % 2048 AS BIGINT) AS seq_offset,
+        |  CAST(floor((start_tok + n_tokens - 1) / 2048.0) AS BIGINT) AS seq_last
+        |FROM c""".stripMargin,
+    "q99_temperature_weights" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |    sum(sqrt(CAST(n_tokens AS DOUBLE))) AS ws FROM ps)
+        |SELECT source, n_docs, n_tokens,
+        |  round(n_tokens / CAST(tot AS DOUBLE), 6) AS nat_share,
+        |  round(sqrt(CAST(n_tokens AS DOUBLE)) / ws, 6) AS temp_share,
+        |  round((sqrt(CAST(n_tokens AS DOUBLE)) / ws)
+        |    / (n_tokens / CAST(tot AS DOUBLE)), 6) AS upsample
+        |FROM ps, tot""".stripMargin,
+    // the plain exact join (q77's oracle) — identical output proves
+    // the bloom prune + confirm sandwich is invisible to results
+    "q100_bloom_decontaminate" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200001 AS doc_id,
+        |    text || ' with extra trailing commentary appended' AS text
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM all_docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) >= 8 THEN
+        |      list_distinct(list_transform(range(0, length(t) - 7),
+        |        i -> md5(array_to_string(t[i+1:i+8], ' '))))
+        |    ELSE [md5(array_to_string(t, ' '))] END AS g
+        |  FROM tk),
+        |grams AS (SELECT doc_id, unnest(g) AS gh FROM sh),
+        |ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 100 = 0)
+        |SELECT g.doc_id, count(*) AS n_contaminated_grams
+        |FROM grams g JOIN ev USING (gh)
+        |WHERE g.doc_id % 100 <> 0
+        |GROUP BY g.doc_id""".stripMargin)
 }

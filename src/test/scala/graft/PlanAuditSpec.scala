@@ -115,6 +115,23 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"per-doc window not partitioned by range bucket:\n$plan")
   }
 
+  test("q96 training order: the single-partition window runs only over bucket counts") {
+    // same 100 TB contract as q88, applied to global ORDERING: the
+    // per-doc row_number windows hash-partition on the hex-prefix
+    // range bucket; the ONE unpartitioned stage is the 256-row
+    // per-bucket offset frame, which then broadcasts back
+    val q = graft.queries.CorpusOps.queries("q96_training_order")(
+      spark, "/root/testdata/sf0.001")
+    val plan = executed(q)
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles == 1,
+      s"expected exactly one SinglePartition exchange (bucket offsets), got $singles:\n$plan")
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"per-doc ordering window not partitioned by range bucket:\n$plan")
+    assert("BroadcastExchange".r.findAllIn(plan).nonEmpty,
+      s"offset table did not broadcast back:\n$plan")
+  }
+
   test("q89 percentiles: exact on language-sized groups, approx above the group limit") {
     val s = spark
     import s.implicits._
