@@ -41,9 +41,17 @@ object Verify {
           s"${graft.engine.CacheRegistry.liveCount} retained frames")
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** Dump oracle SQL as the driver's oracle_sql.json. JSON string
+    * escape covers backslash, quote, and ALL control chars (<0x20) —
+    * a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's
+    * correctness. Shared with [[VerifyOne]] so a single-query dev dump
+    * is selfcheck-ready too. */
+  def writeOracleJson(outDir: String, sql: Map[String, String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -53,9 +61,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = sql.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

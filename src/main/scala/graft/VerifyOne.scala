@@ -26,6 +26,9 @@ object VerifyOne {
         s"$q leaked ${graft.engine.CacheRegistry.liveCount} retained frames")
       spark.catalog.clearCache()
     }
+    // the dump is selfcheck-ready: oracle SQL for exactly the queries run
+    Verify.writeOracleJson(outDir,
+      SparkEntry.oracleSql.view.filterKeys(args.contains).toMap)
     spark.stop()
   }
 }

@@ -73,6 +73,64 @@ object LlmOps {
       emb.filter($"vec_id" < 20), k = 3, nPlanes = 8, portablePlanes = true)
   }
 
+  /** ANN recall-evaluation harness — the measurement every
+    * approximate index needs before it replaces the exact path in a
+    * pipeline: per query point and per index family, how many of the
+    * TRUE top-k (brute cosine) the index returned. Every path is
+    * itself deterministic (portable planes, deterministic centroids,
+    * (cos desc, nid asc) ranking), so the recall NUMBERS are
+    * hash-checked — the oracle replays brute AND both indexes and
+    * recomputes the intersections. On this corpus the comparison is
+    * the point: embeddings are uniform random, so single-table
+    * 8-plane hyperplane LSH collapses (~0 recall — true neighbors of
+    * uniform points are nearly orthogonal and rarely share all 8
+    * sign bits), while IVF probing 4 of 16 cells retains real recall;
+    * exactly the decision data a pipeline needs before swapping the
+    * exact path out. At 100 TB this runs on a bounded query sample:
+    * the brute side is O(sample × corpus) but broadcast-query
+    * shuffle-free, the index sides are the production paths being
+    * measured. */
+  private val q101AnnRecall: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.IvfAnn
+    val emb = t(s, d, "embeddings")
+    val qs = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      Similarity.dot(a, b)
+    val brute = emb.select($"vec_id".as("nid"), $"embedding".as("nv"))
+      .crossJoin(broadcast(qs))
+      .filter($"nid" =!= $"qid")
+      .withColumn("cos",
+        dot($"qv", $"nv") / (sqrt(dot($"qv", $"qv")) * sqrt(dot($"nv", $"nv"))))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"nid")
+    val lsh = Similarity.annLsh(emb, "vec_id", "embedding",
+        emb.filter($"vec_id" < 20), k = 3, nPlanes = 8, portablePlanes = true)
+      .select(lit("lsh_8planes").as("amethod"),
+        $"qid".as("aqid"), $"nid".as("anid"))
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("centroid_vec"))
+    val ivf = IvfAnn.search(
+        IvfAnn.assign(emb, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents,
+        emb.filter($"vec_id" < 20), k = 3, nprobe = 4)
+      .select(lit("ivf_np4").as("amethod"),
+        $"qid".as("aqid"), $"nid".as("anid"))
+    val methods = Seq("lsh_8planes", "ivf_np4").toDF("method")
+    brute.crossJoin(methods)
+      .join(lsh.unionByName(ivf),
+        $"method" === $"amethod" && $"qid" === $"aqid" && $"nid" === $"anid",
+        "left")
+      .groupBy($"method", $"qid")
+      .agg(count(lit(1)).as("n_true"), count($"anid").as("n_hits"))
+      .select($"method", $"qid", $"n_true", $"n_hits",
+        round($"n_hits" / $"n_true", 6).as("recall"))
+  }
+
   /** Multimodal byte pipeline: synthetic binary payloads →
     * partition-wise stub decode → feature vectors. Oracle rebuilds the
     * md5 payload bytes hex-digit-wise in DuckDB, so the mapPartitions
@@ -365,7 +423,8 @@ object LlmOps {
     "q70_multimodal_resize" -> q70MultimodalResize,
     "q50_embedding_neardup" -> q50EmbeddingNeardup,
     "q82_embedding_neardup_bucketed" -> q82EmbeddingNeardupBucketed,
-    "q51_ivf_ann" -> q51IvfAnn)
+    "q51_ivf_ann" -> q51IvfAnn,
+    "q101_ann_recall" -> q101AnnRecall)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
     * sketch-candidate queries (q27 simhash, q28 minhash) must hit
@@ -605,5 +664,76 @@ object LlmOps {
         |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
         |    AS c
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |WHERE c >= 0.4""".stripMargin)
+        |WHERE c >= 0.4""".stripMargin,
+    // replays BOTH the brute truth and the q29 LSH index, then
+    // recomputes the per-query intersection — the recall numbers
+    // themselves are hash-checked
+    "q101_ann_recall" ->
+      s"""WITH bq AS (
+         |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |bres AS (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    ${cosSql("q.qv", "c.embedding")} AS cos
+         |  FROM bq q JOIN embeddings c ON c.vec_id <> q.qid),
+         |brute AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM bres)
+         |  WHERE rank <= 3),
+         |b AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(range(0, 8), pp ->
+         |      CASE WHEN list_sum(list_transform(
+         |          list_zip(embedding, range(0, length(embedding))),
+         |          z -> CAST(z[1] AS DOUBLE) *
+         |            (CASE WHEN (pp*379 + z[2]*607 + pp*z[2]*131) % 1009 < 504
+         |             THEN 1.0 ELSE -1.0 END))) > 0
+         |      THEN (CAST(1 AS BIGINT) << pp) ELSE 0 END)) AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 20),
+         |lres AS (
+         |  SELECT q.qid, c.vec_id AS nid,
+         |    ${cosSql("q.qv", "c.embedding")} AS cos
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.qid),
+         |lsh AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM lres)
+         |  WHERE rank <= 3),
+         |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |ec AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cos_c
+         |  FROM embeddings e CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS centroid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rk FROM ec)
+         |  WHERE rk = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, embedding AS qv, cid AS centroid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rk
+         |    FROM ec WHERE vec_id < 20)
+         |  WHERE rk <= 4),
+         |ires AS (
+         |  SELECT p.qid, a.vec_id AS nid,
+         |    ${cosSql("p.qv", "a.embedding")} AS cos
+         |  FROM probes p JOIN assign a
+         |    ON a.centroid = p.centroid AND a.vec_id <> p.qid),
+         |ivf AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank FROM ires)
+         |  WHERE rank <= 3),
+         |approx AS (
+         |  SELECT 'lsh_8planes' AS method, qid, nid FROM lsh
+         |  UNION ALL
+         |  SELECT 'ivf_np4' AS method, qid, nid FROM ivf),
+         |m(method) AS (VALUES ('lsh_8planes'), ('ivf_np4'))
+         |SELECT m.method, t.qid, count(*) AS n_true, count(a.nid) AS n_hits,
+         |  round(count(a.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM brute t CROSS JOIN m LEFT JOIN approx a
+         |  ON a.method = m.method AND a.qid = t.qid AND a.nid = t.nid
+         |GROUP BY m.method, t.qid""".stripMargin)
 }
