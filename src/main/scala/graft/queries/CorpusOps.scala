@@ -74,22 +74,29 @@ object CorpusOps {
     * contiguous 1-based global position in md5-pseudo-random order and
     * a 64-doc shard — the "shuffle the corpus once, stream shards in
     * order" layout SGD training consumes. The global row_number is
-    * computed WITHOUT a global sort: the md5 key's first hex byte is
-    * its range bucket (a hex-prefix bucket IS a range of the full key
+    * computed WITHOUT a global sort: the md5 key's hex prefix is its
+    * range bucket (a hex-prefix bucket IS a range of the full key
     * order), so a per-bucket row_number plus a broadcast per-bucket
     * offset table reproduces the global ordering exactly — the only
-    * single-partition window runs over the 256-row bucket-count frame
+    * single-partition window runs over the bucket-count frame
     * (the q88 two-phase prefix-sum pattern applied to ordering).
-    * Oracle = the naive global ORDER BY row_number, so the hash match
-    * proves the decomposition. */
+    * `prefixLen` is the scale knob: bucket count = 16^p, and each
+    * bucket's rows sort inside ONE window task, so pick p with
+    * n/16^p ≈ a task-sized sort (p=4 → 65 536 buckets ≈ 1.5M
+    * rows/bucket at 100 G docs; the offset frame stays ≤ 16^p rows,
+    * still broadcast-sized). md5 is uniform, so buckets are balanced
+    * by construction — no skew handling needed. Oracle = the naive
+    * global ORDER BY row_number, so the hash match proves the
+    * decomposition. */
   private val q96TrainingOrder: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docsPerShard = 64L
+    val prefixLen = 4
     val keyed = t(s, d, "documents")
       .select($"doc_id",
         md5(concat(lit("shuf"), $"doc_id".cast("string"))).as("k"))
-      .withColumn("bkt", substring($"k", 1, 2))
+      .withColumn("bkt", substring($"k", 1, prefixLen))
     val wIn = Window.partitionBy($"bkt").orderBy($"k")
     val wOff = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
