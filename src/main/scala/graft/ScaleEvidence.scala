@@ -183,6 +183,90 @@ object ScaleEvidence {
     (textPoints, embPoints)
   }
 
+  /** Bloom-prune decontamination vs the plain gram join, FIXED corpus
+    * vs growing eval set (the axis that kills the broadcast approach:
+    * q77's exact path is fine while the eval suite broadcasts, and the
+    * bloom sandwich must take over once it doesn't). Realistic
+    * leakage shape: the eval set is mostly NOVEL text (bases disjoint
+    * from the corpus's), with every 16th doc re-issuing a corpus
+    * body — so true overlap is sparse and the prune has something to
+    * prune, while the eval gram set still grows past broadcast size.
+    * Both paths must flag identical (doc, count) sets at every size;
+    * `survivors` counts corpus gram rows passing the bloom — the
+    * shuffle volume the prune leaves, vs `corpus_grams` without it. */
+  private def decontamSweep(spark: SparkSession, corpusN: Long,
+      evalNs: Seq[Long]): (Long, Long, Seq[String]) = {
+    import graft.operators.{Decontaminate, Dedup}
+    import graft.functions.BloomMightContain.bloomMightContain
+    val corpusDocs = textCorpus(spark, corpusN).persist()
+    corpusDocs.count()
+    val corpusGrams = corpusDocs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh")).persist()
+    val corpusGramN = corpusGrams.count()
+    val points = evalNs.map { en =>
+      // every 16th eval doc leaks a corpus base (both twins share it);
+      // the rest draw from a base space the corpus never touches
+      val evalDocs = spark.range(en).toDF("i")
+        .withColumn("base", when(pmod(col("i"), lit(16L)) === 0,
+            pmod(col("i") / 16, lit(corpusN / 2)).cast("long"))
+          .otherwise(col("i") + 10000000L))
+        .select((col("i") + 2000000000L).as("doc_id"), concat_ws(" ",
+          transform(sequence(lit(0), lit(29)), j =>
+            concat(lit("w"), pmod(xxhash64(col("base"), j), lit(20000L)))))
+          .as("text"))
+        .persist()
+      evalDocs.count()
+      def bloomPath = Decontaminate.flagOverlap(corpusDocs, evalDocs, k = 8)
+      def exactPath = {
+        val eg = evalDocs
+          .select(explode(Dedup.shingles(col("text"), 8)).as("g"))
+          .select(xxhash64(col("g")).as("gh")).distinct()
+        corpusGrams.join(eg, Seq("gh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated_grams"))
+      }
+      val bloomSec = timeNoop(bloomPath) // bloom build billed per pass
+      val exactSec = timeNoop(exactPath)
+      // the regime the operator exists for: an eval gram set past
+      // broadcast size. Emulated by disabling broadcast joins (both
+      // static and AQE) for BOTH paths — at 100 TB the exact path
+      // shuffles every corpus gram, the bloom path only survivors.
+      def noBcast[T](f: => T): T = {
+        val ks = Seq("spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        val olds = ks.map(k => k -> spark.conf.getOption(k))
+        ks.foreach(spark.conf.set(_, "-1"))
+        try f finally olds.foreach { case (k, o) =>
+          o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+      val (bloomNbSec, exactNbSec) =
+        noBcast((timeNoop(bloomPath), timeNoop(exactPath)))
+      val evalGrams = evalDocs
+        .select(explode(Dedup.shingles(col("text"), 8)).as("g"))
+        .select(xxhash64(col("g")).as("gh")).distinct().persist()
+      val evalGramN = evalGrams.count()
+      val bf = evalGrams.stat.bloomFilter("gh", math.max(evalGramN, 1L), 0.01)
+      val survivors = corpusGrams
+        .filter(bloomMightContain(col("gh"), bf)).count()
+      val flagged = bloomPath.count()
+      val diff = bloomPath.exceptAll(exactPath).count() +
+        exactPath.exceptAll(bloomPath).count()
+      graft.engine.CacheRegistry.releaseAll()
+      Seq(evalGrams, evalDocs).foreach(_.unpersist())
+      System.err.println(f"[scale-decon] eval=$en%6d grams=$evalGramN%8d " +
+        f"survivors=$survivors%8d/$corpusGramN bloom=$bloomSec%6.2fs " +
+        f"exact=$exactSec%6.2fs nobcast bloom=$bloomNbSec%6.2fs " +
+        f"exact=$exactNbSec%6.2fs flagged=$flagged diff=$diff")
+      s"""{"eval_n":$en,"eval_grams":$evalGramN,"survivors":$survivors,""" +
+        s""""bloom_sec":$bloomSec,"exact_sec":$exactSec,""" +
+        s""""bloom_nobcast_sec":$bloomNbSec,"exact_nobcast_sec":$exactNbSec,""" +
+        s""""flagged_docs":$flagged,"path_diff":$diff}"""
+    }
+    Seq(corpusGrams, corpusDocs).foreach(_.unpersist())
+    (corpusN, corpusGramN, points)
+  }
+
   def main(args: Array[String]): Unit = {
     import graft.operators.EmbeddingDedup
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,7 +332,13 @@ object ScaleEvidence {
     val incBatch = sys.env.getOrElse("SPARK_GRAFT_SCALE_BATCH", "1024").toLong
     val (textInc, embInc) = incrementalSweep(spark, sfDir, incSizes, incBatch)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]}}"""
+    val deconCorpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_DECON_CORPUS",
+      "524288").toLong
+    val deconEvals = sys.env.getOrElse("SPARK_GRAFT_SCALE_DECON_EVALS",
+      "1024,16384,65536").split(",").map(_.trim.toLong).toSeq
+    val (dcN, dcGrams, deconPoints) = decontamSweep(spark, deconCorpus, deconEvals)
+
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

@@ -31,6 +31,13 @@ import graft.functions.BloomMightContain.bloomMightContain
   * plain join), with shuffle volume proportional to the overlap
   * instead of the corpus. Reference analog: none — the reference has
   * no dedup/decontamination at all; this is the LLM-pipeline suite.
+  *
+  * Filter sizing: ~1.2 MB per million distinct eval grams at fpp
+  * 0.01, shipped with the task binary. A truly enormous eval set
+  * (≫100M grams) should raise fpp instead of growing the filter —
+  * the confirm join keeps the output exact at ANY fpp; fpp only
+  * moves the prune's selectivity, trading shuffle rows for filter
+  * bytes. Measured curve: SCALE_EVIDENCE.json "decontamination".
   */
 object Decontaminate {
 

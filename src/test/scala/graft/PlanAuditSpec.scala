@@ -115,6 +115,17 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"per-doc window not partitioned by range bucket:\n$plan")
   }
 
+  test("q98 sequence packing: the single-partition exchange carries only bucket totals") {
+    val q = graft.queries.CorpusOps.queries("q98_sequence_pack")(
+      spark, "/root/testdata/sf0.001")
+    val plan = executed(q)
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(singles == 1,
+      s"expected exactly one SinglePartition exchange (bucket offsets), got $singles:\n$plan")
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"per-doc token cursor window not partitioned by range bucket:\n$plan")
+  }
+
   test("q96 training order: the single-partition window runs only over bucket counts") {
     // same 100 TB contract as q88, applied to global ORDERING: the
     // per-doc row_number windows hash-partition on the hex-prefix
