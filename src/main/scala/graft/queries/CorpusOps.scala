@@ -204,6 +204,42 @@ object CorpusOps {
     graft.operators.Decontaminate.flagOverlap(corpus, evalDocs, k = 8)
   }
 
+  /** Vocabulary build + coverage curve ([[graft.operators.Vocab
+    * .coverage]]): top-1000 tokens by corpus frequency with rank and
+    * cumulative occurrence share — the artifact that becomes the
+    * broadcast vocab table the scoring operators (q75 unigram LM)
+    * consume, and the curve a tokenizer team reads to pick a vocab
+    * size. Deterministic: (count desc, token asc) is a total order. */
+  private val q103VocabCoverage: Q = (s, d) =>
+    graft.operators.Vocab.coverage(t(s, d, "documents"), "text",
+      vocabSize = 1000)
+
+  /** Page-boundary healing ([[graft.operators.PageStitch
+    * .stitchPairs]]): documents are split into two overlapping
+    * "pages" (a scrape's pagination shape — page A carries the first
+    * half plus an 8-token carry-over, page B the second half), then
+    * the operator re-discovers every stitchable pair from the k-gram
+    * tail/head keys alone and EXTENDS each match to its maximal
+    * verbatim overlap. The oracle replays split, candidate join, and
+    * per-pair overlap maximization with list slices, so the stitch
+    * decisions (who joins whom, exact overlap, merged length) are
+    * hash-checked. Cross-document coincidental k-token overlaps are
+    * legitimate output and are verified identically by both engines. */
+  private val q104PageStitch: Q = (s, d) => {
+    import s.implicits._
+    val k = 8
+    val tok = t(s, d, "documents")
+      .select($"doc_id", graft.operators.Dedup.tokens($"text").as("w"))
+      .withColumn("n", size($"w")).filter($"n" >= 16)
+    val h = floor($"n" / 2).cast("int")
+    val pages = tok
+      .select(($"doc_id" * 2).as("page_id"),
+        slice($"w", lit(1), h + lit(k)).as("t"))
+      .unionByName(tok.select(($"doc_id" * 2 + 1).as("page_id"),
+        slice($"w", h + lit(1), $"n" - h).as("t")))
+    graft.operators.PageStitch.stitchPairs(pages, "page_id", "t", k = k)
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -212,7 +248,9 @@ object CorpusOps {
     "q97_remove_dup_spans" -> q97RemoveDupSpans,
     "q98_sequence_pack" -> q98SequencePack,
     "q99_temperature_weights" -> q99TemperatureWeights,
-    "q100_bloom_decontaminate" -> q100BloomDecontaminate)
+    "q100_bloom_decontaminate" -> q100BloomDecontaminate,
+    "q103_vocab_coverage" -> q103VocabCoverage,
+    "q104_page_stitch" -> q104PageStitch)
 
   val oracles: Map[String, String] = Map(
     "q93_upsample_epochs" ->
@@ -371,5 +409,45 @@ object CorpusOps {
         |SELECT g.doc_id, count(*) AS n_contaminated_grams
         |FROM grams g JOIN ev USING (gh)
         |WHERE g.doc_id % 100 <> 0
-        |GROUP BY g.doc_id""".stripMargin)
+        |GROUP BY g.doc_id""".stripMargin,
+    "q103_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+        |r AS (
+        |  SELECT token, n,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, token, CAST(n AS BIGINT) AS n,
+        |  round(cum / tot, 6) AS cum_coverage
+        |FROM r, tot WHERE rank <= 1000""".stripMargin,
+    // GROUND TRUTH, not a replay: ALL page pairs, maximal verbatim
+    // tail/head overlap >= 8 by direct slice comparison — a pair the
+    // positioned-k-gram candidate join missed, or a spurious overlap
+    // it invented, hash-fails here
+    "q104_page_stitch" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 16),
+        |pg AS (
+        |  SELECT doc_id * 2 AS page_id,
+        |    w[1 : CAST(floor(len(w) / 2) AS INTEGER) + 8] AS t FROM tok
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1,
+        |    w[CAST(floor(len(w) / 2) AS INTEGER) + 1 : len(w)] FROM tok),
+        |keys AS (
+        |  SELECT page_id, t, len(t) AS lt FROM pg WHERE len(t) >= 8),
+        |ov AS (
+        |  SELECT a.page_id AS page_a, b.page_id AS page_b, a.lt AS la,
+        |    b.lt AS lb,
+        |    list_max(list_filter(generate_series(8, least(a.lt, b.lt)),
+        |      o -> a.t[a.lt - o + 1 : a.lt] = b.t[1 : o])) AS overlap
+        |  FROM keys a JOIN keys b ON a.page_id <> b.page_id)
+        |SELECT page_a, page_b, CAST(overlap AS BIGINT) AS overlap_len,
+        |  CAST(la + lb - overlap AS BIGINT) AS merged_len
+        |FROM ov WHERE overlap IS NOT NULL""".stripMargin)
 }

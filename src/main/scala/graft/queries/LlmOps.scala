@@ -219,6 +219,40 @@ object LlmOps {
       .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
   }
 
+  /** SemDeDup-shaped semantic dedup DECISION: exact-recall near-dup
+    * pairs from the bucketed cosine path (q82's operator — recall 1.0
+    * by the spherical triangle inequality) → connected components →
+    * per-vector (semantic cluster, keep flag, cluster size), keeping
+    * each cluster's minimum id as its representative. The DuckDB
+    * oracle recomputes the whole decision from brute-force all-pairs
+    * cosine plus a recursive-CTE reachability closure, so WHICH
+    * vectors survive semantic dedup — not just how many — is
+    * hash-checked.
+    *
+    * At 100 TB: pairs shuffle only on cell keys (q82's scale
+    * argument), components converge in O(cluster diameter) rounds over
+    * the edge frame (edges ∝ near-dup pairs, not corpus), and the
+    * size/keep annotation is one grouped agg plus a co-partitioned
+    * join on the cluster key. */
+  private val q102SemanticDedup: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val emb = t(s, d, "embeddings")
+    val pairs = EmbeddingDedup.cosinePairsBucketed(emb, "vec_id",
+      "embedding", threshold = 0.4, numCells = 16)
+    val labeled = emb.select($"vec_id")
+      .join(Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select($"node".as("vec_id"), $"cluster"),
+        Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"cluster", $"vec_id").as("sem_cluster"))
+    val sizes = labeled.groupBy($"sem_cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, Seq("sem_cluster"))
+      .select($"vec_id", $"sem_cluster",
+        ($"vec_id" === $"sem_cluster").cast("long").as("is_kept"),
+        $"cluster_size")
+  }
+
   /** One k-means training step for the IVF index (the pass that slots
     * into `IvfAnn.centroids`'s place once trained): assign every
     * vector to its nearest deterministic centroid, then recompute each
@@ -424,7 +458,8 @@ object LlmOps {
     "q50_embedding_neardup" -> q50EmbeddingNeardup,
     "q82_embedding_neardup_bucketed" -> q82EmbeddingNeardupBucketed,
     "q51_ivf_ann" -> q51IvfAnn,
-    "q101_ann_recall" -> q101AnnRecall)
+    "q101_ann_recall" -> q101AnnRecall,
+    "q102_semantic_dedup" -> q102SemanticDedup)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
     * sketch-candidate queries (q27 simhash, q28 minhash) must hit
@@ -735,5 +770,29 @@ object LlmOps {
          |  round(count(a.nid) / CAST(count(*) AS DOUBLE), 6) AS recall
          |FROM brute t CROSS JOIN m LEFT JOIN approx a
          |  ON a.method = m.method AND a.qid = t.qid AND a.nid = t.nid
-         |GROUP BY m.method, t.qid""".stripMargin)
+         |GROUP BY m.method, t.qid""".stripMargin,
+    // the full semantic-dedup decision recomputed from first
+    // principles: brute all-pairs cosine >= 0.4, recursive-CTE
+    // reachability, min-id representative, cluster sizes
+    "q102_semantic_dedup" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS x, id_b AS y FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |reach(x, y) AS (
+         |  SELECT DISTINCT x, x FROM edges
+         |  UNION
+         |  SELECT e.x, r.y FROM edges e JOIN reach r ON r.x = e.y),
+         |lab AS (SELECT x AS vec_id, min(y) AS cl FROM reach GROUP BY x),
+         |lv AS (
+         |  SELECT e.vec_id, coalesce(l.cl, e.vec_id) AS sem_cluster
+         |  FROM embeddings e LEFT JOIN lab l USING (vec_id))
+         |SELECT vec_id, sem_cluster,
+         |  CAST(CASE WHEN vec_id = sem_cluster THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_kept,
+         |  count(*) OVER (PARTITION BY sem_cluster) AS cluster_size
+         |FROM lv""".stripMargin)
 }
