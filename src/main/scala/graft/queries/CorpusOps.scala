@@ -240,6 +240,18 @@ object CorpusOps {
     graft.operators.PageStitch.stitchPairs(pages, "page_id", "t", k = k)
   }
 
+  /** Distributed BPE merge learning ([[graft.operators.BpeTrain
+    * .learnMerges]]): the first 5 merge rules learned from corpus
+    * word counts, plus the Σ freq·|symbols| checksum row that pins
+    * every word's post-merge segmentation. The oracle replays all 5
+    * iterations — pair counting, argmax with the (count, left, right)
+    * tie-break, and the greedy left-to-right merge fold (DuckDB
+    * `list_reduce` with the same string accumulator) — so the learned
+    * rule SEQUENCE is hash-checked, not just the final counts. */
+  private val q105BpeMerges: Q = (s, d) =>
+    graft.operators.BpeTrain.learnMerges(t(s, d, "documents"), "text",
+      numMerges = 5)
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -250,9 +262,50 @@ object CorpusOps {
     "q99_temperature_weights" -> q99TemperatureWeights,
     "q100_bloom_decontaminate" -> q100BloomDecontaminate,
     "q103_vocab_coverage" -> q103VocabCoverage,
-    "q104_page_stitch" -> q104PageStitch)
+    "q104_page_stitch" -> q104PageStitch,
+    "q105_bpe_merges" -> q105BpeMerges)
+
+  /** One unrolled BPE iteration: pair counts over the current
+    * segmentation, argmax with the (count desc, left, right)
+    * tie-break, and the greedy left-to-right merge application as a
+    * `list_reduce` fold over a '|'-joined string accumulator —
+    * exactly [[graft.operators.BpeTrain]]'s fold. */
+  private def bpeIterCte(i: Int): String =
+    s"""p$i AS (
+       |  SELECT s[j] AS l, s[j+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM w${i - 1}, LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS j) g
+       |  GROUP BY 1, 2),
+       |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |w$i AS (
+       |  SELECT word, freq,
+       |    string_split(list_reduce(list_prepend('', s), (acc, x) ->
+       |      CASE WHEN acc = '' THEN x
+       |           WHEN (acc = b.l OR ends_with(acc, '|' || b.l)) AND x = b.r
+       |             THEN CASE WHEN acc = b.l THEN b.l || b.r
+       |                  ELSE substring(acc, 1, length(acc) - length(b.l) - 1) || '|' || b.l || b.r END
+       |           ELSE acc || '|' || x END), '|') AS s
+       |  FROM w${i - 1}, b$i b)""".stripMargin
+
+  private val bpeMergesSql: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT word, count(*) AS freq,
+       |    list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)) AS s
+       |  FROM tk GROUP BY word),
+       |${(1 to 5).map(bpeIterCte).mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, merge_left, merge_right, pair_count FROM (
+       |  SELECT 1 AS step, l AS merge_left, r AS merge_right, cnt AS pair_count FROM b1
+       |  UNION ALL SELECT 2, l, r, cnt FROM b2
+       |  UNION ALL SELECT 3, l, r, cnt FROM b3
+       |  UNION ALL SELECT 4, l, r, cnt FROM b4
+       |  UNION ALL SELECT 5, l, r, cnt FROM b5
+       |  UNION ALL SELECT 6, '<eos>', '<eos>',
+       |    (SELECT CAST(sum(freq * len(s)) AS BIGINT) FROM w5))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q105_bpe_merges" -> bpeMergesSql,
     "q93_upsample_epochs" ->
       """WITH w(source, n_full, thr) AS (VALUES
         |  ('src1', 2, '80'), ('src2', 0, '66'), ('src3', 3, '00'),

@@ -115,6 +115,19 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       s"per-doc window not partitioned by range bucket:\n$plan")
   }
 
+  test("q104 page stitch: candidates come from a hash equi-join on the gram key") {
+    // the overlap search must never degenerate into a nested-loop /
+    // cartesian pairing of pages — ALL pairing flows through the
+    // equi-join on the positioned k-gram key
+    val q = graft.queries.CorpusOps.queries("q104_page_stitch")(
+      spark, "/root/testdata/sf0.001")
+    val plan = executed(q)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"page pairing fell off the key join:\n$plan")
+    assert(plan.contains("[key"), s"no equi-join on the gram key:\n$plan")
+  }
+
   test("q98 sequence packing: the single-partition exchange carries only bucket totals") {
     val q = graft.queries.CorpusOps.queries("q98_sequence_pack")(
       spark, "/root/testdata/sf0.001")
