@@ -47,7 +47,14 @@ object Bench {
     // warmup: touch the biggest table + codegen machinery once
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       .write.format("noop").mode("overwrite").save()
+    // dev facility: SPARK_GRAFT_BENCH_ONLY=q102_semantic_dedup,q62_…
+    // times just the named queries (same passes/medians machinery) —
+    // for before/after comparisons of one operator without the full
+    // 100-query sweep. Unset for the driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val began = System.nanoTime()

@@ -335,30 +335,98 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  private def symEdges(e: DataFrame): DataFrame =
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** m(u) = min(Γ(u) ∪ {u}) over a symmetric adjacency. */
+  private def nbrMins(adj: DataFrame): DataFrame =
+    adj.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+
+  /** Alternating star contraction (the large-star / small-star
+    * MapReduce-CC algorithm, Kiveris et al. 2014; also GraphFrames'
+    * default): each large-star re-attaches every larger-id neighbor
+    * of u to m(u) = min(Γ(u) ∪ u), each small-star the smaller-id
+    * neighbors (and u itself); the graph contracts toward
+    * min-centered stars in O(log² n) rounds REGARDLESS of component
+    * diameter. Input must be a symmetric loop-free adjacency; returns
+    * (node, cluster = component-min id) for every node with an edge.
+    *
+    * Per round: two grouped min-aggregations and two node-keyed joins
+    * over a SHRINKING edge table (each undirected edge maps to at
+    * most one re-attached edge — no blowup); convergence = edge-set
+    * stability (both-direction exceptAll, cheap once stars form). Hot
+    * star centers are groupBy keys (map-side partial min) and
+    * unique-keyed join build sides, so no shuffle-output skew. */
+  private def starContract(adjInit: DataFrame, maxIter: Int): DataFrame = {
+    var adj = adjInit.localCheckpoint(false)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // LARGE-STAR: every neighbor v > u re-attaches to m(u); each
+      // undirected edge is processed from its smaller endpoint only
+      val ls = adj.filter(col("dst") > col("src"))
+        .join(nbrMins(adj), col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val adjLs = symEdges(ls).distinct().localCheckpoint(false)
+      // SMALL-STAR: the v <= u neighbors (and u itself) attach to m(u)
+      val m2 = nbrMins(adjLs)
+      val ss = adjLs.filter(col("dst") < col("src"))
+        .join(m2, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(m2.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+      val next = symEdges(ss).distinct().localCheckpoint(false)
+      // a full no-op round means both operations hit their fixpoint —
+      // the graph is a forest of min-centered stars (each op strictly
+      // shrinks the paper's potential otherwise, so no oscillation)
+      done = next.exceptAll(adj).unionByName(adj.exceptAll(next)).isEmpty
+      adj = next
+      iter += 1
+    }
+    require(done, s"starContract did not converge in $maxIter rounds")
+    nbrMins(adj).select(col("u").as("node"), col("m").as("cluster"))
+  }
+
   /** Near-dup CLUSTER formation — the step that turns a pair list into
     * dedup decisions (keep one representative per cluster): connected
-    * components of the pair graph by iterative min-label propagation.
-    * Each round, every node adopts the smallest label among itself and
-    * its neighbors; convergence takes O(component diameter) rounds
-    * (near-dup clusters are small — chains of edits — so a handful).
+    * components, HYBRID. Phase 1 runs a few rounds of one-hop
+    * min-label propagation — the cheapest possible round (one edge
+    * join + one count), and near-dup graphs in the wild are
+    * small-diameter clusters that fully converge here. Phase 2, only
+    * if labels are still moving, CONTRACTS the graph by the current
+    * labels and finishes with [[starContract]] — O(log² n) rounds
+    * regardless of diameter.
     *
-    * 100 TB shape: one shuffle per round on the node key (the classic
-    * large-graph CC; GraphX/GraphFrames do the same under the hood),
-    * `localCheckpoint` per round to cut lineage, edge table persisted.
-    * Returns (node, cluster) with cluster = min node id in the
-    * component.
+    * The split exists because each phase loses badly outside its
+    * regime, measured at sf0.1: on q102's near-percolation
+    * 0.4-threshold graph one-hop alone needs 16 rounds (vs
+    * maxIter = 20 — a crash waiting for the next scale factor; label
+    * pointer-doubling only trims it to 12), while pure star
+    * contraction converges in 4 rounds but its heavier rounds cost
+    * ~1.1 s extra on the small-diameter q62/q67 graphs that one-hop
+    * finishes in 4. The hybrid keeps the cheap path exactly when it
+    * wins and bounds the long-chain case by contraction.
+    *
+    * 100 TB shape: phase-1 rounds are one shuffle each on the node
+    * key (the classic large-graph CC), `localCheckpoint` per round
+    * cuts lineage, edge table persisted; the phase-2 contracted graph
+    * is label-image-sized (≤ nodes, usually far smaller). Returns
+    * (node, cluster) with cluster = min node id in the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIter: Int = 20, oneHopRounds: Int = 4): DataFrame = {
+    val edges = symEdges(pairs
+        .select(col(aCol).as("src"), col(bCol).as("dst"))
+        .filter(col("src") =!= col("dst")))
       .distinct().persist()
     // Materialize the edge table through the Dataset path BEFORE the
     // loop: the loop's localCheckpoint compiles its lineage via
     // queryExecution.toRdd, which is statically planned — no AQE — so
     // an unmaterialized pair pipeline would re-run with sort-merge
     // joins and no runtime broadcast/coalescing (measured 3× slower).
-    // After this count the loop reads only the cached edges.
+    // After this count the loops read only the cached edges.
     edges.count()
     // the first propagation round is folded into initialization:
     // label = min(node, neighbors) — identical to one step from
@@ -369,13 +437,12 @@ object Dedup {
       .localCheckpoint(false)
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed > 0 && i < oneHopRounds) {
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("dl")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("dl")).as("nl"))
       // lazy localCheckpoint: the convergence count below is the ONE
       // job that both materializes this round and cuts its lineage
-      // (an eager checkpoint would run a second job per round)
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
@@ -384,9 +451,34 @@ object Dedup {
       labels = stepped.select(col("node"), col("next").as("label"))
       i += 1
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    val out =
+      if (changed == 0) labels
+      else {
+        // contract by current labels: every label value is a node of
+        // the SAME component (labels only ever copy reachable ids),
+        // so components of the contracted graph are the images of the
+        // originals — and each contains its component's min id, whose
+        // label is itself. Fully-converged components contract to
+        // loops and drop out; the left join falls back to their label.
+        val contracted = edges
+          .join(labels.select(col("node").as("src"), col("label").as("lsrc")),
+            Seq("src"))
+          .join(labels.select(col("node").as("dst"), col("label").as("ldst")),
+            Seq("dst"))
+          .select(col("lsrc").as("src"), col("ldst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val star = starContract(contracted, maxIter)
+        labels
+          .join(star.select(col("node").as("label"), col("cluster")),
+            Seq("label"), "left")
+          .select(col("node"),
+            coalesce(col("cluster"), col("label")).as("label"))
+      }
+    // `out` flows only through checkpointed frames (labels, and the
+    // star loop's materialized adjacency) — no lineage to `edges`
     edges.unpersist()
-    labels.select(col("node"), col("label").as("cluster"))
+    out.select(col("node"), col("label").as("cluster"))
   }
 }
 

@@ -314,6 +314,22 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components: a 300-node path with shuffled ids beats the diameter") {
+    val s = spark
+    import s.implicits._
+    // diameter-299 chain whose ids are a fixed permutation (so min
+    // labels must cross the whole path in BOTH directions) — one-hop
+    // min propagation needs ~300 rounds and would blow maxIter = 20;
+    // star contraction must converge regardless of diameter
+    val ids = new scala.util.Random(7).shuffle((0L until 300L).toVector)
+    val pairs = ids.sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 300)
+    assert(cc.forall(_._2 === 0L)) // one component, min id 0
+  }
+
   test("bucketed cosine near-dup equals brute force and prunes a clustered corpus") {
     val s = spark
     import s.implicits._
