@@ -267,6 +267,55 @@ object ScaleEvidence {
     (corpusN, corpusGramN, points)
   }
 
+  /** Connected-components convergence sweep: one-hop min-label
+    * propagation vs the hybrid (4 one-hop rounds + star contraction)
+    * on deterministic supercritical sparse random graphs (mean degree
+    * ~2.4 — the near-percolation shape a loose-threshold similarity
+    * graph takes, where long chains form). The claim under test: the
+    * one-hop ROUND COUNT grows with graph size (it tracks component
+    * diameter) while the hybrid's star rounds stay flat — the
+    * difference between an operator that quietly approaches its
+    * maxIter cliff as the corpus grows and one that does not. Both
+    * paths must produce IDENTICAL (node, cluster) labelings. */
+  private def ccSweep(spark: SparkSession, ns: Seq[Long]): Seq[String] = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    ns.map { n =>
+      // mean degree ~1.3 — just past the percolation threshold, where
+      // the giant component's diameter grows fastest with n (the
+      // worst case a loose similarity threshold can produce)
+      val m = (n * 13) / 20
+      val pairs = spark.range(m).toDF("i")
+        .select(pmod(xxhash64(lit("es"), col("i")), lit(n)).as("a"),
+          pmod(xxhash64(lit("ed"), col("i")), lit(n)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .persist()
+      pairs.count()
+      def run(oneHop: Int): (DataFrame, Int, Int, Double) = {
+        val t0 = System.nanoTime()
+        val (df, hops, stars) = Dedup.connectedComponentsWithStats(
+          pairs, "a", "b", maxIter = 2000, oneHopRounds = oneHop)
+        df.count()
+        (df, hops, stars, (System.nanoTime() - t0) / 1e9)
+      }
+      // warm both shapes once at this size, then time (min of 2)
+      run(2000); run(4)
+      val a1 = run(2000); val a2 = run(2000)
+      val h1 = run(4); val h2 = run(4)
+      val (oneHopSec, hybridSec) = (math.min(a1._4, a2._4), math.min(h1._4, h2._4))
+      // identical clusterings (labels are checkpoint-backed, so this
+      // reuses the already-converged runs)
+      val diff = a2._1.exceptAll(h2._1).count() + h2._1.exceptAll(a2._1).count()
+      pairs.unpersist()
+      System.err.println(f"[scale-cc] n=$n%7d edges=$m%8d " +
+        f"onehop rounds=${a1._2}%4d $oneHopSec%7.2fs  " +
+        f"hybrid star-rounds=${h1._3}%2d $hybridSec%6.2fs diff=$diff")
+      s"""{"n":$n,"edges":$m,"onehop_rounds":${a1._2},""" +
+        s""""onehop_sec":$oneHopSec,"hybrid_star_rounds":${h1._3},""" +
+        s""""hybrid_sec":$hybridSec,"label_diff":$diff}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     import graft.operators.EmbeddingDedup
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -338,7 +387,11 @@ object ScaleEvidence {
       "1024,16384,65536").split(",").map(_.trim.toLong).toSeq
     val (dcN, dcGrams, deconPoints) = decontamSweep(spark, deconCorpus, deconEvals)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]}}"""
+    val ccNs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CC_NS",
+      "16384,65536,262144").split(",").map(_.trim.toLong).toSeq
+    val ccPoints = ccSweep(spark, ccNs)
+
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat; label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

@@ -358,7 +358,7 @@ object Dedup {
     * stability (both-direction exceptAll, cheap once stars form). Hot
     * star centers are groupBy keys (map-side partial min) and
     * unique-keyed join build sides, so no shuffle-output skew. */
-  private def starContract(adjInit: DataFrame, maxIter: Int): DataFrame = {
+  private def starContract(adjInit: DataFrame, maxIter: Int): (DataFrame, Int) = {
     var adj = adjInit.localCheckpoint(false)
     var iter = 0
     var done = false
@@ -386,7 +386,7 @@ object Dedup {
       iter += 1
     }
     require(done, s"starContract did not converge in $maxIter rounds")
-    nbrMins(adj).select(col("u").as("node"), col("m").as("cluster"))
+    (nbrMins(adj).select(col("u").as("node"), col("m").as("cluster")), iter)
   }
 
   /** Near-dup CLUSTER formation — the step that turns a pair list into
@@ -416,7 +416,15 @@ object Dedup {
     * (node, cluster) with cluster = min node id in the component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, oneHopRounds: Int = 4): DataFrame = {
+      maxIter: Int = 20, oneHopRounds: Int = 4): DataFrame =
+    connectedComponentsWithStats(pairs, aCol, bCol, maxIter, oneHopRounds)._1
+
+  /** [[connectedComponents]] plus its round counts
+    * (one-hop rounds run, star-contraction rounds run) — the numbers
+    * `ScaleEvidence`'s convergence sweep records. */
+  private[graft] def connectedComponentsWithStats(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, oneHopRounds: Int = 4): (DataFrame, Int, Int) = {
     val edges = symEdges(pairs
         .select(col(aCol).as("src"), col(bCol).as("dst"))
         .filter(col("src") =!= col("dst")))
@@ -451,6 +459,7 @@ object Dedup {
       labels = stepped.select(col("node"), col("next").as("label"))
       i += 1
     }
+    var starRounds = 0
     val out =
       if (changed == 0) labels
       else {
@@ -468,7 +477,8 @@ object Dedup {
           .select(col("lsrc").as("src"), col("ldst").as("dst"))
           .filter(col("src") =!= col("dst"))
           .distinct()
-        val star = starContract(contracted, maxIter)
+        val (star, rounds) = starContract(contracted, maxIter)
+        starRounds = rounds
         labels
           .join(star.select(col("node").as("label"), col("cluster")),
             Seq("label"), "left")
@@ -478,7 +488,7 @@ object Dedup {
     // `out` flows only through checkpointed frames (labels, and the
     // star loop's materialized adjacency) — no lineage to `edges`
     edges.unpersist()
-    out.select(col("node"), col("label").as("cluster"))
+    (out.select(col("node"), col("label").as("cluster")), i, starRounds)
   }
 }
 

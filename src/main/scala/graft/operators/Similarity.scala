@@ -81,6 +81,63 @@ object Similarity {
       }),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
 
+  /** Sign-bit LSH bucket from the PORTABLE plane family with a table
+    * offset: table t reads global planes t·nPlanes .. t·nPlanes+n-1,
+    * giving L independent tables from one deterministic family. The
+    * portable mixer is replicable in plain JVM arithmetic
+    * ([[portableLshBucketJvm]]), which is what lets streaming state
+    * recompute any retained vector's buckets for suppression. */
+  def portableLshBucket(vec: Column, nPlanes: Int, table: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val q = table * lit(nPlanes) + p
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, j) => x.cast("double") * portablePlaneComponent(q, j)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** JVM twin of [[portableLshBucket]] — same plane family, same
+    * index-order double fold, bit-identical buckets. */
+  def portableLshBucketJvm(vec: Seq[Float], nPlanes: Int, table: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val q = table * nPlanes + p
+      var proj = 0.0
+      var j = 0
+      while (j < vec.length) {
+        val c = if ((q * 379 + j * 607 + q * j * 131) % 1009 < 504) 1.0 else -1.0
+        proj += vec(j).toDouble * c
+        j += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** JVM twin of [[cosine]] (index-order double folds, matching the
+    * native dot expression's summation order). */
+  def cosineJvm(a: Seq[Float], b: Seq[Float]): Double = {
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Bucketed ANN: top-k by cosine among candidates sharing the query's
     * LSH bucket. Returns (qid, rank, nid, approx=true rows only for
     * queries whose bucket has candidates).
