@@ -40,6 +40,28 @@ object BpeTrain {
   def learnMerges(docs: DataFrame, textCol: String,
       numMerges: Int = 5): DataFrame = {
     val spark = docs.sparkSession
+    val (merges, words) = learn(docs, textCol, numMerges)
+    val totalSyms = words.agg(sum(col("freq") * size(col("s"))))
+      .collect()(0).getLong(0)
+    spark.createDataFrame(
+        merges :+ ((numMerges + 1L, "<eos>", "<eos>", totalSyms)))
+      .toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** The learned tokenizer APPLIED: every distinct word with its
+    * final symbol segmentation after `numMerges` learned merges —
+    * the vocab-sized dictionary a tokenization pass broadcasts.
+    * (word, freq, n_syms, syms = '|'-joined segmentation). */
+  def segmentations(docs: DataFrame, textCol: String,
+      numMerges: Int = 5): DataFrame =
+    learn(docs, textCol, numMerges)._2
+      .select(col("word"), col("freq"),
+        size(col("s")).cast("long").as("n_syms"),
+        array_join(col("s"), "|").as("syms"))
+
+  private def learn(docs: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val spark = docs.sparkSession
     import spark.implicits._
     var words = graft.engine.CacheRegistry.retain(docs
       .select(explode(Dedup.tokens(col(textCol))).as("word"))
@@ -73,10 +95,6 @@ object BpeTrain {
       words = graft.engine.CacheRegistry.retain(
         words.select($"word", $"freq", split(folded, "\\|").as("s")))
     }
-    val totalSyms = words.agg(sum($"freq" * size($"s")))
-      .collect()(0).getLong(0)
-    merges += ((numMerges + 1L, "<eos>", "<eos>", totalSyms))
-    spark.createDataFrame(merges.toSeq)
-      .toDF("step", "merge_left", "merge_right", "pair_count")
+    (merges.toSeq, words)
   }
 }

@@ -49,14 +49,18 @@ object PageStitch {
       .select(col(idCol).as("pid"), col(tokensCol).as("t"))
       .withColumn("lt", size(col("t")))
       .filter(col("lt") >= k)
+    // keys are xxhash64 over the k-token slice (hashing an array
+    // column hashes its elements) — no per-position string building;
+    // a hash collision could only surface a spurious candidate, and
+    // every candidate is full-slice verified below
     val tails = base.select(col("pid").as("page_a"), col("t").as("ta"),
       col("lt").as("la"),
-      array_join(slice(col("t"), col("lt") - (k - 1), lit(k)), " ").as("key"))
+      xxhash64(slice(col("t"), col("lt") - (k - 1), lit(k))).as("key"))
     val heads = base
       .select(col("pid").as("page_b"), col("t").as("tb"), col("lt").as("lb"))
       .withColumn("p", explode(sequence(lit(1),
         least(lit(maxOverlap), col("lb")) - (k - 1))))
-      .withColumn("key", array_join(slice(col("tb"), col("p"), lit(k)), " "))
+      .withColumn("key", xxhash64(slice(col("tb"), col("p"), lit(k))))
     tails.join(heads, Seq("key"))
       .filter(col("page_a") =!= col("page_b"))
       .withColumn("o", col("p") + (k - 1))

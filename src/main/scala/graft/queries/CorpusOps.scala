@@ -252,6 +252,27 @@ object CorpusOps {
     graft.operators.BpeTrain.learnMerges(t(s, d, "documents"), "text",
       numMerges = 5)
 
+  /** The learned BPE tokenizer APPLIED ([[graft.operators.BpeTrain
+    * .segmentations]]): per-document word and BPE-token counts under
+    * the 5 rules q105 learns. The segmentation dictionary is
+    * vocab-sized and BROADCAST into the per-doc join — exactly how a
+    * production tokenization pass runs at corpus scale (one narrow
+    * scan + broadcast lookup, no corpus-keyed shuffle beyond the
+    * per-doc agg). The oracle replays training AND application, so a
+    * single mis-segmented word anywhere in the corpus hash-fails. */
+  private val q106BpeTokenize: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val seg = graft.operators.BpeTrain.segmentations(docs, "text",
+      numMerges = 5)
+    docs
+      .select($"doc_id",
+        explode(graft.operators.Dedup.tokens($"text")).as("word"))
+      .join(broadcast(seg.select($"word", $"n_syms")), Seq("word"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_bpe_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -263,7 +284,8 @@ object CorpusOps {
     "q100_bloom_decontaminate" -> q100BloomDecontaminate,
     "q103_vocab_coverage" -> q103VocabCoverage,
     "q104_page_stitch" -> q104PageStitch,
-    "q105_bpe_merges" -> q105BpeMerges)
+    "q105_bpe_merges" -> q105BpeMerges,
+    "q106_bpe_tokenize" -> q106BpeTokenize)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -304,8 +326,30 @@ object CorpusOps {
        |  UNION ALL SELECT 6, '<eos>', '<eos>',
        |    (SELECT CAST(sum(freq * len(s)) AS BIGINT) FROM w5))""".stripMargin
 
+  /** Training AND application replayed: the same 5 unrolled
+    * iterations, then every word's final segmentation length joined
+    * back onto the per-document token stream. */
+  private val bpeTokenizeSql: String =
+    s"""WITH tk AS (
+       |  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT word, count(*) AS freq,
+       |    list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)) AS s
+       |  FROM tk GROUP BY word),
+       |${(1 to 5).map(bpeIterCte).mkString(",\n")},
+       |seg AS (SELECT word, len(s) AS n_syms FROM w5),
+       |dtk AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM dtk JOIN seg USING (word)
+       |GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q105_bpe_merges" -> bpeMergesSql,
+    "q106_bpe_tokenize" -> bpeTokenizeSql,
     "q93_upsample_epochs" ->
       """WITH w(source, n_full, thr) AS (VALUES
         |  ('src1', 2, '80'), ('src2', 0, '66'), ('src3', 3, '00'),

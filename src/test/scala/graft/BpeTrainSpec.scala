@@ -49,6 +49,19 @@ class BpeTrainSpec extends AnyFunSuite {
       (3L, "<eos>", "<eos>", 1L)))
   }
 
+  test("segmentations expose the applied dictionary") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq("aaab ab", "aaab").toDF("text")
+    val seg = BpeTrain.segmentations(docs, "text", numMerges = 2)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    // after (a,a) then (a,b): aaab = [aa, ab], ab = [ab]
+    assert(seg === Set(
+      ("aaab", 2L, 2L, "aa|ab"),
+      ("ab", 1L, 1L, "ab")))
+  }
+
   test("ties break on (left, right) lexicographically") {
     val s = spark
     import s.implicits._
