@@ -77,4 +77,26 @@ object PageStitch {
         (col("la") + col("lb") - col("overlap_len")).cast("long")
           .as("merged_len"))
   }
+
+  /** The HEAL step: every stitchable pair with its reconstructed
+    * document — page A's tokens followed by page B's tokens past the
+    * overlap. Joins the pair decisions back to the page tokens (two
+    * id-keyed joins — pair-scale, not corpus-scale) and rebuilds the
+    * merged token stream per pair; emits an md5 of the joined text so
+    * the reconstruction is hash-checkable byte for byte. */
+  def healedDocs(pages: DataFrame, idCol: String, tokensCol: String,
+      k: Int = 8, maxOverlap: Int = 64): DataFrame = {
+    val toks = pages.select(col(idCol).as("pid"), col(tokensCol).as("t"))
+    stitchPairs(pages, idCol, tokensCol, k, maxOverlap)
+      .join(toks.select(col("pid").as("page_a"), col("t").as("ta")),
+        Seq("page_a"))
+      .join(toks.select(col("pid").as("page_b"), col("t").as("tb")),
+        Seq("page_b"))
+      .select(col("page_a"), col("page_b"), col("overlap_len"),
+        col("merged_len"),
+        md5(array_join(concat(col("ta"),
+          slice(col("tb"), col("overlap_len").cast("int") + 1,
+            size(col("tb")) - col("overlap_len").cast("int"))), " "))
+          .as("merged_md5"))
+  }
 }

@@ -273,6 +273,27 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_words"), sum($"n_syms").as("n_bpe_tokens"))
   }
 
+  /** Page healing round trip ([[graft.operators.PageStitch
+    * .healedDocs]]): q104's stitch decisions carried through to the
+    * reconstructed documents, md5 over the merged token stream — the
+    * oracle rebuilds every merged text independently with list
+    * slices, so the heal is checked byte for byte (for the planted
+    * split pairs the merged text equals the original document). */
+  private val q107PageHeal: Q = (s, d) => {
+    import s.implicits._
+    val k = 8
+    val tok = t(s, d, "documents")
+      .select($"doc_id", graft.operators.Dedup.tokens($"text").as("w"))
+      .withColumn("n", size($"w")).filter($"n" >= 16)
+    val h = floor($"n" / 2).cast("int")
+    val pages = tok
+      .select(($"doc_id" * 2).as("page_id"),
+        slice($"w", lit(1), h + lit(k)).as("t"))
+      .unionByName(tok.select(($"doc_id" * 2 + 1).as("page_id"),
+        slice($"w", h + lit(1), $"n" - h).as("t")))
+    graft.operators.PageStitch.healedDocs(pages, "page_id", "t", k = k)
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -285,7 +306,8 @@ object CorpusOps {
     "q103_vocab_coverage" -> q103VocabCoverage,
     "q104_page_stitch" -> q104PageStitch,
     "q105_bpe_merges" -> q105BpeMerges,
-    "q106_bpe_tokenize" -> q106BpeTokenize)
+    "q106_bpe_tokenize" -> q106BpeTokenize,
+    "q107_page_heal" -> q107PageHeal)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -546,5 +568,31 @@ object CorpusOps {
         |  FROM keys a JOIN keys b ON a.page_id <> b.page_id)
         |SELECT page_a, page_b, CAST(overlap AS BIGINT) AS overlap_len,
         |  CAST(la + lb - overlap AS BIGINT) AS merged_len
+        |FROM ov WHERE overlap IS NOT NULL""".stripMargin,
+    // q104's ground truth extended through reconstruction: the merged
+    // token stream rebuilt independently and md5-matched
+    "q107_page_heal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 16),
+        |pg AS (
+        |  SELECT doc_id * 2 AS page_id,
+        |    w[1 : CAST(floor(len(w) / 2) AS INTEGER) + 8] AS t FROM tok
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1,
+        |    w[CAST(floor(len(w) / 2) AS INTEGER) + 1 : len(w)] FROM tok),
+        |keys AS (
+        |  SELECT page_id, t, len(t) AS lt FROM pg WHERE len(t) >= 8),
+        |ov AS (
+        |  SELECT a.page_id AS page_a, b.page_id AS page_b, a.lt AS la,
+        |    b.lt AS lb, a.t AS ta, b.t AS tb,
+        |    list_max(list_filter(generate_series(8, least(a.lt, b.lt)),
+        |      o -> a.t[a.lt - o + 1 : a.lt] = b.t[1 : o])) AS overlap
+        |  FROM keys a JOIN keys b ON a.page_id <> b.page_id)
+        |SELECT page_a, page_b, CAST(overlap AS BIGINT) AS overlap_len,
+        |  CAST(la + lb - overlap AS BIGINT) AS merged_len,
+        |  md5(array_to_string(
+        |    list_concat(ta, tb[CAST(overlap AS INTEGER) + 1 : lb]), ' '))
+        |    AS merged_md5
         |FROM ov WHERE overlap IS NOT NULL""".stripMargin)
 }

@@ -64,6 +64,24 @@ class StitchVocabSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L), (1L, 3L), (1L, 4L), (4L, 2L), (4L, 3L)))
   }
 
+  test("healedDocs reconstructs the original document byte for byte") {
+    val s = spark
+    import s.implicits._
+    // a 20-token doc split at h=10 with a 3-token carry-over
+    val orig = (1 to 20).map(i => s"w$i")
+    val pages = Seq((2L, orig.take(13)), (3L, orig.drop(10)))
+      .toDF("page_id", "t")
+    val out = PageStitch.healedDocs(pages, "page_id", "t", k = 3).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("overlap_len") === 3L)
+    assert(r.getAs[Long]("merged_len") === 20L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(orig.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("merged_md5") === expected)
+  }
+
   test("vocab coverage ranks by (count desc, token asc) and sums to 1") {
     val s = spark
     import s.implicits._
