@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Coreset / data-pruning operators over an embedding column — the
+  * selection step of a training-data pipeline that decides WHICH
+  * vectors (and hence documents) survive into the training mix once
+  * near-duplicates are gone: greedy k-center landmark selection
+  * (farthest-point traversal, the classic 2-approximation coreset)
+  * and prototypicality pruning (drop the most "prototypical" =
+  * closest-to-centroid members of each cell, keeping the hard
+  * examples — the SSL-prototypes / SemDeDup-family heuristic).
+  *
+  * Both are exactly replayable by a SQL oracle: every distance is the
+  * same promote-to-double, fold-in-index-order cosine the rest of the
+  * similarity suite uses (functions.VectorOps), all argmax/argmin
+  * tie-breaks are pinned by id, and the only nondeterminism-prone
+  * aggregate (the centroid mean) is rounded before any comparison.
+  *
+  * Reference analog: none — the reference engine (faexport_db) has no
+  * embedding operators; this is the LLM-pipeline suite.
+  */
+object Coreset {
+
+  /** cos(v, w) with both sides float arrays — the codegen'd
+    * dot-product expression, identical fold order to the oracle. */
+  private def cosFF(v: Column, w: Column): Column =
+    VectorOps.dotProduct(v, w) /
+      (sqrt(VectorOps.dotProduct(v, v)) * sqrt(VectorOps.dotProduct(w, w)))
+
+  /** cos(v: array<float>, c: array<double>) via the Column
+    * formulation (zip_with + aggregate folds left-to-right in index
+    * order, each float promoted to double first — the exact
+    * arithmetic `list_sum(list_transform(...))` performs in the
+    * oracle). Used only against the 64-element centroid, once per
+    * row, so the interpreted-eval cost is irrelevant. */
+  private def cosFD(v: Column, c: Column): Column = {
+    def fold(x: Column): Column =
+      aggregate(x, lit(0.0), (acc, e) => acc + e)
+    val dotVC = fold(zip_with(v, c, (a, b) => a.cast("double") * b))
+    val nV = sqrt(fold(zip_with(v, v,
+      (a, b) => a.cast("double") * b.cast("double"))))
+    val nC = sqrt(fold(zip_with(c, c, (a, b) => a * b)))
+    dotVC / (nV * nC)
+  }
+
+  /** Greedy k-center (farthest-point) landmark selection over cosine
+    * distance (1 − cos), then assignment of every vector to its
+    * nearest landmark. Deterministic end to end: the seed is the
+    * minimum id, each next landmark is the argmax of
+    * min-distance-to-selected with ties broken by (distance desc, id
+    * asc), and assignment ties break by (distance asc, landmark id
+    * asc).
+    *
+    * Execution shape: the selection loop is driver-coordinated like
+    * the connected-components convergence loop — k−1 rounds, each ONE
+    * distributed scan computing ≤k codegen'd dot products per row and
+    * reducing via TakeOrdered(1) (no shuffle, no collect of data
+    * rows; only the single winning row comes back to the driver).
+    * Landmarks ride along as literals, so the final assignment pass
+    * is a narrow map — no join, no exchange. At 100 TB one would run
+    * selection on a deterministic hash-sample (landmarks stabilize
+    * long before the full corpus is seen — same argument as the Lloyd
+    * refinement sample in [[Similarity]]) and keep the assignment
+    * pass, which is embarrassingly parallel, on the full corpus.
+    *
+    * Returns (vec_id, lm_id, lm_rank, dist): every vector, its
+    * nearest landmark, that landmark's selection rank (1-based; rank
+    * 1 = the seed), and the cosine distance rounded to 6 places
+    * (comparisons happen on unrounded doubles; rounding is
+    * emission-only).
+    */
+  def kCenterAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = graft.engine.CacheRegistry.retain(
+      emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")))
+
+    def distTo(lm: Array[Float]): Column =
+      lit(1.0) - cosFF(col("v"), typedlit(lm))
+
+    val seed = base.orderBy(col("vec_id").asc).limit(1).collect()(0)
+    var lms = Vector[(Long, Array[Float])](
+      (seed.getLong(0), seed.getSeq[Float](1).toArray))
+    while (lms.size < k) {
+      val minDist = lms.map(l => distTo(l._2)).reduce(least(_, _))
+      val picked = base
+        .filter(!col("vec_id").isin(lms.map(_._1): _*))
+        .select(col("vec_id"), col("v"), minDist.as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc)
+        .limit(1).collect()
+      if (picked.isEmpty) return assignTo(base, lms) // fewer vectors than k
+      lms = lms :+ ((picked(0).getLong(0), picked(0).getSeq[Float](1).toArray))
+    }
+    assignTo(base, lms)
+  }
+
+  private def assignTo(base: DataFrame,
+      lms: Vector[(Long, Array[Float])]): DataFrame = {
+    // nearest landmark via array_min over (dist, lm_id, lm_rank)
+    // structs — field-order comparison IS the (dist asc, id asc)
+    // tie-break; the same map-side min-struct pattern as the IVF
+    // assignment (no shuffle, no window)
+    val cands = array(lms.zipWithIndex.map { case ((id, lv), i) =>
+      struct((lit(1.0) - cosFF(col("v"), typedlit(lv))).as("d"),
+        lit(id).as("lm_id"), lit(i + 1L).as("lm_rank"))
+    }: _*)
+    base.select(col("vec_id"), array_min(cands).as("m"))
+      .select(col("vec_id"), col("m.lm_id").as("lm_id"),
+        col("m.lm_rank").as("lm_rank"),
+        // + 0.0 normalizes IEEE -0.0 (a landmark's self-distance after
+        // rounding) so both engines emit the same zero
+        (round(col("m.d"), 6) + lit(0.0)).as("dist"))
+  }
+
+  /** Prototypicality pruning: assign every vector to a cell (argmax
+    * cosine against the seed centroid set, ties by centroid id — the
+    * same assignment q63/q51 gate), average each cell into its TRUE
+    * centroid, score every member by cosine to that centroid, and
+    * prune the top `pruneFrac` most-prototypical members per cell
+    * (they carry the least marginal information; the hard,
+    * far-from-center examples survive). Returns the full decision
+    * table (vec_id, cell, proto, proto_rank, decision).
+    *
+    * Determinism: the centroid mean is the one order-sensitive double
+    * aggregate in the operator, so each component is rounded to 6
+    * places BEFORE any cosine — after that every engine computes
+    * bit-identical doubles, and ranking ties (identical rounded
+    * scores) break by vec_id.
+    *
+    * Scale shape: one narrow assignment pass (centroids broadcast),
+    * one posexplode + grouped avg for centroids (shuffle keyed by
+    * (cell, pos) — 64·cells rows out), one broadcast join back, one
+    * window per cell. Cells are IVF-sized (thousands at 100 TB), so
+    * per-cell windows are wide and the centroid table stays
+    * broadcast-able by construction. */
+  def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      pruneFrac: Double = 0.25): DataFrame = {
+    val assigned = graft.engine.CacheRegistry.retain(
+      IvfAnn.assign(emb.select(col(idCol), col(vecCol)), idCol, vecCol,
+          seeds.select(col(seedIdCol).as("centroid_id"),
+            col(seedVecCol).as("centroid_vec")))
+        .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+          col("centroid").as("cell")))
+    val cents = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), p => p("c")).as("cv"))
+    val scored = assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        round(cosFD(col("v"), col("cv")), 6).as("proto"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    scored
+      .withColumn("proto_rank", row_number().over(
+        w.orderBy(col("proto").desc, col("vec_id").asc)).cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cell"), col("proto"), col("proto_rank"),
+        when(col("proto_rank") <= ceil(lit(pruneFrac) * col("n_cell")),
+          lit("prune")).otherwise(lit("keep")).as("decision"))
+  }
+}

@@ -294,6 +294,59 @@ object CorpusOps {
     graft.operators.PageStitch.healedDocs(pages, "page_id", "t", k = k)
   }
 
+  /** Sliding-window chunking ([[graft.operators.Chunker]]): 64-token
+    * windows, stride 48 (16-token overlap), one row per chunk with
+    * its md5 dedup key — the long-document pretreatment upstream of
+    * q98's sequence packing. Narrow per-row explode, no shuffle. */
+  private val q108DocChunks: Q = (s, d) =>
+    graft.operators.Chunker.chunk(t(s, d, "documents"), "doc_id", "text",
+      window = 64, stride = 48)
+
+  /** Prototypicality pruning ([[graft.operators.Coreset
+    * .prototypePrune]]): q63's cell assignment carried through to the
+    * TRUE per-cell centroid, every member scored by cosine to it, the
+    * top 25% most-prototypical members of each cell marked for
+    * pruning. The oracle replays assignment, centroid mean (rounded
+    * before any comparison), scoring, and the ranked decision. */
+  private val q109PrototypePrune: Q = (s, d) => {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    graft.operators.Coreset.prototypePrune(emb, "vec_id", "embedding",
+      emb.filter($"vec_id" < 16), "vec_id", "embedding", pruneFrac = 0.25)
+  }
+
+  /** Greedy k-center landmark selection + assignment
+    * ([[graft.operators.Coreset.kCenterAssign]], k=16): the oracle
+    * replays the full farthest-point traversal as a recursive CTE —
+    * seed, all 15 selection rounds with their (min-dist desc, id asc)
+    * argmax, and the final nearest-landmark assignment — so WHICH
+    * landmarks get picked and WHERE every vector lands are both
+    * gated. */
+  private val q110KcenterLandmarks: Q = (s, d) =>
+    graft.operators.Coreset.kCenterAssign(t(s, d, "embeddings"),
+      "vec_id", "embedding", k = 16)
+
+  /** Cross-document n-gram novelty: the fraction of a document's
+    * distinct 8-grams that occur in NO other document — the
+    * uniqueness complement of q76's intra-doc repetition and q94's
+    * pairwise source overlap. One shuffle keyed on the md5 of the
+    * gram (fixed-width, engine-portable; production would key on
+    * xxhash64) plus one per-doc re-aggregation. */
+  private val q111GramNovelty: Q = (s, d) => {
+    import s.implicits._
+    val g = t(s, d, "documents")
+      .select($"doc_id",
+        explode(graft.operators.Dedup.shingles($"text", 8)).as("g"))
+      .select($"doc_id", md5($"g").as("gk"))
+    val dfreq = g.groupBy($"gk").agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("gk"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round($"n_unique".cast("double") / $"n_grams", 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -307,7 +360,11 @@ object CorpusOps {
     "q104_page_stitch" -> q104PageStitch,
     "q105_bpe_merges" -> q105BpeMerges,
     "q106_bpe_tokenize" -> q106BpeTokenize,
-    "q107_page_heal" -> q107PageHeal)
+    "q107_page_heal" -> q107PageHeal,
+    "q108_doc_chunks" -> q108DocChunks,
+    "q109_prototype_prune" -> q109PrototypePrune,
+    "q110_kcenter_landmarks" -> q110KcenterLandmarks,
+    "q111_gram_novelty" -> q111GramNovelty)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -369,9 +426,139 @@ object CorpusOps {
        |FROM dtk JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  /** Promote-to-double, fold-in-index-order cosine — the exact
+    * arithmetic functions.VectorOps performs (same helper as
+    * LlmOps.cosSql; duplicated here to keep each module's oracle
+    * block self-contained). */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q105_bpe_merges" -> bpeMergesSql,
     "q106_bpe_tokenize" -> bpeTokenizeSql,
+    // sliding-window chunking replayed with per-row generate_series +
+    // list slices; chunk_md5 checks every chunk byte for byte
+    "q108_doc_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, w, len(w) AS n,
+        |    CASE WHEN len(w) <= 64 THEN 1
+        |         ELSE CAST(ceil((len(w) - 64) / 48.0) AS INTEGER) + 1
+        |    END AS nc
+        |  FROM tok),
+        |e AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS i FROM base)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(
+        |    w[CAST(i * 48 + 1 AS INTEGER) :
+        |      CAST(i * 48 + least(64, n - i * 48) AS INTEGER)], ' '))
+        |    AS chunk_md5
+        |FROM e""".stripMargin,
+    // q63's cell assignment -> true centroid mean (rounded to 6 BEFORE
+    // any comparison, the one order-sensitive aggregate) -> cosine
+    // prototypicality -> ranked prune decision
+    "q109_prototype_prune" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |ec AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS cos_c
+         |  FROM embeddings e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_c DESC, cid ASC) AS rk FROM ec)
+         |  WHERE rk = 1),
+         |cm AS (
+         |  SELECT cell, r.range AS pos,
+         |    round(avg(CAST(embedding[r.range + 1] AS DOUBLE)), 6) AS comp
+         |  FROM assign CROSS JOIN range(0, 64) r GROUP BY cell, pos),
+         |cent AS (SELECT cell, array_agg(comp ORDER BY pos) AS cv2 FROM cm GROUP BY cell),
+         |scored AS (
+         |  SELECT a.vec_id, a.cell,
+         |    round(list_sum(list_transform(list_zip(a.embedding, t.cv2),
+         |        z -> CAST(z[1] AS DOUBLE) * z[2]))
+         |      / (sqrt(list_sum(list_transform(a.embedding,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(t.cv2, x -> x * x)))), 6) AS proto
+         |  FROM assign a JOIN cent t USING (cell))
+         |SELECT vec_id, cell, proto,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY cell ORDER BY proto DESC, vec_id ASC) AS BIGINT)
+         |    AS proto_rank,
+         |  CASE WHEN row_number() OVER (
+         |         PARTITION BY cell ORDER BY proto DESC, vec_id ASC)
+         |       <= ceil(0.25 * count(*) OVER (PARTITION BY cell))
+         |       THEN 'prune' ELSE 'keep' END AS decision
+         |FROM scored""".stripMargin,
+    // the full greedy farthest-point traversal as a recursive CTE:
+    // seed = min id, 15 selection rounds each picking the argmax of
+    // min-distance-to-selected (ties: dist DESC, id ASC), then
+    // nearest-landmark assignment (ties: dist ASC, landmark ASC)
+    "q110_kcenter_landmarks" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+         |dmat AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    1.0 - ${cosSql("a.embedding", "b.embedding")} AS dist
+         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+         |dsym AS (
+         |  SELECT ida, idb, dist FROM dmat
+         |  UNION ALL SELECT idb, ida, dist FROM dmat),
+         |sel AS (
+         |  WITH RECURSIVE r(k, ids) AS (
+         |    SELECT 1, [(SELECT min(vec_id) FROM emb)]
+         |    UNION ALL
+         |    SELECT k + 1, list_append(ids, (
+         |      SELECT idb FROM dsym
+         |      WHERE list_contains(r.ids, ida) AND NOT list_contains(r.ids, idb)
+         |      GROUP BY idb ORDER BY min(dist) DESC, idb ASC LIMIT 1))
+         |    FROM r WHERE k < 16)
+         |  SELECT ids FROM r ORDER BY k DESC LIMIT 1),
+         |lmr AS (
+         |  SELECT unnest(ids) AS lm_id,
+         |    unnest(range(1, len(ids) + 1)) AS lm_rank FROM sel),
+         |lmv AS (
+         |  SELECT l.lm_id, l.lm_rank, e.embedding AS lv
+         |  FROM lmr l JOIN emb e ON e.vec_id = l.lm_id),
+         |ad AS (
+         |  SELECT e.vec_id, l.lm_id, l.lm_rank,
+         |    1.0 - ${cosSql("e.embedding", "l.lv")} AS d
+         |  FROM emb e CROSS JOIN lmv l)
+         |SELECT vec_id, lm_id, CAST(lm_rank AS BIGINT) AS lm_rank,
+         |  round(d, 6) + 0.0 AS dist
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk
+         |      FROM ad)
+         |WHERE rk = 1""".stripMargin,
+    // distinct 8-grams per doc (short docs: one whole-text gram, the
+    // shingles guard), md5 gram keys, document frequency, unique
+    // fraction per doc
+    "q111_gram_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 8 THEN
+        |      list_distinct(list_transform(range(0, len(t) - 7),
+        |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |             t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+        |             t[i+7] || ' ' || t[i+8]))
+        |    ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM tk),
+        |g AS (SELECT doc_id, md5(unnest(s)) AS gk FROM sh),
+        |dfreq AS (SELECT gk, count(*) AS df FROM g GROUP BY gk)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN dfreq USING (gk)
+        |GROUP BY doc_id""".stripMargin,
     "q93_upsample_epochs" ->
       """WITH w(source, n_full, thr) AS (VALUES
         |  ('src1', 2, '80'), ('src2', 0, '66'), ('src3', 3, '00'),

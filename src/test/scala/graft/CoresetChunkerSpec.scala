@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Chunker, Coreset}
+
+/** Semantics of sliding-window chunking (window/stride geometry, full
+  * token coverage, no-shuffle plan) and the coreset operators (greedy
+  * farthest-point selection order, assignment tie-breaks,
+  * prototypicality prune decisions) on handcrafted fixtures. */
+class CoresetChunkerSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkTokens covers every token with the documented geometry") {
+    val s = spark
+    import s.implicits._
+    // 100 tokens, window 64, stride 48: chunks at 0 (len 64) and 48
+    // (len 52) — 1 + ceil((100-64)/48) = 2
+    val toks = (1 to 100).map(i => s"t$i")
+    val docs = Seq((7L, toks)).toDF("doc_id", "w")
+    val out = Chunker.chunkTokens(docs, "doc_id", "w", 64, 48)
+      .orderBy("chunk_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("start_tok") === 0L)
+    assert(out(0).getAs[Long]("n_tok") === 64L)
+    assert(out(0).getAs[String]("chunk_md5") ===
+      md5hex(toks.take(64).mkString(" ")))
+    assert(out(1).getAs[Long]("start_tok") === 48L)
+    assert(out(1).getAs[Long]("n_tok") === 52L)
+    assert(out(1).getAs[String]("chunk_md5") ===
+      md5hex(toks.drop(48).mkString(" ")))
+    // short doc: exactly one window, never padded
+    val one = Chunker.chunkTokens(Seq((1L, Seq("a", "b"))).toDF("doc_id", "w"),
+      "doc_id", "w", 64, 48).collect()
+    assert(one.length === 1 && one(0).getAs[Long]("n_tok") === 2L)
+  }
+
+  test("chunking plans narrow — no Exchange anywhere") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "some text to chunk")).toDF("doc_id", "text")
+    val plan = Chunker.chunk(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("kCenterAssign picks farthest-first landmarks deterministically") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      // unit circle: a=(1,0), its near-dup a'=(0.99,0.14), b=(0,1),
+      // c=(-1,0). Seed = min id = a; farthest from a is c (dist 2);
+      // then b (dist 1 to both) beats a' — landmarks (a, c, b).
+      val emb = Seq(
+        (0L, Array(1f, 0f)), (1L, Array(0.99f, 0.14f)),
+        (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("vec_id", "v")
+      val out = Coreset.kCenterAssign(emb, "vec_id", "v", k = 3)
+        .orderBy("vec_id").collect()
+      val lmOf = out.map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Long]("lm_id")).toMap
+      val rankOf = out.map(r =>
+        r.getAs[Long]("lm_id") -> r.getAs[Long]("lm_rank")).toMap
+      assert(rankOf(0L) === 1L) // seed
+      assert(rankOf(3L) === 2L) // antipode selected second
+      assert(rankOf(2L) === 3L) // orthogonal third
+      assert(lmOf(1L) === 0L)   // the near-dup lands on its twin
+      assert(out.filter(r => r.getAs[Long]("vec_id") == r.getAs[Long]("lm_id"))
+        .forall(_.getAs[Double]("dist") == 0.0))
+    }
+  }
+
+  test("kCenterAssign with k beyond corpus size stops at the corpus") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+        .toDF("vec_id", "v")
+      val out = Coreset.kCenterAssign(emb, "vec_id", "v", k = 10).collect()
+      assert(out.length === 2)
+      assert(out.map(_.getAs[Long]("lm_id")).toSet === Set(0L, 1L))
+    }
+  }
+
+  test("kCenter assignment pass is a narrow map over the cached base") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      val emb = Seq(
+        (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0f, 1f)))
+        .toDF("vec_id", "v")
+      val df = Coreset.kCenterAssign(emb, "vec_id", "v", k = 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"assignment must be join- and shuffle-free:\n$plan")
+    }
+  }
+
+  test("prototypePrune prunes the most-central quarter of each cell") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      // one cell around (1,0): ids 0 (the seed), 10, 11 symmetric
+      // about the x-axis, 12 on it; centroid points along x, so id 12
+      // (and the seed itself) score highest — with 4 members and
+      // pruneFrac 0.25 exactly ceil(1)=1 row is pruned
+      val emb = Seq(
+        (0L, Array(1f, 0f)), (10L, Array(0.9f, 0.3f)),
+        (11L, Array(0.9f, -0.3f)), (12L, Array(0.95f, 0f)))
+        .toDF("vec_id", "v")
+      val out = Coreset.prototypePrune(emb, "vec_id", "v",
+        emb.filter($"vec_id" === 0L), "vec_id", "v", pruneFrac = 0.25)
+        .collect()
+      assert(out.length === 4)
+      val pruned = out.filter(_.getAs[String]("decision") == "prune")
+      assert(pruned.length === 1)
+      assert(pruned(0).getAs[Long]("proto_rank") === 1L)
+      // symmetric members tie on rounded proto; vec_id breaks the tie
+      val ranks = out.map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Long]("proto_rank")).toMap
+      assert(ranks(10L) < ranks(11L))
+    }
+  }
+}
