@@ -75,13 +75,19 @@ object Coreset {
     */
   def kCenterAssign(emb: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     val base = graft.engine.CacheRegistry.retain(
       emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")))
+    assignTo(base, selectLandmarks(base, k))
+  }
 
+  /** The greedy farthest-point traversal itself (driver-coordinated,
+    * k−1 TakeOrdered(1) rounds over the cached base). `base` must
+    * have columns (vec_id: long, v: array<float>). */
+  private def selectLandmarks(base: DataFrame,
+      k: Int): Vector[(Long, Array[Float])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
     def distTo(lm: Array[Float]): Column =
       lit(1.0) - cosFF(col("v"), typedlit(lm))
-
     val seed = base.orderBy(col("vec_id").asc).limit(1).collect()(0)
     var lms = Vector[(Long, Array[Float])](
       (seed.getLong(0), seed.getSeq[Float](1).toArray))
@@ -92,29 +98,91 @@ object Coreset {
         .select(col("vec_id"), col("v"), minDist.as("d"))
         .orderBy(col("d").desc, col("vec_id").asc)
         .limit(1).collect()
-      if (picked.isEmpty) return assignTo(base, lms) // fewer vectors than k
+      if (picked.isEmpty) return lms // fewer vectors than k
       lms = lms :+ ((picked(0).getLong(0), picked(0).getSeq[Float](1).toArray))
     }
-    assignTo(base, lms)
+    lms
   }
 
-  private def assignTo(base: DataFrame,
+  /** The at-rest form of the k-center index: one row per landmark —
+    * (lm_id, lm_rank, lv, radius) where radius is the landmark's
+    * coverage radius, the max cosine distance over every corpus
+    * vector assigned to it (unrounded: it is a max of
+    * engine-identical doubles, so it replays exactly). Written once
+    * per corpus, this is the k·(dim+2)-value summary a later ingest
+    * batch probes for drift detection without ever re-reading the
+    * corpus — the same write-once/probe-forever contract as the
+    * sketch store (q91) and cosine index (q92). */
+  def landmarksWithRadius(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val base = graft.engine.CacheRegistry.retain(
+      emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v")))
+    val lms = selectLandmarks(base, k)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val lmDf = lms.zipWithIndex
+      .map { case ((id, lv), i) => (id, i + 1L, lv.toSeq) }
+      .toDF("lm_id", "lm_rank", "lv")
+    val radii = nearest(base, lms)
+      .groupBy(col("m.lm_id").as("lm_id"))
+      .agg(max(col("m.d")).as("radius"))
+    lmDf.join(radii, Seq("lm_id"))
+      .select(col("lm_id"), col("lm_rank"),
+        col("lv").cast("array<float>").as("lv"), col("radius"))
+  }
+
+  /** Probe a stored landmark table with an ingest batch: nearest
+    * stored landmark per batch vector plus a drift flag (novel = 1
+    * iff the vector lands OUTSIDE its landmark's corpus coverage
+    * radius — the fraction of novel rows per batch is the
+    * distribution-shift monitor). The landmark table is k rows —
+    * collecting it to literals is a broadcast-dimension read, and the
+    * probe itself is a narrow map over the batch: per-ingest cost is
+    * independent of corpus size by construction. */
+  def assignBatchToStored(batch: DataFrame, idCol: String, vecCol: String,
+      landmarks: DataFrame): DataFrame = {
+    val lmRows = landmarks
+      .select(col("lm_id"), col("lm_rank"), col("lv"), col("radius"))
+      .collect()
+    val cands = array(lmRows.map { r =>
+      val lv = r.getSeq[Float](2).toArray
+      struct((lit(1.0) - cosFF(col("v"), typedlit(lv))).as("d"),
+        lit(r.getLong(0)).as("lm_id"), lit(r.getLong(1)).as("lm_rank"),
+        lit(r.getDouble(3)).as("radius"))
+    }.toIndexedSeq: _*)
+    batch
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"), array_min(cands).as("m"))
+      .select(col("vec_id"), col("m.lm_id").as("lm_id"),
+        col("m.lm_rank").as("lm_rank"),
+        (round(col("m.d"), 6) + lit(0.0)).as("dist"),
+        (round(col("m.radius"), 6) + lit(0.0)).as("radius"),
+        when(col("m.d") > col("m.radius"), 1L).otherwise(0L).as("novel"))
+  }
+
+  /** (vec_id, m: struct(d, lm_id, lm_rank)) — nearest landmark per
+    * row via the map-side min-struct pattern. */
+  private def nearest(base: DataFrame,
       lms: Vector[(Long, Array[Float])]): DataFrame = {
-    // nearest landmark via array_min over (dist, lm_id, lm_rank)
-    // structs — field-order comparison IS the (dist asc, id asc)
-    // tie-break; the same map-side min-struct pattern as the IVF
-    // assignment (no shuffle, no window)
     val cands = array(lms.zipWithIndex.map { case ((id, lv), i) =>
       struct((lit(1.0) - cosFF(col("v"), typedlit(lv))).as("d"),
         lit(id).as("lm_id"), lit(i + 1L).as("lm_rank"))
     }: _*)
     base.select(col("vec_id"), array_min(cands).as("m"))
+  }
+
+  // nearest landmark via array_min over (dist, lm_id, lm_rank)
+  // structs — field-order comparison IS the (dist asc, id asc)
+  // tie-break; the same map-side min-struct pattern as the IVF
+  // assignment (no shuffle, no window)
+  private def assignTo(base: DataFrame,
+      lms: Vector[(Long, Array[Float])]): DataFrame =
+    nearest(base, lms)
       .select(col("vec_id"), col("m.lm_id").as("lm_id"),
         col("m.lm_rank").as("lm_rank"),
         // + 0.0 normalizes IEEE -0.0 (a landmark's self-distance after
         // rounding) so both engines emit the same zero
         (round(col("m.d"), 6) + lit(0.0)).as("dist"))
-  }
 
   /** Prototypicality pruning: assign every vector to a cell (argmax
     * cosine against the seed centroid set, ties by centroid id — the

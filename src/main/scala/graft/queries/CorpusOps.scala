@@ -347,6 +347,44 @@ object CorpusOps {
         round($"n_unique".cast("double") / $"n_grams", 6))
   }
 
+  /** q112's backing store: the corpus k-center landmark index at
+    * rest — k rows (lm_id, lm_rank, lv, radius), built ONCE per
+    * corpus split (vec_id % 10 ≠ 0) and persisted; later ingest
+    * batches probe the tiny table, never the corpus. Same
+    * write-once/probe-forever contract as the sketch store (q91) and
+    * cosine index (q92). */
+  private[graft] def landmarkStore(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      import graft.storage.Storage
+      val lmT = Storage.tableNameFor("graft_kcenter_landmarks", d)
+      if (!s.catalog.tableExists(lmT)) {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_kcenter_idx").toString
+        val st = new Storage(s, root)
+        graft.engine.CacheRegistry.withRetained {
+          st.appendTable(lmT, graft.operators.Coreset.landmarksWithRadius(
+            t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", k = 16))
+        }
+      }
+      s.table(lmT)
+    }
+
+  /** Embedding drift detection against the STORED landmark index
+    * ([[graft.operators.Coreset.assignBatchToStored]]): the ingest
+    * batch (vec_id % 10 = 0) probes q112's persisted k-center
+    * landmarks+radii; a batch vector landing outside its landmark's
+    * corpus coverage radius flags novel — the per-batch novel
+    * fraction is the distribution-shift monitor. The oracle replays
+    * the ENTIRE chain from scratch: corpus k-center traversal,
+    * corpus radii, batch assignment, flags. */
+  private val q112BatchDrift: Q = (s, d) => {
+    import s.implicits._
+    graft.operators.Coreset.assignBatchToStored(
+      t(s, d, "embeddings").filter($"vec_id" % 10 === 0),
+      "vec_id", "embedding", landmarkStore(s, d))
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -364,7 +402,8 @@ object CorpusOps {
     "q108_doc_chunks" -> q108DocChunks,
     "q109_prototype_prune" -> q109PrototypePrune,
     "q110_kcenter_landmarks" -> q110KcenterLandmarks,
-    "q111_gram_novelty" -> q111GramNovelty)
+    "q111_gram_novelty" -> q111GramNovelty,
+    "q112_batch_drift" -> q112BatchDrift)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -535,6 +574,60 @@ object CorpusOps {
          |        PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk
          |      FROM ad)
          |WHERE rk = 1""".stripMargin,
+    // the whole stored-landmark drift chain from scratch: k-center
+    // traversal over the corpus split, per-landmark coverage radius
+    // (max member distance), then the batch probe with novelty flags
+    "q112_batch_drift" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+         |batch AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |dmat AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    1.0 - ${cosSql("a.embedding", "b.embedding")} AS dist
+         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+         |dsym AS (
+         |  SELECT ida, idb, dist FROM dmat
+         |  UNION ALL SELECT idb, ida, dist FROM dmat),
+         |sel AS (
+         |  WITH RECURSIVE r(k, ids) AS (
+         |    SELECT 1, [(SELECT min(vec_id) FROM emb)]
+         |    UNION ALL
+         |    SELECT k + 1, list_append(ids, (
+         |      SELECT idb FROM dsym
+         |      WHERE list_contains(r.ids, ida) AND NOT list_contains(r.ids, idb)
+         |      GROUP BY idb ORDER BY min(dist) DESC, idb ASC LIMIT 1))
+         |    FROM r WHERE k < 16)
+         |  SELECT ids FROM r ORDER BY k DESC LIMIT 1),
+         |lmr AS (
+         |  SELECT unnest(ids) AS lm_id,
+         |    unnest(range(1, len(ids) + 1)) AS lm_rank FROM sel),
+         |lmv AS (
+         |  SELECT l.lm_id, l.lm_rank, e.embedding AS lv
+         |  FROM lmr l JOIN emb e ON e.vec_id = l.lm_id),
+         |ca AS (
+         |  SELECT e.vec_id, l.lm_id,
+         |    1.0 - ${cosSql("e.embedding", "l.lv")} AS d
+         |  FROM emb e CROSS JOIN lmv l),
+         |car AS (
+         |  SELECT vec_id, lm_id, d FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM ca)
+         |  WHERE rk = 1),
+         |rad AS (SELECT lm_id, max(d) AS radius FROM car GROUP BY lm_id),
+         |ba AS (
+         |  SELECT b.vec_id, l.lm_id, l.lm_rank,
+         |    1.0 - ${cosSql("b.embedding", "l.lv")} AS d
+         |  FROM batch b CROSS JOIN lmv l),
+         |bar AS (
+         |  SELECT vec_id, lm_id, lm_rank, d FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM ba)
+         |  WHERE rk = 1)
+         |SELECT b.vec_id, b.lm_id, CAST(b.lm_rank AS BIGINT) AS lm_rank,
+         |  round(b.d, 6) + 0.0 AS dist, round(r.radius, 6) + 0.0 AS radius,
+         |  CAST(CASE WHEN b.d > r.radius THEN 1 ELSE 0 END AS BIGINT) AS novel
+         |FROM bar b JOIN rad r USING (lm_id)""".stripMargin,
     // distinct 8-grams per doc (short docs: one whole-text gram, the
     // shingles guard), md5 gram keys, document frequency, unique
     // fraction per doc

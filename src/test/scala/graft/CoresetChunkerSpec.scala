@@ -107,6 +107,35 @@ class CoresetChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("stored landmarks cover the corpus; an outlier batch flags novel") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      // corpus hugs the x-axis; the landmark radii must cover every
+      // corpus member by construction
+      val corpus = Seq(
+        (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.1f)),
+        (2L, Array(0.9f, -0.2f)), (3L, Array(0.85f, 0.3f)))
+        .toDF("vec_id", "v")
+      val lms = Coreset.landmarksWithRadius(corpus, "vec_id", "v", k = 2)
+      val lmRows = lms.collect()
+      assert(lmRows.length === 2)
+      // every corpus vector sits inside its landmark's radius: probing
+      // the store with the corpus itself must flag nothing novel
+      val self = Coreset.assignBatchToStored(corpus, "vec_id", "v", lms)
+        .collect()
+      assert(self.forall(_.getAs[Long]("novel") === 0L))
+      // a y-axis outlier lands outside both radii
+      val batch = Seq((100L, Array(0f, 1f)), (101L, Array(0.97f, 0.05f)))
+        .toDF("vec_id", "v")
+      val out = Coreset.assignBatchToStored(batch, "vec_id", "v", lms)
+        .collect().map(r =>
+          r.getAs[Long]("vec_id") -> r.getAs[Long]("novel")).toMap
+      assert(out(100L) === 1L) // drifted
+      assert(out(101L) === 0L) // in-distribution
+    }
+  }
+
   test("prototypePrune prunes the most-central quarter of each cell") {
     val s = spark
     import s.implicits._
