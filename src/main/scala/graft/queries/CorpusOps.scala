@@ -385,6 +385,23 @@ object CorpusOps {
       "vec_id", "embedding", landmarkStore(s, d))
   }
 
+  /** Hashed TF-IDF sparse vectors ([[graft.operators.SparseVectors
+    * .hashedTfidf]]): every document's top-16 signed md5-bucket
+    * components, L2-normalized — the text→vector bridge when no
+    * embedding column exists. */
+  private val q113HashedTfidf: Q = (s, d) =>
+    graft.operators.SparseVectors.hashedTfidf(
+      t(s, d, "documents"), "doc_id", "text", topM = 16)
+
+  /** Sparse similarity top-k over q113's vectors ([[graft.operators
+    * .SparseVectors.sparseTopK]]): shared-bucket candidate join,
+    * partial dot, (cos desc, id asc) ranking — LSH-ANN's bucket-join
+    * shape driven purely by text. */
+  private val q114SparseTopk: Q = (s, d) =>
+    graft.operators.SparseVectors.sparseTopK(
+      graft.operators.SparseVectors.hashedTfidf(
+        t(s, d, "documents"), "doc_id", "text", topM = 16), k = 3)
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -403,7 +420,9 @@ object CorpusOps {
     "q109_prototype_prune" -> q109PrototypePrune,
     "q110_kcenter_landmarks" -> q110KcenterLandmarks,
     "q111_gram_novelty" -> q111GramNovelty,
-    "q112_batch_drift" -> q112BatchDrift)
+    "q112_batch_drift" -> q112BatchDrift,
+    "q113_hashed_tfidf" -> q113HashedTfidf,
+    "q114_sparse_topk" -> q114SparseTopk)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -464,6 +483,34 @@ object CorpusOps {
        |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
        |FROM dtk JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
+
+  /** The hashed-TF-IDF vector build shared by q113/q114's oracles:
+    * md5-bucket (first two hex chars), sign from the third hex
+    * digit's parity, q68's ln((N+1)/(df+1)) IDF, L2 normalization
+    * over the full vector, rounded weights, top-16 cut ranked on the
+    * ROUNDED |weight| with bucket tie-break. */
+  private val hashedTfidfCte: String =
+    """terms AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |w0 AS (
+      |  SELECT t.doc_id, substring(md5(t.term), 1, 2) AS bucket,
+      |    sum((CASE WHEN (strpos('0123456789abcdef',
+      |            substring(md5(t.term), 3, 1)) - 1) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END)
+      |      * t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))) AS wraw
+      |  FROM tf t JOIN df USING (term) CROSS JOIN n
+      |  GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id, sqrt(sum(wraw * wraw)) AS nn FROM w0 GROUP BY doc_id),
+      |wn AS (
+      |  SELECT w0.doc_id, bucket, round(wraw / nn, 6) + 0.0 AS wgt,
+      |    row_number() OVER (PARTITION BY w0.doc_id
+      |      ORDER BY abs(round(wraw / nn, 6) + 0.0) DESC, bucket ASC) AS rk
+      |  FROM w0 JOIN nrm USING (doc_id)),
+      |comp AS (SELECT doc_id, bucket, wgt, rk FROM wn WHERE rk <= 16)""".stripMargin
 
   /** Promote-to-double, fold-in-index-order cosine — the exact
     * arithmetic functions.VectorOps performs (same helper as
@@ -628,6 +675,26 @@ object CorpusOps {
          |  round(b.d, 6) + 0.0 AS dist, round(r.radius, 6) + 0.0 AS radius,
          |  CAST(CASE WHEN b.d > r.radius THEN 1 ELSE 0 END AS BIGINT) AS novel
          |FROM bar b JOIN rad r USING (lm_id)""".stripMargin,
+    // the full hashed-vector build, every component bit-checked
+    "q113_hashed_tfidf" ->
+      s"""WITH $hashedTfidfCte
+         |SELECT doc_id, bucket, wgt, CAST(rk AS BIGINT) AS comp_rank
+         |FROM comp""".stripMargin,
+    // shared-bucket candidate join over the sparsified vectors,
+    // partial dot, (cos desc, id asc) top-3
+    "q114_sparse_topk" ->
+      s"""WITH $hashedTfidfCte,
+         |p AS (
+         |  SELECT a.doc_id AS qid, b.doc_id AS nid,
+         |    round(sum(a.wgt * b.wgt), 6) AS cos
+         |  FROM comp a JOIN comp b
+         |    ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |  FROM p WHERE cos > 0)
+         |WHERE rank <= 3""".stripMargin,
     // distinct 8-grams per doc (short docs: one whole-text gram, the
     // shingles guard), md5 gram keys, document frequency, unique
     // fraction per doc

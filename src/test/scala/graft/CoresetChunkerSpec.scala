@@ -136,6 +136,31 @@ class CoresetChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("hashedTfidf vectors are unit-norm and twins are mutual top-1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact twin of 1
+      (3L, "one two three four five six"),
+      (4L, "totally different words here now")).toDF("doc_id", "text")
+    val comp = graft.operators.SparseVectors
+      .hashedTfidf(docs, "doc_id", "text", topM = 256).collect()
+    // full (uncut) vectors are L2-normalized: Σ wgt² ≈ 1 per doc
+    val norms = comp.groupBy(_.getAs[Long]("doc_id")).map { case (_, rs) =>
+      rs.map(r => math.pow(r.getAs[Double]("wgt"), 2)).sum
+    }
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-4))
+    assert(comp.forall(_.getAs[String]("bucket").matches("[0-9a-f]{2}")))
+    val nn = graft.operators.SparseVectors.sparseTopK(
+      graft.operators.SparseVectors.hashedTfidf(docs, "doc_id", "text"),
+      k = 1).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toMap
+    assert(nn(1L)._1 === 2L && nn(1L)._2 > 0.999)
+    assert(nn(2L)._1 === 1L)
+  }
+
   test("prototypePrune prunes the most-central quarter of each cell") {
     val s = spark
     import s.implicits._
