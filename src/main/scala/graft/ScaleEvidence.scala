@@ -183,6 +183,53 @@ object ScaleEvidence {
     (textPoints, embPoints)
   }
 
+  /** Stored-landmark drift probe (q112's contract), FIXED batch vs
+    * growing corpus: the landmark index is built ONCE per corpus (the
+    * k-center traversal) and each ingest then probes k literal rows —
+    * probe cost must stay flat as the corpus grows, while the
+    * no-store alternative re-runs the whole traversal every ingest
+    * and grows linearly with the corpus. Both paths assign through
+    * identical (deterministic) landmark sets, so outputs must match
+    * exactly. */
+  private def driftSweep(spark: SparkSession, sfDir: String,
+      sizes: Seq[Long], batchN: Long): Seq[String] = {
+    import graft.operators.Coreset
+    sizes.map { n =>
+      val clusters = math.max(8, (n / 256).toInt)
+      val emb = corpus(spark, sfDir, n, clusters).persist()
+      emb.count()
+      val batch = corpus(spark, sfDir, batchN, clusters)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        .persist()
+      batch.count()
+      val t0 = System.nanoTime()
+      // pin the at-rest table outside the registry (same reasoning as
+      // the cosine-index sweep: the store must survive releaseAll)
+      val lms = Coreset.landmarksWithRadius(emb, "vec_id", "embedding", 16)
+        .persist()
+      lms.count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      graft.engine.CacheRegistry.releaseAll() // drop build-time caches
+      def probe = Coreset.assignBatchToStored(batch, "vec_id", "embedding", lms)
+      def rebuild = Coreset.assignBatchToStored(batch, "vec_id", "embedding",
+        Coreset.landmarksWithRadius(emb, "vec_id", "embedding", 16))
+      val probeSec = timeNoop(probe)
+      val rebuildSec = timeNoop(rebuild, passes = 2)
+      val assigned = probe.count()
+      val novel = probe.filter(col("novel") === 1).count()
+      val diff = probe.exceptAll(rebuild).count() +
+        rebuild.exceptAll(probe).count()
+      graft.engine.CacheRegistry.releaseAll()
+      Seq(lms, batch, emb).foreach(_.unpersist())
+      System.err.println(f"[scale-drift] corpus=$n%7d batch=$batchN " +
+        f"build=$buildSec%6.2fs probe=$probeSec%6.2fs " +
+        f"rebuild=$rebuildSec%6.2fs novel=$novel/$assigned diff=$diff")
+      s"""{"corpus_n":$n,"batch_n":$batchN,"build_sec":$buildSec,""" +
+        s""""probe_sec":$probeSec,"rebuild_sec":$rebuildSec,""" +
+        s""""novel":$novel,"assigned":$assigned,"path_diff":$diff}"""
+    }
+  }
+
   /** Bloom-prune decontamination vs the plain gram join, FIXED corpus
     * vs growing eval set (the axis that kills the broadcast approach:
     * q77's exact path is fine while the eval suite broadcasts, and the
@@ -380,6 +427,7 @@ object ScaleEvidence {
       "8192,32768,131072").split(",").map(_.trim.toLong).toSeq
     val incBatch = sys.env.getOrElse("SPARK_GRAFT_SCALE_BATCH", "1024").toLong
     val (textInc, embInc) = incrementalSweep(spark, sfDir, incSizes, incBatch)
+    val driftPoints = driftSweep(spark, sfDir, incSizes, incBatch)
 
     val deconCorpus = sys.env.getOrElse("SPARK_GRAFT_SCALE_DECON_CORPUS",
       "524288").toLong
@@ -391,7 +439,7 @@ object ScaleEvidence {
       "16384,65536,262144").split(",").map(_.trim.toLong).toSeq
     val ccPoints = ccSweep(spark, ccNs)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat; label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]}}"""
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat; label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

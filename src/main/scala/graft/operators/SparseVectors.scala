@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * the same similarity machinery the embedding suite uses.
   *
   * Hashing is md5-based and engine-portable end to end (the bucket IS
-  * the first two hex chars of md5(term) — 256 buckets — and the sign
-  * is the parity of the third hex digit), so the DuckDB oracle
+  * the first three hex chars of md5(term) — 4096 buckets — and the
+  * sign is the parity of the fourth hex digit), so the DuckDB oracle
   * replays every weight bit for bit; a production variant would swap
   * md5 for xxhash64 % B with no other change. The IDF convention is
   * q68's: ln((N+1)/(df+1)).
@@ -22,11 +22,15 @@ import org.apache.spark.sql.functions._
   * re-keys by (doc, bucket) with map-side partial aggregation — its
   * input is already one row per (doc, term), far smaller than the
   * token stream; the norm + top-m cut are doc-keyed aggregations over
-  * each doc's ≤256 bucket rows.
+  * each doc's ≤B bucket rows.
   * Nothing touches pairs until [[sparseTopK]], which joins only on
   * shared buckets of the sparsified (top-m) vectors — candidate
-  * volume is m/B² of all-pairs, the same bucket-join shape as the
-  * LSH-ANN path.
+  * volume is Σ_b n_b², the same bucket-join shape as the LSH-ANN
+  * path. B matters: at B=256 the 5k-doc bench corpus put ~65% of ALL
+  * pairs in a shared bucket and the join degenerated to all-pairs
+  * (measured 84 s); at B=4096 occupancy drops 16× and the same query
+  * runs in seconds — size B so n·m/B stays task-sized, the same dial
+  * as LSH bucket width.
   *
   * Reference analog: none — the reference has no text pipeline; this
   * is the LLM-pipeline suite.
@@ -35,9 +39,10 @@ object SparseVectors {
 
   private val hexDigits = "0123456789abcdef"
 
-  /** +1.0 / −1.0 from the parity of md5's third hex digit. */
+  /** +1.0 / −1.0 from the parity of md5's fourth hex digit (the
+    * first three are the bucket). */
   private def signOf(term: Column): Column =
-    when((instr(lit(hexDigits), substring(md5(term), 3, 1)) - 1) % 2 === 0,
+    when((instr(lit(hexDigits), substring(md5(term), 4, 1)) - 1) % 2 === 0,
       lit(1.0)).otherwise(lit(-1.0))
 
   /** Sparse hashed-TF-IDF components: (doc_id, bucket, wgt,
@@ -55,7 +60,7 @@ object SparseVectors {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w0 = tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))
-      .select(col("doc_id"), substring(md5(col("term")), 1, 2).as("bucket"),
+      .select(col("doc_id"), substring(md5(col("term")), 1, 3).as("bucket"),
         (signOf(col("term")) * col("tf") *
           log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
           .as("contrib"))
@@ -82,7 +87,7 @@ object SparseVectors {
     *
     * Candidate volume is Σ_b n_b² over bucket occupancies — at corpus
     * scale the knob is B (more hash buckets ⇒ smaller n_b), exactly
-    * the LSH bucket-sizing trade; 256 is sized for the gate corpus. */
+    * the LSH bucket-sizing trade. */
   def sparseTopK(components: DataFrame, k: Int = 3): DataFrame = {
     val a = components.select(col("doc_id").as("qid"), col("bucket"),
       col("wgt").as("wa"))

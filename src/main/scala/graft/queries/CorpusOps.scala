@@ -485,8 +485,8 @@ object CorpusOps {
        |GROUP BY doc_id""".stripMargin
 
   /** The hashed-TF-IDF vector build shared by q113/q114's oracles:
-    * md5-bucket (first two hex chars), sign from the third hex
-    * digit's parity, q68's ln((N+1)/(df+1)) IDF, L2 normalization
+    * md5-bucket (first three hex chars, 4096 buckets), sign from the
+    * fourth hex digit's parity, q68's ln((N+1)/(df+1)) IDF, L2 normalization
     * over the full vector, rounded weights, top-16 cut ranked on the
     * ROUNDED |weight| with bucket tie-break. */
   private val hashedTfidfCte: String =
@@ -497,9 +497,9 @@ object CorpusOps {
       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |w0 AS (
-      |  SELECT t.doc_id, substring(md5(t.term), 1, 2) AS bucket,
+      |  SELECT t.doc_id, substring(md5(t.term), 1, 3) AS bucket,
       |    sum((CASE WHEN (strpos('0123456789abcdef',
-      |            substring(md5(t.term), 3, 1)) - 1) % 2 = 0
+      |            substring(md5(t.term), 4, 1)) - 1) % 2 = 0
       |          THEN 1.0 ELSE -1.0 END)
       |      * t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))) AS wraw
       |  FROM tf t JOIN df USING (term) CROSS JOIN n

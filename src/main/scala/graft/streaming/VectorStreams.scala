@@ -102,4 +102,17 @@ object VectorStreams {
           }
       }
   }
+
+  /** Streaming face of the stored-landmark drift monitor
+    * ([[graft.operators.Coreset.assignBatchToStored]]): every
+    * incoming vector is probed against the persisted k-center
+    * landmark index — a STATELESS narrow projection (the k landmark
+    * rows are collected from the static store once at plan time and
+    * ride as literals), so it imposes no state store, no shuffle, and
+    * no watermark on the stream. Emits (vec_id, lm_id, lm_rank, dist,
+    * radius, novel) per vector; a foreachBatch aggregation of
+    * avg(novel) is the live distribution-shift signal. */
+  def driftStream(vecs: DataFrame, landmarks: DataFrame): DataFrame =
+    graft.operators.Coreset.assignBatchToStored(
+      vecs, "vec_id", "embedding", landmarks)
 }

@@ -151,7 +151,7 @@ class CoresetChunkerSpec extends AnyFunSuite {
       rs.map(r => math.pow(r.getAs[Double]("wgt"), 2)).sum
     }
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-4))
-    assert(comp.forall(_.getAs[String]("bucket").matches("[0-9a-f]{2}")))
+    assert(comp.forall(_.getAs[String]("bucket").matches("[0-9a-f]{3}")))
     val nn = graft.operators.SparseVectors.sparseTopK(
       graft.operators.SparseVectors.hashedTfidf(docs, "doc_id", "text"),
       k = 1).collect()

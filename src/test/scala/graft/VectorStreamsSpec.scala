@@ -117,4 +117,35 @@ class VectorStreamsSpec extends AnyFunSuite {
     assert(recovered.contains((1L, 4L)),
       s"batch backstop did not recover the pair: ${recovered.toSeq}")
   }
+
+  test("drift stream flags out-of-coverage vectors, stateless, across batches") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      val dir = Files.createTempDirectory("graft_drift_stream").toString
+      // corpus hugs one direction; its landmark radii define coverage
+      val corpus = Seq(
+        (0L, Seq(1f, 0f)), (1L, Seq(0.95f, 0.1f)),
+        (2L, Seq(0.9f, -0.2f)), (3L, Seq(0.85f, 0.3f)))
+        .toDF("vec_id", "v")
+      val lms = graft.operators.Coreset
+        .landmarksWithRadius(corpus, "vec_id", "v", k = 2)
+        .persist()
+      lms.count()
+      writeBatch(dir, Seq((100L, Seq(0.97f, 0.05f)))) // in-distribution
+      val schema = spark.read.parquet(s"$dir/in").schema
+      val q = VectorStreams.driftStream(
+        spark.readStream.schema(schema).parquet(s"$dir/in"), lms)
+        .writeStream.format("memory").queryName("drift_hits")
+        .outputMode("append").option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      q.processAllAvailable()
+      writeBatch(dir, Seq((101L, Seq(0f, 1f)))) // drifted, later batch
+      q.processAllAvailable(); q.stop()
+      val out = spark.table("drift_hits").collect()
+        .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("novel")).toMap
+      assert(out === Map(100L -> 0L, 101L -> 1L))
+      lms.unpersist()
+    }
+  }
 }
