@@ -128,6 +128,21 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("[key"), s"no equi-join on the gram key:\n$plan")
   }
 
+  test("q114 sparse similarity: candidates flow through the bucket equi-join") {
+    // the vocab-sized df table must broadcast into the tf side, and
+    // ALL pairing must ride the hash equi-join on the bucket key —
+    // never a nested-loop / cartesian pairing of documents
+    val q = graft.queries.CorpusOps.queries("q114_sparse_topk")(
+      spark, "/root/testdata/sf0.001")
+    val plan = executed(q)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df/n_docs dimension tables did not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairing fell off the bucket equi-join:\n$plan")
+    assert(plan.contains("[bucket"), s"no equi-join on bucket:\n$plan")
+  }
+
   test("q98 sequence packing: the single-partition exchange carries only bucket totals") {
     val q = graft.queries.CorpusOps.queries("q98_sequence_pack")(
       spark, "/root/testdata/sf0.001")
