@@ -385,6 +385,11 @@ object CorpusOps {
       "vec_id", "embedding", landmarkStore(s, d))
   }
 
+  /** Per-bucket occupancy cap shared by the q114/q115 Spark calls and
+    * their oracle CTEs — ONE constant so the gate always replays the
+    * exact cut the operator applies. */
+  private val sparseBucketCap = 64
+
   /** Hashed TF-IDF sparse vectors ([[graft.operators.SparseVectors
     * .hashedTfidf]]): every document's top-16 signed md5-bucket
     * components, L2-normalized — the text→vector bridge when no
@@ -394,13 +399,15 @@ object CorpusOps {
       t(s, d, "documents"), "doc_id", "text", topM = 16)
 
   /** Sparse similarity top-k over q113's vectors ([[graft.operators
-    * .SparseVectors.sparseTopK]]): shared-bucket candidate join,
-    * partial dot, (cos desc, id asc) ranking — LSH-ANN's bucket-join
-    * shape driven purely by text. */
+    * .SparseVectors.sparseTopK]]): shared-bucket candidate join over
+    * occupancy-capped (top-64-per-bucket) posting lists, exact dot
+    * over surviving shared buckets, (cos desc, id asc) ranking —
+    * candidate volume linear in corpus size by construction. */
   private val q114SparseTopk: Q = (s, d) =>
     graft.operators.SparseVectors.sparseTopK(
       graft.operators.SparseVectors.hashedTfidf(
-        t(s, d, "documents"), "doc_id", "text", topM = 16), k = 3)
+        t(s, d, "documents"), "doc_id", "text", topM = 16),
+      k = 3, bucketCap = sparseBucketCap)
 
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
@@ -680,15 +687,23 @@ object CorpusOps {
       s"""WITH $hashedTfidfCte
          |SELECT doc_id, bucket, wgt, CAST(rk AS BIGINT) AS comp_rank
          |FROM comp""".stripMargin,
-    // shared-bucket candidate join over the sparsified vectors,
-    // partial dot, (cos desc, id asc) top-3
+    // shared-bucket candidate join over the sparsified vectors with
+    // the identical per-bucket occupancy cut (top-64 by |wgt|, doc_id
+    // tie-break) the Spark operator applies, exact dot over surviving
+    // shared buckets, (cos desc, id asc) top-3
     "q114_sparse_topk" ->
       s"""WITH $hashedTfidfCte,
+         |gen AS (
+         |  SELECT doc_id, bucket, wgt FROM (
+         |    SELECT doc_id, bucket, wgt, row_number() OVER (
+         |      PARTITION BY bucket ORDER BY abs(wgt) DESC, doc_id ASC) AS occ
+         |    FROM comp)
+         |  WHERE occ <= $sparseBucketCap),
          |p AS (
-         |  SELECT a.doc_id AS qid, b.doc_id AS nid,
-         |    round(sum(a.wgt * b.wgt), 6) AS cos
-         |  FROM comp a JOIN comp b
-         |    ON a.bucket = b.bucket AND a.doc_id <> b.doc_id
+         |  SELECT a.doc_id AS qid, g.doc_id AS nid,
+         |    round(sum(a.wgt * g.wgt), 6) AS cos
+         |  FROM comp a JOIN gen g
+         |    ON a.bucket = g.bucket AND a.doc_id <> g.doc_id
          |  GROUP BY 1, 2)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
          |  SELECT *, row_number() OVER (
