@@ -31,6 +31,14 @@ import org.apache.spark.sql.SparkSession
   * result file is rewritten after every pass — and periodically during
   * the first — so even a hard kill mid-run leaves a parseable
   * per-query artifact.
+  *
+  * Per-query cap: any query whose measured pass exceeds
+  * SPARK_GRAFT_BENCH_QUERY_CAP_SEC (default 60) keeps that sample but
+  * runs NO further passes — its name lands in the JSON `capped` list.
+  * One degenerate query (or a contention spike on one query) can no
+  * longer starve the other ~100 queries of their remaining passes the
+  * way round 9's 626 s > 600 s run lost pass 3 for everyone. Normal
+  * queries are unaffected.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,6 +47,8 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
+    val queryCapSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "60").toDouble
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
@@ -57,6 +67,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val capped = collection.mutable.LinkedHashSet.empty[String]
     val began = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - began) / 1e9
 
@@ -80,8 +91,9 @@ object Bench {
         .map { case (k, mn, med, mx) => "\"" + k + "\":[" + mn + "," + med + "," + mx + "]" }
         .mkString("{", ",", "}")
       val total = results.map(_._3).sum
+      val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","passes":$passes,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","passes":$passes,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass,"query_cap_sec":$queryCapSec,"capped":$cappedJson}"""
       // the driver snapshot keeps only a truncated tail of stdout, so
       // the full per-query map is also persisted to a committed file
       try java.nio.file.Files.write(
@@ -98,13 +110,19 @@ object Bench {
     while (pass < runs && !budgetExceeded) {
       pass += 1
       var qIdx = 0
-      for ((name, fn) <- names) {
+      for ((name, fn) <- names if !capped.contains(name)) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        samples(name) = sec :: samples(name)
+        if (sec > queryCapSec) {
+          capped += name
+          System.err.println(f"[bench] $name capped after $sec%.1f s " +
+            s"(> $queryCapSec s); skipping its remaining passes")
+        }
         // queries persist() internally; no cross-run reuse — and drop
         // the registry's references so they don't accumulate over
         // 92 queries × runs

@@ -16,10 +16,14 @@ object Tables {
 
   /** Load one driver table from an sf directory.
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's
-    * vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]); we read it as
-    * a raw nanosecond long (exact, no precision loss) and convert at
-    * the edges — the DuckDB oracle uses epoch_ns for the same view.
+    * `events.ts` encoding varies across driver testdata generations:
+    * INT64 TIMESTAMP(NANOS) (through round 9) — which Spark's
+    * vectorized reader refuses ([PARQUET_TYPE_ILLEGAL]) unless read
+    * as a raw nanosecond long via the legacy flag set here — or plain
+    * TIMESTAMP(MICROS) (round 10 on), where the flag is a no-op and
+    * the column arrives as a timestamp. Consumers that do time
+    * arithmetic canonicalize via EventsMerge.eventsTsMicros, which
+    * handles both shapes exactly.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")

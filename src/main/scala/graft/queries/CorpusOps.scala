@@ -409,6 +409,57 @@ object CorpusOps {
         t(s, d, "documents"), "doc_id", "text", topM = 16),
       k = 3, bucketCap = sparseBucketCap)
 
+  /** q115's backing store: the sparse-vector corpus layout at rest —
+    * [[graft.operators.SparseVectors.corpusStats]] (term, df, n_docs;
+    * vocab-sized, the write-once vocabulary table) as a plain catalog
+    * table, plus the corpus components bucketed by `bucket` so the
+    * probe side's cappedPostings window reads bucket-local data. The
+    * write-once/probe-forever pattern is the fourth index family
+    * alongside the sketch (q91), cosine (q92), and landmark (q112)
+    * stores. Reference analog: the covering hash-search layout
+    * (faexport_db/schema/indexes.sql:6–24 → submission.py:400–412). */
+  private[graft] def sparseStatsStore(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
+    import graft.storage.Storage
+    val statsT = Storage.tableNameFor("graft_sparse_stats", d)
+    val compT = Storage.tableNameFor("graft_sparse_components", d)
+    if (!s.catalog.tableExists(statsT)) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sparse_store").toString
+      val st = new Storage(s, root)
+      graft.engine.CacheRegistry.withRetained {
+        val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
+        val stats = graft.engine.CacheRegistry.retain(
+          graft.operators.SparseVectors.corpusStats(corpus, "doc_id", "text"))
+        st.appendTable(statsT, stats)
+        st.appendBucketed(compT,
+          graft.operators.SparseVectors.hashedTfidfWithStats(
+            corpus, "doc_id", "text", stats, topM = 16),
+          Seq("bucket"), numBuckets = 16)
+      }
+    }
+    (s.table(statsT), s.table(compT))
+  }
+
+  /** Sparse top-k of a NEW ingest batch against the STORED corpus
+    * ([[sparseStatsStore]]): the batch (doc_id % 10 = 0) is vectorized
+    * by [[graft.operators.SparseVectors.hashedTfidfWithStats]] under
+    * the persisted vocabulary — terms the corpus never saw score df=0
+    * (IDF ln(N+1), the maximally-informative unseen-term convention) —
+    * and probes the persisted corpus components through the same
+    * occupancy-capped postings cut as q114. Neither the corpus text
+    * nor its term stream is re-read once the store exists (plan-pinned
+    * in StoreSpec); the oracle replays the entire chain from scratch,
+    * df-fallback included. */
+  private val q115SparseTopkStored: Q = (s, d) => {
+    val (stats, comp) = sparseStatsStore(s, d)
+    graft.operators.SparseVectors.sparseTopKAgainst(
+      graft.operators.SparseVectors.hashedTfidfWithStats(
+        t(s, d, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", stats, topM = 16),
+      comp, k = 3, bucketCap = sparseBucketCap)
+  }
+
   val queries: Map[String, Q] = Map(
     "q93_upsample_epochs" -> q93UpsampleEpochs,
     "q94_source_overlap" -> q94SourceOverlap,
@@ -429,7 +480,8 @@ object CorpusOps {
     "q111_gram_novelty" -> q111GramNovelty,
     "q112_batch_drift" -> q112BatchDrift,
     "q113_hashed_tfidf" -> q113HashedTfidf,
-    "q114_sparse_topk" -> q114SparseTopk)
+    "q114_sparse_topk" -> q114SparseTopk,
+    "q115_sparse_topk_stored" -> q115SparseTopkStored)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -518,6 +570,35 @@ object CorpusOps {
       |      ORDER BY abs(round(wraw / nn, 6) + 0.0) DESC, bucket ASC) AS rk
       |  FROM w0 JOIN nrm USING (doc_id)),
       |comp AS (SELECT doc_id, bucket, wgt, rk FROM wn WHERE rk <= 16)""".stripMargin
+
+  /** One split's hashed-TF-IDF components under the CORPUS split's
+    * stats — q115's oracle building block, replaying
+    * [[graft.operators.SparseVectors.hashedTfidfWithStats]]: LEFT JOIN
+    * + coalesce is the df=0 unseen-term fallback (a no-op for the
+    * corpus split itself, every one of whose terms carries a df).
+    * Emits CTEs prefixed `p`; expects `cdf` (term, df) and `cn`
+    * (n_docs) in scope. */
+  private def splitCompCte(p: String, src: String): String =
+    s"""${p}terms AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM $src),
+       |${p}tf AS (SELECT doc_id, term, count(*) AS tf FROM ${p}terms GROUP BY 1, 2),
+       |${p}w0 AS (
+       |  SELECT t.doc_id, substring(md5(t.term), 1, 3) AS bucket,
+       |    sum((CASE WHEN (strpos('0123456789abcdef',
+       |            substring(md5(t.term), 4, 1)) - 1) % 2 = 0
+       |          THEN 1.0 ELSE -1.0 END)
+       |      * t.tf * ln(CAST(cn.n_docs + 1 AS DOUBLE) / (coalesce(cdf.df, 0) + 1))) AS wraw
+       |  FROM ${p}tf t LEFT JOIN cdf USING (term) CROSS JOIN cn
+       |  GROUP BY 1, 2),
+       |${p}nrm AS (SELECT doc_id, sqrt(sum(wraw * wraw)) AS nn FROM ${p}w0 GROUP BY doc_id),
+       |${p}comp AS (
+       |  SELECT doc_id, bucket, wgt FROM (
+       |    SELECT w.doc_id, bucket, round(wraw / nn, 6) + 0.0 AS wgt,
+       |      row_number() OVER (PARTITION BY w.doc_id
+       |        ORDER BY abs(round(wraw / nn, 6) + 0.0) DESC, bucket ASC) AS rk
+       |    FROM ${p}w0 w JOIN ${p}nrm USING (doc_id))
+       |  WHERE rk <= 16)""".stripMargin
 
   /** Promote-to-double, fold-in-index-order cosine — the exact
     * arithmetic functions.VectorOps performs (same helper as
@@ -704,6 +785,39 @@ object CorpusOps {
          |    round(sum(a.wgt * g.wgt), 6) AS cos
          |  FROM comp a JOIN gen g
          |    ON a.bucket = g.bucket AND a.doc_id <> g.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+         |  FROM p WHERE cos > 0)
+         |WHERE rank <= 3""".stripMargin,
+    // the whole stored-stats chain from scratch: corpus-split df/N
+    // stats, corpus components, the batch vectorized under the CORPUS
+    // stats (LEFT JOIN + coalesce = the df=0 unseen-term fallback),
+    // the identical occupancy cut on the corpus postings, top-3
+    "q115_sparse_topk_stored" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+         |batchd AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |statsrc AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM corpus),
+         |cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM statsrc GROUP BY 1),
+         |cn AS (SELECT count(*) AS n_docs FROM corpus),
+         |${splitCompCte("c", "corpus")},
+         |${splitCompCte("b", "batchd")},
+         |gen AS (
+         |  SELECT doc_id, bucket, wgt FROM (
+         |    SELECT doc_id, bucket, wgt, row_number() OVER (
+         |      PARTITION BY bucket ORDER BY abs(wgt) DESC, doc_id ASC) AS occ
+         |    FROM ccomp)
+         |  WHERE occ <= $sparseBucketCap),
+         |p AS (
+         |  SELECT b.doc_id AS qid, g.doc_id AS nid,
+         |    round(sum(b.wgt * g.wgt), 6) AS cos
+         |  FROM bcomp b JOIN gen g
+         |    ON b.bucket = g.bucket AND b.doc_id <> g.doc_id
          |  GROUP BY 1, 2)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, nid, cos FROM (
          |  SELECT *, row_number() OVER (

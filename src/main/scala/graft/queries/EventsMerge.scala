@@ -18,21 +18,42 @@ import graft.functions.JsonMergeObjects.jsonMergeObjects
   * relies on Python sort stability (models/submission.py:27–29); we pin
   * the total order (ts, event_id) per SURVEY §7.3a.
   *
-  * Timestamps from `events` are nanosecond-precision parquet, read as
-  * raw nanosecond longs (Tables.t); every emitted time value is
-  * second-truncated via date_format so Spark and the oracle agree
-  * regardless of sub-second representation.
+  * Timestamps from `events` have changed parquet encoding across
+  * driver testdata generations — INT64 TIMESTAMP(NANOS) (readable
+  * only as a raw nanos long, Tables.t) through round 9, plain
+  * TIMESTAMP(MICROS) (arriving as TIMESTAMP_NTZ) since round 10 —
+  * so every query reads through [[eventsTsMicros]], which
+  * canonicalizes `ts` to a MICROSECOND epoch long for either
+  * encoding. All ordering, gap arithmetic, and as-of comparisons
+  * then run on exact integer micros (matching DuckDB's native
+  * micros timestamps bit for bit), and every emitted time value is
+  * second-truncated via date_format so both engines agree on the
+  * rendered form.
   */
 object EventsMerge {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** ts nanos-long → 'yyyy-MM-dd HH:mm:ss' (UTC, floor to second).
-    * Integral `div` — `/` on longs is double division, which loses
-    * precision above 2^53 and epoch-nanos are ~1.7e18. */
+  /** The events table with `ts` canonicalized to MICROSECOND epoch
+    * longs, whichever parquet encoding the data dir carries: a
+    * LongType ts is the legacy nanos-as-long read (integral `div` —
+    * `/` on longs is double division, lossy at epoch-nanos ~1.7e18);
+    * anything else is a timestamp column (NTZ or LTZ — cast through
+    * TIMESTAMP in the fixed-UTC session, then exact unix_micros). */
+  private def eventsTsMicros(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", call_function("div", col("ts"), lit(1000L)))
+      case _ =>
+        ev.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+    }
+  }
+
+  /** ts micros-long → 'yyyy-MM-dd HH:mm:ss' (UTC, floor to second). */
   private def tsStr(c: org.apache.spark.sql.Column) =
     date_format(
-      timestamp_seconds(call_function("div", c, lit(1000000000L))),
+      timestamp_seconds(call_function("div", c, lit(1000000L))),
       "yyyy-MM-dd HH:mm:ss")
 
   /** M1+M2 — newest-first ordering and latest-value pick
@@ -40,7 +61,7 @@ object EventsMerge {
   private val q15Latest: Q = (s, d) => {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
-    t(s, d, "events")
+    eventsTsMicros(s, d)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_type".as("last_type"),
@@ -51,7 +72,7 @@ object EventsMerge {
     * grouped pass (submission.py:35–41, 111). */
   private val q16EntitySummary: Q = (s, d) => {
     import s.implicits._
-    t(s, d, "events")
+    eventsTsMicros(s, d)
       .groupBy($"user_id")
       .agg(
         tsStr(min($"ts")).as("first_seen"),
@@ -67,7 +88,7 @@ object EventsMerge {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    t(s, d, "events")
+    eventsTsMicros(s, d)
       .withColumn("v", when($"event_type" =!= "click", $"value"))
       .withColumn("latest_value", first($"v", ignoreNulls = true).over(w))
       .groupBy($"user_id")
@@ -84,7 +105,7 @@ object EventsMerge {
   private val q18JsonMerge: Q = (s, d) => {
     import s.implicits._
     val kVal = get_json_object($"props", "$.k").cast("long")
-    t(s, d, "events")
+    eventsTsMicros(s, d)
       .withColumn("props2",
         when($"event_type" === "click", to_json(struct(kVal.as("c"))))
           .when($"event_type" === "purchase", to_json(struct(kVal.as("p"))))
@@ -110,11 +131,11 @@ object EventsMerge {
   private val q58Sessionize: Q = (s, d) => {
     import s.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    val gapNs = 3600L * 1000000000L
-    t(s, d, "events")
+    val gapUs = 3600L * 1000000L
+    eventsTsMicros(s, d)
       .withColumn("prev_ts", lag($"ts", 1).over(wOrd))
       .withColumn("new_session",
-        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapNs, 1L).otherwise(0L))
+        when($"prev_ts".isNull || $"ts" - $"prev_ts" > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum($"new_session")
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_id")
@@ -142,7 +163,7 @@ object EventsMerge {
     * oracle replays the same pick with a correlated argmax. */
   private val q73AsofJoin: Q = (s, d) => {
     import s.implicits._
-    val ev = t(s, d, "events")
+    val ev = eventsTsMicros(s, d)
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts")
     val purchases = ev.filter($"event_type" === "purchase")
@@ -162,7 +183,7 @@ object EventsMerge {
     * (bucketed merge). */
   private val q84AsofJoinSplit: Q = (s, d) => {
     import s.implicits._
-    val ev = t(s, d, "events")
+    val ev = eventsTsMicros(s, d)
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts")
     val purchases = ev.filter($"event_type" === "purchase")

@@ -100,4 +100,28 @@ class StoreSpec extends AnyFunSuite {
     assert(scans.head.metrics("numPartitions").value === 1L,
       "single-cell probe read more than one hive partition")
   }
+
+  test("q115 answers from the persisted sparse stats/components; an external batch needs no corpus text") {
+    val s = spark
+    import s.implicits._
+    val q115 = graft.queries.CorpusOps.queries("q115_sparse_topk_stored")(s, sf)
+    val plan = executedPlan(q115)
+    for (tbl <- Seq("graft_sparse_stats", "graft_sparse_components"))
+      assert(plan.contains(tbl), s"persisted table $tbl not in plan:\n$plan")
+    graft.engine.CacheRegistry.releaseAll()
+    // a later ingest batch arrives as a fresh in-memory frame: the
+    // stored vocabulary vectorizes it and the stored components answer
+    // the probe — no parquet scan of the documents table anywhere
+    val (stats, comp) = graft.queries.CorpusOps.sparseStatsStore(s, sf)
+    val batch = Seq((1000000L, "a fresh sentence about nothing at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.SparseVectors.sparseTopKAgainst(
+      graft.operators.SparseVectors.hashedTfidfWithStats(
+        batch, "doc_id", "text", stats, topM = 16),
+      comp, k = 3, bucketCap = 64)
+    val probePlan = executedPlan(out)
+    assert(!probePlan.contains("documents.parquet"),
+      s"corpus text re-read from parquet:\n$probePlan")
+    graft.engine.CacheRegistry.releaseAll()
+  }
 }
