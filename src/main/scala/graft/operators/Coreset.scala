@@ -160,6 +160,44 @@ object Coreset {
         when(col("m.d") > col("m.radius"), 1L).otherwise(0L).as("novel"))
   }
 
+  /** Periodic coverage-radius refresh for a stored landmark index —
+    * the maintenance half of q112's write-once contract. Landmarks
+    * themselves are IMMUTABLE (identity, rank, and vector never
+    * change, so stored assignments and the probe shape stay valid);
+    * what drifts is coverage: once an ingest batch is ACCEPTED into
+    * the corpus, its vectors are corpus members, and each landmark's
+    * radius must grow to max(stored radius, max distance of accepted
+    * vectors assigned to it) or the monitor keeps flagging territory
+    * the corpus now occupies. A vector that flagged novel before its
+    * batch was accepted therefore flips to covered after refresh
+    * (spec-pinned in CoresetSpec), while genuinely new territory
+    * still flags. The batch max uses UNROUNDED distances (like the
+    * build-time radius — rounding is emission-only) so the flip is
+    * exact, not at the mercy of a 1e-6 rounding edge.
+    *
+    * Scale shape: one narrow map over the accepted batch (k landmarks
+    * ride as literals), a k-row aggregation, a k-row join — refresh
+    * cost is independent of corpus size, and the output is the same
+    * k-row table shape, ready to overwrite the store. */
+  def refreshRadii(landmarks: DataFrame, acceptedBatch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val lmRows = landmarks
+      .select(col("lm_id"), col("lm_rank"), col("lv"), col("radius"))
+      .collect()
+    val lms = lmRows.map { r =>
+      (r.getLong(0), r.getSeq[Float](2).toArray)
+    }.toVector
+    val batchMax = nearest(
+      acceptedBatch.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v")), lms)
+      .groupBy(col("m.lm_id").as("lm_id"))
+      .agg(max(col("m.d")).as("batch_radius"))
+    landmarks.join(broadcast(batchMax), Seq("lm_id"), "left")
+      .select(col("lm_id"), col("lm_rank"), col("lv"),
+        greatest(col("radius"),
+          coalesce(col("batch_radius"), lit(0.0))).as("radius"))
+  }
+
   /** (vec_id, m: struct(d, lm_id, lm_rank)) — nearest landmark per
     * row via the map-side min-struct pattern. */
   private def nearest(base: DataFrame,

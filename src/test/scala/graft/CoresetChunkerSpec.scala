@@ -136,6 +136,51 @@ class CoresetChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("radius refresh from an accepted batch flips a previously-novel vector to covered") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      val corpus = Seq(
+        (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.1f)),
+        (2L, Array(0.9f, -0.2f)), (3L, Array(0.85f, 0.3f)))
+        .toDF("vec_id", "v")
+      val lms = Coreset.landmarksWithRadius(corpus, "vec_id", "v", k = 2)
+      val batch = Seq((100L, Array(0.5f, 0.8f)), (101L, Array(0.97f, 0.05f)))
+        .toDF("vec_id", "v")
+      val before = Coreset.assignBatchToStored(batch, "vec_id", "v", lms)
+        .collect().map(r =>
+          r.getAs[Long]("vec_id") -> r.getAs[Long]("novel")).toMap
+      assert(before(100L) === 1L) // outside current coverage
+      // the batch is ACCEPTED into the corpus: refresh radii from it —
+      // landmarks (identity, rank, vector) must be untouched, only
+      // coverage grows
+      val refreshed = Coreset.refreshRadii(lms, batch, "vec_id", "v")
+      val lmBefore = lms.collect()
+        .map(r => r.getAs[Long]("lm_id") ->
+          (r.getAs[Long]("lm_rank"), r.getSeq[Float](2), r.getAs[Double]("radius"))).toMap
+      val lmAfter = refreshed.collect()
+        .map(r => r.getAs[Long]("lm_id") ->
+          (r.getAs[Long]("lm_rank"), r.getSeq[Float](2), r.getAs[Double]("radius"))).toMap
+      assert(lmAfter.keySet === lmBefore.keySet)
+      for ((id, (rank, lv, rad)) <- lmAfter) {
+        assert(rank === lmBefore(id)._1)
+        assert(lv === lmBefore(id)._2)
+        assert(rad >= lmBefore(id)._3) // radii only grow
+      }
+      // the accepted vector is now inside coverage; fresh territory
+      // beyond it still flags
+      val after = Coreset.assignBatchToStored(batch, "vec_id", "v", refreshed)
+        .collect().map(r =>
+          r.getAs[Long]("vec_id") -> r.getAs[Long]("novel")).toMap
+      assert(after(100L) === 0L) // flipped: accepted territory is covered
+      assert(after(101L) === 0L)
+      val far = Seq((200L, Array(-1f, 0.2f))).toDF("vec_id", "v")
+      val farOut = Coreset.assignBatchToStored(far, "vec_id", "v", refreshed)
+        .collect()
+      assert(farOut.head.getAs[Long]("novel") === 1L)
+    }
+  }
+
   test("hashedTfidf vectors are unit-norm and twins are mutual top-1") {
     val s = spark
     import s.implicits._
