@@ -385,6 +385,27 @@ object CorpusOps {
       "vec_id", "embedding", landmarkStore(s, d))
   }
 
+  /** Drift detection against REFRESHED radii ([[graft.operators
+    * .Coreset.refreshRadii]] under the hard gate): the first half of
+    * the ingest split (vec_id % 20 = 0) is ACCEPTED into the corpus,
+    * so landmark coverage radii grow to absorb it — landmarks
+    * themselves stay immutable — and the second half (vec_id % 20 =
+    * 10) then probes the refreshed index. The oracle replays the
+    * entire chain from scratch: corpus k-center traversal, corpus
+    * radii, the accepted batch's per-landmark max distances, the
+    * greatest/coalesce refresh, and the final probe with novelty
+    * flags. */
+  private val q116DriftRefreshed: Q = (s, d) => {
+    import s.implicits._
+    val refreshed = graft.operators.Coreset.refreshRadii(
+      landmarkStore(s, d),
+      t(s, d, "embeddings").filter($"vec_id" % 20 === 0),
+      "vec_id", "embedding")
+    graft.operators.Coreset.assignBatchToStored(
+      t(s, d, "embeddings").filter($"vec_id" % 20 === 10),
+      "vec_id", "embedding", refreshed)
+  }
+
   /** Per-bucket occupancy cap shared by the q114/q115 Spark calls and
     * their oracle CTEs — ONE constant so the gate always replays the
     * exact cut the operator applies. */
@@ -481,7 +502,8 @@ object CorpusOps {
     "q112_batch_drift" -> q112BatchDrift,
     "q113_hashed_tfidf" -> q113HashedTfidf,
     "q114_sparse_topk" -> q114SparseTopk,
-    "q115_sparse_topk_stored" -> q115SparseTopkStored)
+    "q115_sparse_topk_stored" -> q115SparseTopkStored,
+    "q116_drift_refreshed" -> q116DriftRefreshed)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -600,6 +622,49 @@ object CorpusOps {
        |    FROM ${p}w0 w JOIN ${p}nrm USING (doc_id))
        |  WHERE rk <= 16)""".stripMargin
 
+  /** The stored-landmark chain shared by q112/q116's oracles: corpus
+    * split, full pairwise distances, the recursive k-center traversal
+    * (seed = min id, 15 argmax rounds with (dist desc, id asc)
+    * tie-break), landmark vectors, corpus assignment, and per-landmark
+    * coverage radii — everything up to (and including) CTE `rad`;
+    * callers append their own probe. */
+  private lazy val landmarkChainCte: String =
+    s"""emb AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |dmat AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    1.0 - ${cosSql("a.embedding", "b.embedding")} AS dist
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
+       |dsym AS (
+       |  SELECT ida, idb, dist FROM dmat
+       |  UNION ALL SELECT idb, ida, dist FROM dmat),
+       |sel AS (
+       |  WITH RECURSIVE r(k, ids) AS (
+       |    SELECT 1, [(SELECT min(vec_id) FROM emb)]
+       |    UNION ALL
+       |    SELECT k + 1, list_append(ids, (
+       |      SELECT idb FROM dsym
+       |      WHERE list_contains(r.ids, ida) AND NOT list_contains(r.ids, idb)
+       |      GROUP BY idb ORDER BY min(dist) DESC, idb ASC LIMIT 1))
+       |    FROM r WHERE k < 16)
+       |  SELECT ids FROM r ORDER BY k DESC LIMIT 1),
+       |lmr AS (
+       |  SELECT unnest(ids) AS lm_id,
+       |    unnest(range(1, len(ids) + 1)) AS lm_rank FROM sel),
+       |lmv AS (
+       |  SELECT l.lm_id, l.lm_rank, e.embedding AS lv
+       |  FROM lmr l JOIN emb e ON e.vec_id = l.lm_id),
+       |ca AS (
+       |  SELECT e.vec_id, l.lm_id,
+       |    1.0 - ${cosSql("e.embedding", "l.lv")} AS d
+       |  FROM emb e CROSS JOIN lmv l),
+       |car AS (
+       |  SELECT vec_id, lm_id, d FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM ca)
+       |  WHERE rk = 1),
+       |rad AS (SELECT lm_id, max(d) AS radius FROM car GROUP BY lm_id)""".stripMargin
+
   /** Promote-to-double, fold-in-index-order cosine — the exact
     * arithmetic functions.VectorOps performs (same helper as
     * LlmOps.cosSql; duplicated here to keep each module's oracle
@@ -713,43 +778,9 @@ object CorpusOps {
     // traversal over the corpus split, per-landmark coverage radius
     // (max member distance), then the batch probe with novelty flags
     "q112_batch_drift" ->
-      s"""WITH emb AS (
-         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+      s"""WITH $landmarkChainCte,
          |batch AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |dmat AS (
-         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |    1.0 - ${cosSql("a.embedding", "b.embedding")} AS dist
-         |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id),
-         |dsym AS (
-         |  SELECT ida, idb, dist FROM dmat
-         |  UNION ALL SELECT idb, ida, dist FROM dmat),
-         |sel AS (
-         |  WITH RECURSIVE r(k, ids) AS (
-         |    SELECT 1, [(SELECT min(vec_id) FROM emb)]
-         |    UNION ALL
-         |    SELECT k + 1, list_append(ids, (
-         |      SELECT idb FROM dsym
-         |      WHERE list_contains(r.ids, ida) AND NOT list_contains(r.ids, idb)
-         |      GROUP BY idb ORDER BY min(dist) DESC, idb ASC LIMIT 1))
-         |    FROM r WHERE k < 16)
-         |  SELECT ids FROM r ORDER BY k DESC LIMIT 1),
-         |lmr AS (
-         |  SELECT unnest(ids) AS lm_id,
-         |    unnest(range(1, len(ids) + 1)) AS lm_rank FROM sel),
-         |lmv AS (
-         |  SELECT l.lm_id, l.lm_rank, e.embedding AS lv
-         |  FROM lmr l JOIN emb e ON e.vec_id = l.lm_id),
-         |ca AS (
-         |  SELECT e.vec_id, l.lm_id,
-         |    1.0 - ${cosSql("e.embedding", "l.lv")} AS d
-         |  FROM emb e CROSS JOIN lmv l),
-         |car AS (
-         |  SELECT vec_id, lm_id, d FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM ca)
-         |  WHERE rk = 1),
-         |rad AS (SELECT lm_id, max(d) AS radius FROM car GROUP BY lm_id),
          |ba AS (
          |  SELECT b.vec_id, l.lm_id, l.lm_rank,
          |    1.0 - ${cosSql("b.embedding", "l.lv")} AS d
@@ -763,6 +794,42 @@ object CorpusOps {
          |  round(b.d, 6) + 0.0 AS dist, round(r.radius, 6) + 0.0 AS radius,
          |  CAST(CASE WHEN b.d > r.radius THEN 1 ELSE 0 END AS BIGINT) AS novel
          |FROM bar b JOIN rad r USING (lm_id)""".stripMargin,
+    // q112's chain, then: the accepted half of the ingest split grows
+    // each landmark's radius to max(corpus radius, accepted max) —
+    // the greatest/coalesce refresh — and the held-out half probes
+    // the refreshed index
+    "q116_drift_refreshed" ->
+      s"""WITH $landmarkChainCte,
+         |b1 AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |b2 AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 10),
+         |b1a AS (
+         |  SELECT b.vec_id, l.lm_id,
+         |    1.0 - ${cosSql("b.embedding", "l.lv")} AS d
+         |  FROM b1 b CROSS JOIN lmv l),
+         |b1r AS (
+         |  SELECT vec_id, lm_id, d FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM b1a)
+         |  WHERE rk = 1),
+         |b1max AS (SELECT lm_id, max(d) AS brad FROM b1r GROUP BY lm_id),
+         |rad2 AS (
+         |  SELECT r.lm_id, greatest(r.radius, coalesce(m.brad, 0.0)) AS radius
+         |  FROM rad r LEFT JOIN b1max m USING (lm_id)),
+         |ba AS (
+         |  SELECT b.vec_id, l.lm_id, l.lm_rank,
+         |    1.0 - ${cosSql("b.embedding", "l.lv")} AS d
+         |  FROM b2 b CROSS JOIN lmv l),
+         |bar AS (
+         |  SELECT vec_id, lm_id, lm_rank, d FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM ba)
+         |  WHERE rk = 1)
+         |SELECT b.vec_id, b.lm_id, CAST(b.lm_rank AS BIGINT) AS lm_rank,
+         |  round(b.d, 6) + 0.0 AS dist, round(r.radius, 6) + 0.0 AS radius,
+         |  CAST(CASE WHEN b.d > r.radius THEN 1 ELSE 0 END AS BIGINT) AS novel
+         |FROM bar b JOIN rad2 r USING (lm_id)""".stripMargin,
     // the full hashed-vector build, every component bit-checked
     "q113_hashed_tfidf" ->
       s"""WITH $hashedTfidfCte
