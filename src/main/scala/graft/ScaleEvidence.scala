@@ -379,7 +379,8 @@ object ScaleEvidence {
       def run(oneHop: Int): (DataFrame, Int, Int, Double) = {
         val t0 = System.nanoTime()
         val (df, hops, stars) = Dedup.connectedComponentsWithStats(
-          pairs, "a", "b", maxIter = 2000, oneHopRounds = oneHop)
+          pairs, "a", "b", maxIter = 2000, oneHopRounds = oneHop,
+          localEdgeThreshold = 0) // always measure the distributed loop
         df.count()
         (df, hops, stars, (System.nanoTime() - t0) / 1e9)
       }

@@ -421,10 +421,31 @@ object Dedup {
 
   /** [[connectedComponents]] plus its round counts
     * (one-hop rounds run, star-contraction rounds run) — the numbers
-    * `ScaleEvidence`'s convergence sweep records. */
+    * `ScaleEvidence`'s convergence sweep records.
+    *
+    * Scale-adaptive short-circuit: the edge table is counted anyway
+    * (to materialize it ahead of the checkpoint loop), and when the
+    * count is at or below `localEdgeThreshold` the labels are solved
+    * with a driver-side min-id union-find instead of the distributed
+    * loop — the same runtime size-switch philosophy as AQE's
+    * broadcast decision. Below the threshold the edge list is a
+    * dimension-sized table (≤ 16 MB of (long, long) at the 1M
+    * default) and the ~10 driver-coordinated label-propagation /
+    * star-contraction rounds are pure job-scheduling latency
+    * (measured: the CC stage of q102 cost ~3 s at a few hundred
+    * edges, all of it round overhead); past the threshold the
+    * distributed loop below engages unchanged. This collect is a
+    * documented bounded coordinator read — the contract of the k-row
+    * landmark and centroid collects — NOT a data-scale collect: the
+    * bound is on the near-dup PAIR count, which the callers' banded /
+    * celled candidate generation keeps linear in corpus size. The
+    * union-find reproduces the loop's labels exactly (component min
+    * id, deterministic); ScaleEvidence's convergence sweep passes
+    * threshold 0 so it always measures the distributed rounds. */
   private[graft] def connectedComponentsWithStats(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, oneHopRounds: Int = 4): (DataFrame, Int, Int) = {
+      maxIter: Int = 20, oneHopRounds: Int = 4,
+      localEdgeThreshold: Long = 1L << 20): (DataFrame, Int, Int) = {
     val edges = symEdges(pairs
         .select(col(aCol).as("src"), col(bCol).as("dst"))
         .filter(col("src") =!= col("dst")))
@@ -435,7 +456,33 @@ object Dedup {
     // an unmaterialized pair pipeline would re-run with sort-merge
     // joins and no runtime broadcast/coalescing (measured 3× slower).
     // After this count the loops read only the cached edges.
-    edges.count()
+    val edgeCount = edges.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression keeps unions near-linear amortized
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min: the surviving root is always the smaller id,
+          // so every final root is its component's global min — the
+          // exact label the distributed loop converges to
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      val labels = parent.keysIterator.map(n => (n, find(n))).toVector
+      edges.unpersist()
+      return (spark.createDataset(labels).toDF("node", "cluster"), 0, 0)
+    }
     // the first propagation round is folded into initialization:
     // label = min(node, neighbors) — identical to one step from
     // label = node, one fewer distributed round
