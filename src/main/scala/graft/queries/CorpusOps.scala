@@ -352,23 +352,21 @@ object CorpusOps {
     * corpus split (vec_id % 10 ≠ 0) and persisted; later ingest
     * batches probe the tiny table, never the corpus. Same
     * write-once/probe-forever contract as the sketch store (q91) and
-    * cosine index (q92). */
-  private[graft] def landmarkStore(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      import graft.storage.Storage
-      val lmT = Storage.tableNameFor("graft_kcenter_landmarks", d)
-      if (!s.catalog.tableExists(lmT)) {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_kcenter_idx").toString
-        val st = new Storage(s, root)
-        graft.engine.CacheRegistry.withRetained {
-          st.appendTable(lmT, graft.operators.Coreset.landmarksWithRadius(
-            t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
-            "vec_id", "embedding", k = 16))
-        }
+    * cosine index (q92); durable across sessions
+    * ([[graft.storage.DurableStores]]). */
+  private[graft] def landmarkStore(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.{DurableStores, Storage}
+    val lmT = Storage.tableNameFor("graft_kcenter_landmarks", d)
+    DurableStores.openOrBuild(s, d, "kcenter_landmarks", Seq(lmT)) { st =>
+      graft.engine.CacheRegistry.withRetained {
+        st.appendTable(lmT, graft.operators.Coreset.landmarksWithRadius(
+          t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", k = 16))
       }
-      s.table(lmT)
+      Seq(DurableStores.TableMeta.plain(s, lmT))
     }
+    s.table(lmT)
+  }
 
   /** Embedding drift detection against the STORED landmark index
     * ([[graft.operators.Coreset.assignBatchToStored]]): the ingest
@@ -440,14 +438,11 @@ object CorpusOps {
     * stores. Reference analog: the covering hash-search layout
     * (faexport_db/schema/indexes.sql:6–24 → submission.py:400–412). */
   private[graft] def sparseStatsStore(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
-    import graft.storage.Storage
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.storage.{DurableStores, Storage}
     val statsT = Storage.tableNameFor("graft_sparse_stats", d)
     val compT = Storage.tableNameFor("graft_sparse_components", d)
-    if (!s.catalog.tableExists(statsT)) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_sparse_store").toString
-      val st = new Storage(s, root)
+    DurableStores.openOrBuild(s, d, "sparse", Seq(statsT, compT)) { st =>
       graft.engine.CacheRegistry.withRetained {
         val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
         val stats = graft.engine.CacheRegistry.retain(
@@ -458,6 +453,8 @@ object CorpusOps {
             corpus, "doc_id", "text", stats, topM = 16),
           Seq("bucket"), numBuckets = 16)
       }
+      Seq(DurableStores.TableMeta.plain(s, statsT),
+        DurableStores.TableMeta.bucketed(s, compT, Seq("bucket"), 16))
     }
     (s.table(statsT), s.table(compT))
   }

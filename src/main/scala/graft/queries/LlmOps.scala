@@ -353,40 +353,41 @@ object LlmOps {
       "vec_id", "embedding", threshold = 0.4, numCells = 16)
   }
 
-  /** q91's backing store: the corpus sketch written ONCE per JVM per
-    * data dir as three catalog parquet tables — shingles bucketed by
+  /** q91's backing store: the corpus sketch written ONCE per data
+    * dir as three catalog parquet tables — shingles bucketed by
     * doc (the verification join key), band keys bucketed by
     * (band_id, band_hash), chunk keys bucketed by (chunk_idx,
     * chunk_value) — the at-rest layout [[graft.operators.Dedup
     * .corpusSketch]]'s docstring promises. The write-once/read-forever
-    * pattern is q83's (MergeScaleQ.bucketedNested); the gate proves a
-    * later ingest batch needs ONLY these tables, never the corpus
-    * text. */
+    * pattern is q83's (MergeScaleQ.bucketedNested), and the store is
+    * DURABLE via [[graft.storage.DurableStores]] — a later session
+    * re-registers the at-rest files, never rebuilds
+    * (DurableStoreSpec); the gate proves a later ingest batch needs
+    * ONLY these tables, never the corpus text. */
   private[graft] def sketchStore(
-      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
-    synchronized {
-      import graft.storage.Storage
-      val shT = Storage.tableNameFor("graft_sketch_shingles", d)
-      val bandT = Storage.tableNameFor("graft_sketch_bands", d)
-      val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
-      if (!s.catalog.tableExists(shT)) {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_sketch_store").toString
-        val st = new Storage(s, root)
-        graft.engine.CacheRegistry.withRetained {
-          val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
-            t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
-            "doc_id", "text"))
-          st.appendBucketed(shT, sk.select("doc", "sh"),
-            Seq("doc"), numBuckets = 16)
-          st.appendBucketed(bandT, Dedup.explodedBands(sk, 32, 4),
-            Seq("band_id", "band_hash"), numBuckets = 16)
-          st.appendBucketed(chunkT, Dedup.explodedChunks(sk, 8),
-            Seq("chunk_idx", "chunk_value"), numBuckets = 16)
-        }
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.storage.{DurableStores, Storage}
+    val shT = Storage.tableNameFor("graft_sketch_shingles", d)
+    val bandT = Storage.tableNameFor("graft_sketch_bands", d)
+    val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
+    DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT)) { st =>
+      graft.engine.CacheRegistry.withRetained {
+        val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
+          t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text"))
+        st.appendBucketed(shT, sk.select("doc", "sh"),
+          Seq("doc"), numBuckets = 16)
+        st.appendBucketed(bandT, Dedup.explodedBands(sk, 32, 4),
+          Seq("band_id", "band_hash"), numBuckets = 16)
+        st.appendBucketed(chunkT, Dedup.explodedChunks(sk, 8),
+          Seq("chunk_idx", "chunk_value"), numBuckets = 16)
       }
-      (s.table(shT), s.table(bandT), s.table(chunkT))
+      Seq(DurableStores.TableMeta.bucketed(s, shT, Seq("doc"), 16),
+        DurableStores.TableMeta.bucketed(s, bandT, Seq("band_id", "band_hash"), 16),
+        DurableStores.TableMeta.bucketed(s, chunkT, Seq("chunk_idx", "chunk_value"), 16))
     }
+    (s.table(shT), s.table(bandT), s.table(chunkT))
+  }
 
   /** q86's incremental dedup driven from the PERSISTED sketch store:
     * same batch split, same oracle — but the corpus side reads only
@@ -405,17 +406,15 @@ object LlmOps {
   /** q92's backing store: the corpus [[graft.operators.EmbeddingDedup
     * .CosineIndex]] at rest — centroids as a small plain table, the
     * member table (vid, vec, nrm, ang) hive-partitioned by `cell` so a
-    * probing batch touches only the cells it lands in. */
+    * probing batch touches only the cells it lands in. Durable across
+    * sessions ([[graft.storage.DurableStores]]). */
   private[graft] def cosineStore(
-      s: SparkSession, d: String): (DataFrame, DataFrame) = synchronized {
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.operators.EmbeddingDedup
-    import graft.storage.Storage
+    import graft.storage.{DurableStores, Storage}
     val centT = Storage.tableNameFor("graft_cosidx_cents", d)
     val memT = Storage.tableNameFor("graft_cosidx_members", d)
-    if (!s.catalog.tableExists(memT)) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cosine_index").toString
-      val st = new Storage(s, root)
+    DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT)) { st =>
       graft.engine.CacheRegistry.withRetained {
         val idx = EmbeddingDedup.buildCosineIndex(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -423,6 +422,8 @@ object LlmOps {
         st.appendTable(centT, idx.cents)
         st.appendPartitioned(memT, EmbeddingDedup.membersOf(idx), Seq("cell"))
       }
+      Seq(DurableStores.TableMeta.plain(s, centT),
+        DurableStores.TableMeta.partitioned(s, memT, Seq("cell")))
     }
     (s.table(centT), s.table(memT))
   }

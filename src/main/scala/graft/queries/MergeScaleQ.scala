@@ -89,15 +89,16 @@ object MergeScaleQ {
     webShape(Merge.mergeSubmissions(nestedAtScale(s, d)))
 
   /** The bucketed nested store for q83: [[nestedAtScale]] materialized
-    * once per JVM per sf dir via [[graft.storage.Storage.appendBucketed]]
+    * once per sf dir via [[graft.storage.Storage.appendBucketed]]
     * (hash-bucketed AND sorted by the entity key at write time), then
     * read back through the catalog so bucket metadata survives. The
     * merge aggregation over this store runs with NO entity-key Exchange
     * — the write-once layout pays the shuffle so every subsequent merge
     * doesn't (SURVEY §4.4; the 100 TB pattern, reference analog: the
-    * deferred index build of indexes.sql:1–3). Bench passes after the
-    * first measure exactly the shuffle-free merge; the first pass bills
-    * the one-time layout write (visible in the bench spread). */
+    * deferred index build of indexes.sql:1–3). DURABLE via
+    * [[graft.storage.DurableStores]]: a later session re-registers the
+    * at-rest files instead of rebuilding (DurableStoreSpec). Bench
+    * passes after the first measure exactly the shuffle-free merge. */
   /** Catalog table name for the per-JVM bucketed store of a data dir.
     * The FULL path is folded in two ways — a readable sanitized form
     * plus an md5 of the exact path — so two distinct dirs can never
@@ -110,14 +111,37 @@ object MergeScaleQ {
     s"graft_nested_bucketed_${readable}_$digest"
   }
 
-  def bucketedNested(s: SparkSession, d: String): DataFrame = synchronized {
+  def bucketedNested(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.DurableStores
     val tbl = bucketedTableName(d)
-    if (!s.catalog.tableExists(tbl)) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_bucketed_store").toString
-      new graft.storage.Storage(s, root).appendBucketed(
-        tbl, nestedAtScale(s, d),
-        Seq("website_id", "site_submission_id"), numBuckets = 32)
+    val keys = Seq("website_id", "site_submission_id")
+    DurableStores.openOrBuild(s, d, "nested_bucketed", Seq(tbl)) { st =>
+      st.appendBucketed(tbl, nestedAtScale(s, d), keys, numBuckets = 32)
+      Seq(DurableStores.TableMeta.bucketed(s, tbl, keys, 32))
+    }
+    s.table(tbl)
+  }
+
+  /** The PERSISTED pre-cutoff merged table — q117's base. q65 rebuilds
+    * `previousMerged` in-query, so its bench number mostly measures
+    * the full base merge the incremental operator exists to avoid;
+    * this store materializes that base once (merged over the bucketed
+    * nested layout, so even the build is shuffle-free on the entity
+    * key) and q117 then shows the TRUE batch-proportional cost of
+    * incremental maintenance. Stored bucketed by the entity key so the
+    * left_anti carve-out against touched entities needs no base-side
+    * Exchange either. */
+  private[graft] def mergedBaseStore(s: SparkSession, d: String,
+      cutoff: String): DataFrame = {
+    import graft.storage.DurableStores
+    val tbl = graft.storage.Storage.tableNameFor("graft_merged_base", d)
+    val keys = Seq("website_id", "site_submission_id")
+    DurableStores.openOrBuild(s, d, "merged_base", Seq(tbl)) { st =>
+      st.appendBucketed(tbl,
+        Merge.mergeSubmissions(bucketedNested(s, d)
+          .filter(col("scan_datetime") <= lit(cutoff).cast("timestamp"))),
+        keys, numBuckets = 32)
+      Seq(DurableStores.TableMeta.bucketed(s, tbl, keys, 32))
     }
     s.table(tbl)
   }
@@ -134,32 +158,57 @@ object MergeScaleQ {
     * must hash-equal the full merge-on-read answer (same oracle as
     * q55). This is the 100 TB operational pattern: per-batch
     * refreshes instead of whole-corpus re-merges. */
+  /** Ingest-batch cutoff shared by q65/q117: the last ~2 months of a
+    * 6.5-year corpus (~2.5% of snapshots, ~23% of entities touched) —
+    * an earlier 1996 cutoff made the "batch" 72% of history, which
+    * degenerated the incremental path into a near-full re-merge. */
+  private[graft] val incrementalCutoff = "2001-06-01"
+
   private val q65IncrementalMerge: Q = (s, d) => {
     import s.implicits._
     val nested = nestedAtScale(s, d)
-    // a realistic ingest batch: the last ~2 months of a 6.5-year
-    // corpus (~2.5% of snapshots, ~23% of entities touched) — the
-    // earlier 1996 cutoff made the "batch" 72% of history, which
-    // degenerated the incremental path into a near-full re-merge
-    val cutoff = lit("2001-06-01").cast("timestamp")
+    val cutoff = lit(incrementalCutoff).cast("timestamp")
     val previousMerged = Merge.mergeSubmissions(
       nested.filter($"scan_datetime" <= cutoff))
     val newBatch = nested.filter($"scan_datetime" > cutoff)
     webShape(Merge.incrementalMergeSubmissions(previousMerged, nested, newBatch))
   }
 
+  /** q65 against PERSISTED state — the operational shape: the
+    * pre-cutoff merged base comes from [[mergedBaseStore]] (at rest,
+    * bucketed by entity key) and the snapshot history from
+    * [[bucketedNested]], so the query itself pays ONLY the
+    * batch-proportional work: distinct touched entities, a left_semi
+    * re-merge of those entities' history (shuffle-free over the
+    * bucketed store), a left_anti carve-out of the stored base, and
+    * the union. q65 keeps gating the same semantics with the base
+    * rebuilt in-query; the two together separate "is the incremental
+    * answer right" from "is the incremental cost actually
+    * batch-proportional" (the bench medians show the latter). Same
+    * oracle as q55: maintenance never changes the answer. */
+  private val q117IncrementalMergeStored: Q = (s, d) => {
+    import s.implicits._
+    val nested = bucketedNested(s, d)
+    val newBatch = nested.filter(
+      $"scan_datetime" > lit(incrementalCutoff).cast("timestamp"))
+    webShape(Merge.incrementalMergeSubmissions(
+      mergedBaseStore(s, d, incrementalCutoff), nested, newBatch))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_merge_scale" -> q55MergeScale,
     "q65_incremental_merge" -> q65IncrementalMerge,
-    "q83_merge_scale_bucketed" -> q83MergeScaleBucketed)
+    "q83_merge_scale_bucketed" -> q83MergeScaleBucketed,
+    "q117_incremental_merge_stored" -> q117IncrementalMergeStored)
 
-  /** q65 and q83 must produce the identical answer to q55 — same
-    * oracle: the incremental and shuffle-free paths are pure plan
+  /** q65, q83, and q117 must produce the identical answer to q55 —
+    * same oracle: the incremental and shuffle-free paths are pure plan
     * changes, never answer changes. */
   val oracles: Map[String, String] = Map(
     "q55_merge_scale" -> mergeScaleSql,
     "q65_incremental_merge" -> mergeScaleSql,
-    "q83_merge_scale_bucketed" -> mergeScaleSql)
+    "q83_merge_scale_bucketed" -> mergeScaleSql,
+    "q117_incremental_merge_stored" -> mergeScaleSql)
 
   private lazy val mergeScaleSql: String =
       """WITH snaps AS (

@@ -1,0 +1,241 @@
+package graft.storage
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-session lifecycle for the engine's write-once index stores
+  * (the q83 bucketed nested store, the q91 sketch tables, the q92
+  * cosine index, the q112 landmark table, the q115 sparse stats —
+  * every "build once, probe forever" layout).
+  *
+  * Through round 10 each store built into a per-JVM
+  * `Files.createTempDirectory`, which satisfied the correctness gate
+  * but contradicted the stores' own contract: a second session had to
+  * rebuild everything. This manager gives every store the lifecycle
+  * the reference gives its covering indexes (deferred build, then
+  * persistent — faexport_db/schema/indexes.sql:1–24):
+  *
+  *  - **durable root**: `spark.graft.store.root` conf, else the
+  *    `GRAFT_STORE_ROOT` env var, else `<warehouse-dir>/graft_stores`
+  *    — a stable location that outlives the SparkSession.
+  *  - **build-if-absent**: the first opener builds the tables and
+  *    writes a manifest (source-data fingerprint + per-table schema /
+  *    layout metadata). Every later opener — same JVM or a cold one —
+  *    finds the manifest, verifies the fingerprint, and RE-REGISTERS
+  *    the at-rest files in its catalog via DDL without touching a
+  *    byte of data.
+  *  - **overwrite-on-refresh**: a fingerprint mismatch (the source
+  *    data was regenerated under the same path) or an explicit
+  *    [[refresh]] drops the catalog entries and files and rebuilds.
+  *    Without this, a persisted store would silently serve answers
+  *    for data that no longer exists — the failure mode the round-9
+  *    testdata re-encoding demonstrated.
+  *
+  * The manifest is written LAST, so a crash mid-build leaves no
+  * manifest and the next opener cleans up and rebuilds; partial
+  * stores are never served. All IO goes through the Hadoop FS API so
+  * a non-local root (HDFS/S3A) works unchanged; the single in-JVM
+  * lock serializes builders within a process (cross-process builders
+  * racing on a shared root would need a real lock service — out of
+  * scope for a single-driver deployment, where store builds are an
+  * ingest-pipeline step, not a query-time side effect).
+  */
+object DurableStores {
+
+  /** How one physical table re-registers in a cold catalog. */
+  final case class TableMeta(name: String, layout: String,
+      layoutCols: Seq[String], numBuckets: Int, schemaDdl: String)
+
+  object TableMeta {
+    /** Metadata captured AFTER the build (the catalog schema is the
+      * source of truth — e.g. partition columns moved to the end). */
+    def plain(s: SparkSession, name: String): TableMeta =
+      TableMeta(name, "plain", Nil, 0, s.table(name).schema.toDDL)
+    def bucketed(s: SparkSession, name: String, cols: Seq[String],
+        numBuckets: Int): TableMeta =
+      TableMeta(name, "bucketed", cols, numBuckets, s.table(name).schema.toDDL)
+    def partitioned(s: SparkSession, name: String,
+        cols: Seq[String]): TableMeta =
+      TableMeta(name, "partitioned", cols, 0, s.table(name).schema.toDDL)
+  }
+
+  def root(s: SparkSession): String =
+    s.conf.getOption("spark.graft.store.root")
+      .orElse(sys.env.get("GRAFT_STORE_ROOT"))
+      .getOrElse(s.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft_stores")
+
+  private def fs(s: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Source-data identity: md5 over the sorted (relative path, length,
+    * mtime) listing of every file under `dataDir`. Regenerated data —
+    * even same-size — changes mtimes, so a stale store can never be
+    * served for it. A directory listing per store per JVM; cached via
+    * [[verified]]. */
+  private[graft] def fingerprint(s: SparkSession, dataDir: String): String = {
+    val f = fs(s, dataDir)
+    val base = new Path(dataDir)
+    val it = f.listFiles(base, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !st.getPath.getName.startsWith(".")) {
+        val rel = st.getPath.toString.stripPrefix(f.makeQualified(base).toString)
+        entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+      }
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    entries.sorted.foreach(e => digest.update(e.getBytes(StandardCharsets.UTF_8)))
+    digest.digest().map("%02x".format(_)).mkString
+  }
+
+  private def manifestPath(s: SparkSession, store: String,
+      dataDir: String): Path = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    new Path(s"${root(s)}/_meta/${store}_$digest.meta")
+  }
+
+  /** Line format (newline-free fields only — schema DDL and paths
+    * contain no newlines): line 1 = fingerprint; then one line per
+    * table: name TAB layout TAB numBuckets TAB cols(comma) TAB ddl. */
+  private def writeManifest(s: SparkSession, p: Path, fp: String,
+      tables: Seq[TableMeta]): Unit = {
+    val f = fs(s, p.toString)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
+    try {
+      out.write(fp + "\n")
+      tables.foreach { t =>
+        out.write(Seq(t.name, t.layout, t.numBuckets.toString,
+          t.layoutCols.mkString(","), t.schemaDdl).mkString("\t") + "\n")
+      }
+    } finally out.close()
+    f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  private def readManifest(s: SparkSession,
+      p: Path): Option[(String, Seq[TableMeta])] = {
+    val f = fs(s, p.toString)
+    if (!f.exists(p)) return None
+    val in = new BufferedReader(
+      new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+    try {
+      val fp = in.readLine()
+      if (fp == null) return None
+      val tables = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).map { line =>
+          val a = line.split("\t", 5)
+          TableMeta(a(0), a(1),
+            if (a(3).isEmpty) Nil else a(3).split(",").toSeq,
+            a(2).toInt, a(4))
+        }.toVector
+      Some((fp, tables))
+    } finally in.close()
+  }
+
+  /** Re-register one at-rest table in the current catalog — pure DDL
+    * over the existing files, no data IO. Bucketed layouts restore
+    * CLUSTERED/SORTED BY (bucket ids ride in the part-file names
+    * Spark wrote, so bucketed scans work immediately); partitioned
+    * layouts re-discover their hive directories via RECOVER
+    * PARTITIONS. */
+  private def register(s: SparkSession, st: Storage, t: TableMeta): Unit = {
+    val loc = st.path(t.name)
+    val clause = t.layout match {
+      case "bucketed" =>
+        val bc = t.layoutCols.map(c => s"`$c`").mkString(", ")
+        s"CLUSTERED BY ($bc) SORTED BY ($bc) INTO ${t.numBuckets} BUCKETS"
+      case "partitioned" =>
+        s"PARTITIONED BY (${t.layoutCols.map(c => s"`$c`").mkString(", ")})"
+      case _ => ""
+    }
+    s.sql(s"CREATE TABLE `${t.name}` (${t.schemaDdl}) USING parquet " +
+      s"$clause LOCATION '$loc'")
+    if (t.layout == "partitioned")
+      s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
+  }
+
+  /** (root, store, dataDir) combinations already fingerprint-checked
+    * in this JVM — later opens only verify catalog presence. */
+  private val verified = scala.collection.mutable.Set.empty[(String, String, String)]
+
+  /** For specs simulating a cold JVM: forget fingerprint checks. */
+  private[graft] def resetVerifiedForTest(): Unit =
+    synchronized { verified.clear() }
+
+  /** Ensure `store`'s tables (the declared `tableNames`) exist in this
+    * session's catalog, backed by at-rest files under [[root]]:
+    * register them if the files and a fingerprint-current manifest
+    * exist, otherwise run `build` (which must create/populate every
+    * declared table through the given [[Storage]] — e.g.
+    * appendBucketed/appendTable — and return the metadata needed to
+    * re-register each one later). Before a build, stale same-name
+    * catalog entries (a store built under a different root earlier in
+    * this JVM) and leftover location files from a crashed build are
+    * dropped, so the build always starts clean and append-mode writes
+    * can never double rows. */
+  def openOrBuild(s: SparkSession, dataDir: String, store: String,
+      tableNames: Seq[String])(build: Storage => Seq[TableMeta]): Unit =
+    synchronized {
+      val r = root(s)
+      val st = new Storage(s, r)
+      val mp = manifestPath(s, store, dataDir)
+      val key = (r, store, dataDir)
+      val manifest = if (verified(key)) readManifest(s, mp) else {
+        val m = readManifest(s, mp)
+        val current = m.filter { case (fp, tables) =>
+          fp == fingerprint(s, dataDir) && tables.forall(t => st.exists(t.name))
+        }
+        if (m.isDefined && current.isEmpty) dropFiles(s, st, mp, m.get._2)
+        verified += key
+        current
+      }
+      manifest match {
+        case Some((_, tables)) =>
+          tables.filterNot(t => s.catalog.tableExists(t.name))
+            .foreach(t => register(s, st, t))
+        case None =>
+          tableNames.foreach { n =>
+            if (s.catalog.tableExists(n)) s.sql(s"DROP TABLE `$n`")
+            fs(s, st.path(n)).delete(new Path(st.path(n)), true)
+          }
+          val tables = build(st)
+          writeManifest(s, mp, fingerprint(s, dataDir), tables)
+      }
+    }
+
+  /** Explicit overwrite-on-refresh: drop the store (catalog entries,
+    * files, manifest) and rebuild it now. */
+  def refresh(s: SparkSession, dataDir: String, store: String,
+      tableNames: Seq[String])(build: Storage => Seq[TableMeta]): Unit =
+    synchronized {
+      drop(s, dataDir, store)
+      openOrBuild(s, dataDir, store, tableNames)(build)
+    }
+
+  /** Remove a store's catalog entries, at-rest files, and manifest. */
+  def drop(s: SparkSession, dataDir: String, store: String): Unit =
+    synchronized {
+      val st = new Storage(s, root(s))
+      val mp = manifestPath(s, store, dataDir)
+      readManifest(s, mp).foreach { case (_, t) => dropFiles(s, st, mp, t) }
+      verified -= ((root(s), store, dataDir))
+    }
+
+  private def dropFiles(s: SparkSession, st: Storage, mp: Path,
+      tables: Seq[TableMeta]): Unit = {
+    tables.foreach { t =>
+      if (s.catalog.tableExists(t.name)) s.sql(s"DROP TABLE `${t.name}`")
+      val f = fs(s, st.path(t.name))
+      f.delete(new Path(st.path(t.name)), true)
+    }
+    fs(s, mp.toString).delete(mp, false)
+  }
+}

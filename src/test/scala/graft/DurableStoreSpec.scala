@@ -1,0 +1,174 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.storage.{DurableStores, Storage}
+
+/** The cross-session half of the write-once/probe-forever contract
+  * (VERDICT r10 "next" #1): every index-family store must outlive the
+  * SparkSession that built it. These specs build a store, simulate a
+  * cold session (catalog dropped + the in-JVM fingerprint cache
+  * cleared — exactly what a new JVM starts with), and prove the
+  * second "session" answers from the at-rest files with NO rebuild
+  * (every store file's mtime unchanged) — plus the refresh half: when
+  * the SOURCE data changes under the store, the fingerprint forces a
+  * rebuild instead of silently serving stale answers.
+  */
+class DurableStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Scratch store root + a private copy of sf0.001 (own table names,
+    * so runs never collide with the default-root stores other suites
+    * build); both deleted afterwards. */
+  private def withScratch(stores: Seq[String])(
+      body: (String, String) => Unit): Unit = {
+    val s = spark
+    val root = Files.createTempDirectory("graft_store_root").toString
+    val data = Files.createTempDirectory("graft_store_data").toString
+    Files.list(Paths.get("/root/testdata/sf0.001")).forEach { p =>
+      Files.copy(p, Paths.get(data, p.getFileName.toString))
+    }
+    s.conf.set("spark.graft.store.root", root)
+    try body(root, data)
+    finally {
+      stores.foreach(st => DurableStores.drop(s, data, st))
+      s.conf.unset("spark.graft.store.root")
+      DurableStores.resetVerifiedForTest()
+      Seq(root, data).foreach { d =>
+        Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** (path -> mtime) for every data file under the store root. */
+  private def storeMtimes(root: String): Map[String, Long] = {
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    Files.walk(Paths.get(root)).forEach { p =>
+      if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        out(p.toString) = Files.getLastModifiedTime(p).toMillis
+    }
+    out.toMap
+  }
+
+  private def coldCatalog(tables: String*): Unit = {
+    tables.foreach(t => spark.sql(s"DROP TABLE `$t`"))
+    DurableStores.resetVerifiedForTest()
+  }
+
+  test("sparse store: a cold catalog re-registers the at-rest tables without rebuilding") {
+    withScratch(Seq("sparse")) { (root, data) =>
+      val s = spark
+      val statsT = Storage.tableNameFor("graft_sparse_stats", data)
+      val compT = Storage.tableNameFor("graft_sparse_components", data)
+      val first = graft.queries.CorpusOps
+        .queries("q115_sparse_topk_stored")(s, data)
+        .collect().map(_.toString).sorted.toSeq
+      graft.engine.CacheRegistry.releaseAll()
+      val builtAt = storeMtimes(root)
+      coldCatalog(statsT, compT)
+      val q = graft.queries.CorpusOps.queries("q115_sparse_topk_stored")(s, data)
+      val second = q.collect().map(_.toString).sorted.toSeq
+      val plan = q.queryExecution.executedPlan.toString
+      graft.engine.CacheRegistry.releaseAll()
+      assert(second === first)
+      assert(plan.contains(statsT) && plan.contains(compT),
+        s"cold session not answering from the registered store:\n$plan")
+      assert(storeMtimes(root) === builtAt,
+        "re-open rewrote store files — the contract is register, not rebuild")
+    }
+  }
+
+  test("bucketed nested store: bucket metadata survives re-registration (merge stays shuffle-free)") {
+    withScratch(Seq("nested_bucketed")) { (root, data) =>
+      val s = spark
+      val tbl = graft.queries.MergeScaleQ.bucketedTableName(data)
+      val first = graft.queries.MergeScaleQ
+        .queries("q83_merge_scale_bucketed")(s, data)
+        .collect().map(_.toString).sorted.toSeq
+      val builtAt = storeMtimes(root)
+      coldCatalog(tbl)
+      val merged = graft.engine.Merge.mergeSubmissions(
+        graft.queries.MergeScaleQ.bucketedNested(s, data))
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"re-registered bucketed store lost its layout (merge shuffles):\n$plan")
+      val second = graft.queries.MergeScaleQ
+        .queries("q83_merge_scale_bucketed")(s, data)
+        .collect().map(_.toString).sorted.toSeq
+      assert(second === first)
+      assert(storeMtimes(root) === builtAt, "re-open rebuilt the bucketed store")
+    }
+  }
+
+  test("partitioned cosine store: partitions are recovered in the new catalog and still prune") {
+    withScratch(Seq("cosine_index")) { (root, data) =>
+      val s = spark
+      val centT = Storage.tableNameFor("graft_cosidx_cents", data)
+      val memT = Storage.tableNameFor("graft_cosidx_members", data)
+      val first = graft.queries.LlmOps
+        .queries("q92_embedding_incremental_stored")(s, data)
+        .collect().map(_.toString).sorted.toSeq
+      graft.engine.CacheRegistry.releaseAll()
+      val builtAt = storeMtimes(root)
+      coldCatalog(centT, memT)
+      val second = graft.queries.LlmOps
+        .queries("q92_embedding_incremental_stored")(s, data)
+        .collect().map(_.toString).sorted.toSeq
+      graft.engine.CacheRegistry.releaseAll()
+      assert(second === first)
+      assert(storeMtimes(root) === builtAt, "re-open rebuilt the cosine index")
+      // pruning still works through the re-registered table
+      val (_, members) = graft.queries.LlmOps.cosineStore(s, data)
+      val oneCell = members.select("cell").limit(1).collect()(0).get(0)
+      val pruned = members.filter(col("cell") === lit(oneCell))
+      pruned.collect()
+      val prunedPlan = pruned.queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("cell"),
+        s"cell filter no longer a partition filter after re-registration:\n$prunedPlan")
+    }
+  }
+
+  test("regenerated source data invalidates the store: fingerprint mismatch forces a rebuild") {
+    withScratch(Seq("nested_bucketed")) { (root, data) =>
+      val s = spark
+      graft.queries.MergeScaleQ.bucketedNested(s, data).count()
+      val builtAt = storeMtimes(root)
+      // the driver regenerating testdata in place is exactly this:
+      // same path, new file mtime (round 9's events.ts re-encoding)
+      val orders = Paths.get(data, "orders.parquet")
+      Files.setLastModifiedTime(orders,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(orders).toMillis + 5000))
+      coldCatalog(graft.queries.MergeScaleQ.bucketedTableName(data))
+      val n = graft.queries.MergeScaleQ.bucketedNested(s, data).count()
+      assert(n > 0)
+      assert(storeMtimes(root) !== builtAt,
+        "store served stale files for regenerated source data")
+    }
+  }
+
+  test("fingerprint tracks file length and mtime") {
+    withScratch(Seq.empty) { (_, data) =>
+      val s = spark
+      val fp0 = DurableStores.fingerprint(s, data)
+      assert(fp0 === DurableStores.fingerprint(s, data))
+      val f = Paths.get(data, "region.parquet")
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(f).toMillis + 5000))
+      assert(DurableStores.fingerprint(s, data) !== fp0)
+    }
+  }
+}

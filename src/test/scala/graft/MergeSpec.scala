@@ -190,6 +190,30 @@ class MergeSpec extends AnyFunSuite {
     assert(nFiles === nFilesDirect)
   }
 
+  test("q117: incremental merge over PERSISTED base+history is batch-proportional (no full-corpus shuffle)") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    val q117 = graft.queries.MergeScaleQ
+      .queries("q117_incremental_merge_stored")(s, sf)
+    val plan = q117.queryExecution.executedPlan.toString
+    // the stored base and the bucketed history are both laid out on
+    // the entity key, so NOTHING in the maintenance query shuffles on
+    // it: touched-entity distinct, left_semi re-merge, left_anti
+    // carve-out, and the merge aggregation all run bucket-local (a
+    // BroadcastExchange of the batch-sized touched set is fine — that
+    // IS the batch-proportional design)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"persisted-base incremental merge shuffled on the entity key:\n$plan")
+    assert(plan.toLowerCase.contains("leftsemi"),
+      s"re-merge is not entity-pruned via left_semi:\n$plan")
+    // maintenance never changes the answer: identical to the full
+    // merge-on-read (q55's shape — the shared DuckDB oracle)
+    val viaStore = q117.orderBy("site_submission_id").toJSON.collect().toSeq
+    val full = graft.queries.MergeScaleQ.queries("q55_merge_scale")(s, sf)
+      .orderBy("site_submission_id").toJSON.collect().toSeq
+    assert(viaStore === full)
+  }
+
   test("bucketedTableName: distinct dirs get distinct tables, even on hashCode collision") {
     import graft.queries.MergeScaleQ.bucketedTableName
     // "Aa" and "BB" have identical Java hashCodes — the old hashCode
