@@ -72,6 +72,17 @@ object ScaleEvidence {
           .as("embedding"))
   }
 
+  /** Per-point scratch dirs hold multi-GB parquet trees at the 1M-doc
+    * sizes — delete each as soon as its point is measured (ADVICE r10:
+    * leaving them to /tmp accumulates gigabytes per run). */
+  private def deleteRecursively(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
   /** Min of `passes` noop-forced runs: first-run JIT/codegen cost for
     * this pipeline shape is 5–20 s (measured), which would otherwise be
     * billed to whichever size runs first — and this shared machine's
@@ -175,6 +186,7 @@ object ScaleEvidence {
         inline.exceptAll(stored).count()
       graft.engine.CacheRegistry.releaseAll()
       batch.unpersist(true)
+      deleteRecursively(root)
       System.err.println(f"[scale-inc] text corpus=$n%7d×$textTokens " +
         f"batch=$batchN store=$storeSec%6.2fs inline=$inlineSec%6.2fs " +
         f"pairs=$pairs diff=$diff")
@@ -213,6 +225,7 @@ object ScaleEvidence {
         inline.exceptAll(stored).count()
       graft.engine.CacheRegistry.releaseAll()
       batch.unpersist(true)
+      deleteRecursively(root)
       System.err.println(f"[scale-inc] emb  corpus=$n%7d batch=$batchN " +
         f"store=$storeSec%6.2fs inline=$inlineSec%6.2fs pairs=$pairs diff=$diff")
       s"""{"corpus_n":$n,"batch_n":$batchN,"store_sec":$storeSec,""" +
@@ -392,13 +405,32 @@ object ScaleEvidence {
       // identical clusterings (labels are checkpoint-backed, so this
       // reuses the already-converged runs)
       val diff = a2._1.exceptAll(h2._1).count() + h2._1.exceptAll(a2._1).count()
+      // the driver union-find short-circuit (edge count under the
+      // threshold — all these sweep sizes qualify): the committed
+      // before/after for the round-10 "saves ~3s of round overhead"
+      // claim, plus a third independent label-equality check
+      def runUF(): (DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val (df, _, _) = Dedup.connectedComponentsWithStats(
+          pairs, "a", "b", maxIter = 2000, oneHopRounds = 4,
+          localEdgeThreshold = Long.MaxValue)
+        df.count()
+        (df, (System.nanoTime() - t0) / 1e9)
+      }
+      runUF()
+      val u1 = runUF(); val u2 = runUF()
+      val ufSec = math.min(u1._2, u2._2)
+      val ufDiff = u2._1.exceptAll(h2._1).count() +
+        h2._1.exceptAll(u2._1).count()
       pairs.unpersist(true)
       System.err.println(f"[scale-cc] n=$n%7d edges=$m%8d " +
         f"onehop rounds=${a1._2}%4d $oneHopSec%7.2fs  " +
-        f"hybrid star-rounds=${h1._3}%2d $hybridSec%6.2fs diff=$diff")
+        f"hybrid star-rounds=${h1._3}%2d $hybridSec%6.2fs " +
+        f"unionfind=$ufSec%6.2fs diff=$diff ufdiff=$ufDiff")
       s"""{"n":$n,"edges":$m,"onehop_rounds":${a1._2},""" +
         s""""onehop_sec":$oneHopSec,"hybrid_star_rounds":${h1._3},""" +
-        s""""hybrid_sec":$hybridSec,"label_diff":$diff}"""
+        s""""hybrid_sec":$hybridSec,"unionfind_sec":$ufSec,""" +
+        s""""label_diff":$diff,"unionfind_label_diff":$ufDiff}"""
     }
   }
 
@@ -486,7 +518,7 @@ object ScaleEvidence {
       "16384,65536,262144").split(",").map(_.trim.toLong).toSeq
     val ccPoints = ccSweep(spark, ccNs)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat; label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]}}"""
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

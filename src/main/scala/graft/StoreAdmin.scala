@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.storage.DurableStores
+
+/** Operational entry point for the durable index-store lifecycle —
+  * the admin surface of [[graft.storage.DurableStores]], mirroring the
+  * reference's deferred-index maintenance step (the operator runs the
+  * index build as a job, not as a query-time side effect —
+  * faexport_db/schema/indexes.sql:1–24).
+  *
+  * Usage:
+  *   sbt "runMain graft.StoreAdmin build   <dataDir> [store ...]"
+  *   sbt "runMain graft.StoreAdmin refresh <dataDir> [store ...]"
+  *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
+  *   sbt "runMain graft.StoreAdmin list    <dataDir>"
+  *
+  * With no store names, all six families are addressed:
+  * nested_bucketed, merged_base, sketch, cosine_index,
+  * kcenter_landmarks, sparse. `build` is build-if-absent (a no-op when
+  * the at-rest store is fingerprint-current); `refresh` drops and
+  * rebuilds unconditionally — run it after intentionally regenerating
+  * source data in place with unchanged file sizes AND mtimes (the one
+  * shape the fingerprint cannot see); `drop` removes catalog entries,
+  * files, and manifest. Root selection: `spark.graft.store.root` conf,
+  * `GRAFT_STORE_ROOT` env, else `<warehouse>/graft_stores`.
+  */
+object StoreAdmin {
+
+  /** Store family → an action that ensures it exists (each accessor is
+    * build-if-absent via DurableStores.openOrBuild). */
+  private def builders(s: SparkSession, d: String): Map[String, () => Unit] =
+    Map(
+      "nested_bucketed" ->
+        (() => { graft.queries.MergeScaleQ.bucketedNested(s, d); () }),
+      "merged_base" ->
+        (() => { graft.queries.MergeScaleQ.mergedBaseStore(s, d,
+          graft.queries.MergeScaleQ.incrementalCutoff); () }),
+      "sketch" -> (() => { graft.queries.LlmOps.sketchStore(s, d); () }),
+      "cosine_index" -> (() => { graft.queries.LlmOps.cosineStore(s, d); () }),
+      "kcenter_landmarks" ->
+        (() => { graft.queries.CorpusOps.landmarkStore(s, d); () }),
+      "sparse" -> (() => { graft.queries.CorpusOps.sparseStatsStore(s, d); () }))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: StoreAdmin build|refresh|drop|list <dataDir> [store ...]")
+    val (cmd, dataDir) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val all = builders(spark, dataDir)
+    val targets = if (args.length > 2) args.drop(2).toSeq else all.keys.toSeq
+    targets.foreach { st =>
+      require(all.contains(st),
+        s"unknown store '$st' (know: ${all.keys.toSeq.sorted.mkString(", ")})")
+    }
+    cmd match {
+      case "build" =>
+        targets.foreach { st =>
+          graft.engine.CacheRegistry.withRetained(all(st)())
+          println(s"[store-admin] built-or-current: $st ($dataDir)")
+        }
+      case "refresh" =>
+        targets.foreach { st =>
+          DurableStores.drop(spark, dataDir, st)
+          graft.engine.CacheRegistry.withRetained(all(st)())
+          println(s"[store-admin] refreshed: $st ($dataDir)")
+        }
+      case "drop" =>
+        targets.foreach { st =>
+          DurableStores.drop(spark, dataDir, st)
+          println(s"[store-admin] dropped: $st ($dataDir)")
+        }
+      case "list" =>
+        println(s"[store-admin] root: ${DurableStores.root(spark)}")
+        println(s"[store-admin] fingerprint($dataDir): " +
+          DurableStores.fingerprint(spark, dataDir))
+        all.keys.toSeq.sorted.foreach(st => println(s"[store-admin] family: $st"))
+      case other =>
+        sys.error(s"unknown command '$other' (build|refresh|drop|list)")
+    }
+    spark.stop()
+  }
+}

@@ -176,6 +176,22 @@ object Merge {
       .unionByName(refreshed)
   }
 
+  /** [[incrementalMergeSubmissions]]'s user analog — same
+    * batch-proportional maintenance contract, keyed on
+    * (website_id, site_user_id); no children, so the touched-entity
+    * re-merge is a single semi-joined [[mergeUsers]]. */
+  def incrementalMergeUsers(
+      previousMerged: DataFrame,
+      allSnapshots: DataFrame,
+      newBatch: DataFrame): DataFrame = {
+    val touched = newBatch.select("website_id", "site_user_id").distinct()
+    val refreshed = mergeUsers(
+      allSnapshots.join(touched, Seq("website_id", "site_user_id"), "left_semi"))
+    previousMerged
+      .join(touched, Seq("website_id", "site_user_id"), "left_anti")
+      .unionByName(refreshed)
+  }
+
   /** User analog (user.py:19–48) — no children; display_name uses
     * sorted order (fixing the unsorted-scan bug, SURVEY Appendix A1).
     */

@@ -198,6 +198,41 @@ object Coreset {
           coalesce(col("batch_radius"), lit(0.0))).as("radius"))
   }
 
+  /** Landmark RE-SELECTION — the escalation beyond [[refreshRadii]],
+    * closing the drift lifecycle. Refresh keeps landmarks immutable
+    * and grows radii to absorb accepted batches, which is cheap and
+    * correct until the batches come from genuinely new territory:
+    * then a radius stretches to cluster-gap scale and the monitor
+    * goes BLIND — everything inside the ballooned ball reads as
+    * covered, including territory nothing in the corpus occupies
+    * (spec-pinned in CoresetChunkerSpec). Re-selection re-runs the
+    * deterministic k-center traversal over corpus ∪ accepted, so the
+    * new territory gets its own landmarks, radii shrink back to
+    * cluster scale, and novelty detection discriminates again.
+    *
+    * Operational contract (the monitor that should trigger this):
+    * after a refresh, compare each landmark's new radius to its
+    * build-time value — a radius that grew past ~2× build scale means
+    * the accepted batch was not an expansion of existing territory
+    * but a new region, and the index should be re-selected rather
+    * than re-stretched. Re-selection REPLACES the stored table:
+    * landmark identities and ranks are reassigned (rank 1 = the new
+    * seed), so stored per-batch assignments against the old index
+    * are historical records, not joinable against the new one.
+    *
+    * Cost shape: this is the expensive path by design — the k-center
+    * traversal is k−1 driver-coordinated TakeOrdered(1) scans over
+    * corpus ∪ accepted (at 100 TB: over a deterministic hash-sample,
+    * per [[kCenterAssign]]'s note), vs [[refreshRadii]]'s
+    * corpus-independent batch pass. That asymmetry is why the
+    * lifecycle is refresh-per-batch, reselect-on-alert. */
+  def reselectLandmarks(corpus: DataFrame, accepted: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    landmarksWithRadius(
+      corpus.select(col(idCol), col(vecCol))
+        .unionByName(accepted.select(col(idCol), col(vecCol))),
+      idCol, vecCol, k)
+
   /** (vec_id, m: struct(d, lm_id, lm_rank)) — nearest landmark per
     * row via the map-side min-struct pattern. */
   private def nearest(base: DataFrame,

@@ -457,7 +457,20 @@ object Dedup {
     // joins and no runtime broadcast/coalescing (measured 3× slower).
     // After this count the loops read only the cached edges.
     val edgeCount = edges.count()
-    if (edgeCount <= localEdgeThreshold) {
+    // the short-circuit only engages for integral id columns: the
+    // union-find works on longs, and only an integral input type
+    // survives the long roundtrip losslessly — any other id type
+    // (string, decimal, ...) takes the distributed loop, which is
+    // type-agnostic, instead of risking a silently-corrupting cast
+    val idType = edges.schema("src").dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (edgeCount <= localEdgeThreshold && integralIds) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -481,7 +494,11 @@ object Dedup {
         }
       val labels = parent.keysIterator.map(n => (n, find(n))).toVector
       edges.unpersist()
-      return (spark.createDataset(labels).toDF("node", "cluster"), 0, 0)
+      // cast back to the INPUT id type so the output schema does not
+      // depend on which path the runtime edge count selected
+      return (spark.createDataset(labels).toDF("node", "cluster")
+        .select(col("node").cast(idType).as("node"),
+          col("cluster").cast(idType).as("cluster")), 0, 0)
     }
     // the first propagation round is folded into initialization:
     // label = min(node, neighbors) — identical to one step from

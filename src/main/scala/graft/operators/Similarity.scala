@@ -395,18 +395,12 @@ object EmbeddingDedup {
     val members = assignedSlim.join(vecs, Seq("vid"))
       .select(col("vid").as("id_b"), col("vec").as("v_b"),
         col("nrm").as("n_b"), col("cell"), col("ang").as("ang_b"))
-    // Explicit pinned-width repartition on the join key: the pre-join
-    // inputs are n-scale (small), but the join output is
-    // candidate-scale — AQE sizes the post-shuffle partition count
-    // from the INPUT bytes, coalesces to one partition, and the whole
-    // explosion + per-candidate verification then runs in a single
-    // task (measured at sf0.1: one 1.2 s task carrying ~70% of q82's
-    // CPU). Pinning the probe-side exchange width forces the member
-    // side to co-partition at the same width, so the per-cell
-    // explosion spreads across the full task width at any scale —
-    // same fix as SparseVectors.sparseTopKAgainst's qid repartition.
-    val spread = spark.sessionState.conf.numShufflePartitions
-    probes.repartition(spread, col("cell")).join(members, Seq("cell"))
+    // Pinned-width spread on the cell key: the join output is
+    // candidate-scale though its inputs are n-scale, and the member
+    // side co-partitions at the pinned width (mechanism and
+    // measurements: [[graft.engine.Spread]]).
+    graft.engine.Spread.spreadForExplosion(probes, col("cell"))
+      .join(members, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("ang_a") - col("ang_b")) <= lit(thetaT + eps))
       .select(col("id_a"), col("v_a"), col("n_a"),

@@ -116,6 +116,11 @@ object SparseVectors {
     val win = Window.partitionBy(col("doc_id"))
       .orderBy(abs(col("wgt")).desc, col("bucket").asc)
     w0.join(nrm, Seq("doc_id"))
+      // a zero-norm document (every bucket cancelled — or EVERY term
+      // scoring IDF 0 under empty stats, where N=0 makes ln(1/(df+1))
+      // vanish) has no direction: emit NO components rather than
+      // NaN = 0/0 weights
+      .filter(col("nn") > 0)
       .select(col("doc_id"), col("bucket"),
         // + 0.0 normalizes IEEE -0.0 (a bucket whose contributions
         // cancel) so both engines emit the same zero
@@ -177,21 +182,24 @@ object SparseVectors {
     // ≤ 4096 buckets × bucketCap rows (≈ 262k at the default cap, a
     // few MB) — so they broadcast, and the candidate explosion (≤
     // bucketCap corpus rows per query component) runs map-side inside
-    // every query partition. The explicit qid repartition matters at
-    // BOTH ends: (a) without it AQE sees only the tiny pre-join map
-    // output (the ~16-component query rows), coalesces it to one
-    // partition, and the whole ~cap× blow-up lands in a single task
-    // (observed at sf0.1: one 6.6 s task carrying 85% of the query);
-    // (b) hash(qid) satisfies the clustering of the groupBy(qid, nid)
-    // dot-product aggregation AND the per-qid ranking window, so
-    // nothing after the explosion shuffles at all.
-    val spread = query.sparkSession.sessionState.conf.numShufflePartitions
-    val q = query.select(col("doc_id").as("qid"), col("bucket"),
-      col("wgt").as("wa"))
-      .repartition(spread, col("qid"))
+    // every query partition, spread to full task width on qid (the
+    // groupBy/window key, so nothing after the explosion shuffles —
+    // mechanism and measurements: [[graft.engine.Spread]]).
+    val q = graft.engine.Spread.spreadForExplosion(
+      query.select(col("doc_id").as("qid"), col("bucket"),
+        col("wgt").as("wa")),
+      col("qid"))
     val win = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid").asc)
-    q.join(broadcast(cappedPostings(corpus, bucketCap)), Seq("bucket"))
+    // the forced broadcast hint bypasses autoBroadcastJoinThreshold,
+    // so it is applied only while the construction bound (4096 buckets
+    // × bucketCap rows) is driver-sane; a caller-supplied giant cap
+    // falls back to the shuffled hash join — same answer, same bounded
+    // candidate volume, no driver OOM risk
+    val capped = cappedPostings(corpus, bucketCap)
+    val postings =
+      if (4096L * bucketCap <= (1L << 20)) broadcast(capped) else capped
+    q.join(postings, Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid")
       .agg(round(sum(col("wa") * col("wb")), 6).as("cos"))
@@ -212,8 +220,18 @@ object SparseVectors {
     * measured ~4× at round 9), because the divergent window cuts on
     * each side defeat Spark's exchange reuse. With the retain the
     * build materializes once and both sides scan the in-memory
-    * relation; the caller releases it per the registry's
-    * one-query-at-a-time contract. */
+    * relation.
+    *
+    * @note RELEASE OBLIGATION: the retained build is NOT scoped here —
+    *       unpersisting before the returned (lazy) frame materializes
+    *       would forfeit the reuse this method exists for. After
+    *       materializing the result, the caller must release it:
+    *       either wrap the query in
+    *       [[graft.engine.CacheRegistry.withRetained]] or call
+    *       [[graft.engine.CacheRegistry.releaseAll]] at the query
+    *       boundary (Bench's per-run clearCache subsumes this). A
+    *       caller that does neither leaks the cached build until LRU
+    *       eviction. */
   def sparseTopK(components: DataFrame, k: Int = 3,
       bucketCap: Int = 64): DataFrame = {
     val c = graft.engine.CacheRegistry.retain(components)

@@ -404,6 +404,27 @@ object CorpusOps {
       "vec_id", "embedding", refreshed)
   }
 
+  /** Drift detection after landmark RE-SELECTION ([[graft.operators
+    * .Coreset.reselectLandmarks]] under the hard gate): the accepted
+    * half of the ingest split joins the corpus and the k-center
+    * traversal RE-RUNS over the union — new landmark identities, new
+    * ranks, cluster-scale radii — and the held-out half probes the
+    * re-selected index. This is the escalation beyond q116's
+    * radius-stretch refresh (same split pair, so the two gates
+    * bracket the lifecycle: stretch vs re-select). The oracle replays
+    * the entire chain from scratch over the union corpus: traversal,
+    * radii, probe, novelty flags. */
+  private val q118DriftReselected: Q = (s, d) => {
+    import s.implicits._
+    val emb = t(s, d, "embeddings")
+    val reselected = graft.operators.Coreset.reselectLandmarks(
+      emb.filter($"vec_id" % 10 =!= 0),
+      emb.filter($"vec_id" % 20 === 0),
+      "vec_id", "embedding", k = 16)
+    graft.operators.Coreset.assignBatchToStored(
+      emb.filter($"vec_id" % 20 === 10), "vec_id", "embedding", reselected)
+  }
+
   /** Per-bucket occupancy cap shared by the q114/q115 Spark calls and
     * their oracle CTEs — ONE constant so the gate always replays the
     * exact cut the operator applies. */
@@ -500,7 +521,8 @@ object CorpusOps {
     "q113_hashed_tfidf" -> q113HashedTfidf,
     "q114_sparse_topk" -> q114SparseTopk,
     "q115_sparse_topk_stored" -> q115SparseTopkStored,
-    "q116_drift_refreshed" -> q116DriftRefreshed)
+    "q116_drift_refreshed" -> q116DriftRefreshed,
+    "q118_drift_reselected" -> q118DriftReselected)
 
   /** One unrolled BPE iteration: pair counts over the current
     * segmentation, argmax with the (count desc, left, right)
@@ -587,7 +609,7 @@ object CorpusOps {
       |  SELECT w0.doc_id, bucket, round(wraw / nn, 6) + 0.0 AS wgt,
       |    row_number() OVER (PARTITION BY w0.doc_id
       |      ORDER BY abs(round(wraw / nn, 6) + 0.0) DESC, bucket ASC) AS rk
-      |  FROM w0 JOIN nrm USING (doc_id)),
+      |  FROM w0 JOIN nrm USING (doc_id) WHERE nn > 0),
       |comp AS (SELECT doc_id, bucket, wgt, rk FROM wn WHERE rk <= 16)""".stripMargin
 
   /** One split's hashed-TF-IDF components under the CORPUS split's
@@ -616,7 +638,7 @@ object CorpusOps {
        |    SELECT w.doc_id, bucket, round(wraw / nn, 6) + 0.0 AS wgt,
        |      row_number() OVER (PARTITION BY w.doc_id
        |        ORDER BY abs(round(wraw / nn, 6) + 0.0) DESC, bucket ASC) AS rk
-       |    FROM ${p}w0 w JOIN ${p}nrm USING (doc_id))
+       |    FROM ${p}w0 w JOIN ${p}nrm USING (doc_id) WHERE nn > 0)
        |  WHERE rk <= 16)""".stripMargin
 
   /** The stored-landmark chain shared by q112/q116's oracles: corpus
@@ -625,9 +647,10 @@ object CorpusOps {
     * tie-break), landmark vectors, corpus assignment, and per-landmark
     * coverage radii — everything up to (and including) CTE `rad`;
     * callers append their own probe. */
-  private lazy val landmarkChainCte: String =
+  private def landmarkChainCte(
+      embWhere: String = "vec_id % 10 <> 0"): String =
     s"""emb AS (
-       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |  SELECT vec_id, embedding FROM embeddings WHERE $embWhere),
        |dmat AS (
        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
        |    1.0 - ${cosSql("a.embedding", "b.embedding")} AS dist
@@ -775,7 +798,7 @@ object CorpusOps {
     // traversal over the corpus split, per-landmark coverage radius
     // (max member distance), then the batch probe with novelty flags
     "q112_batch_drift" ->
-      s"""WITH $landmarkChainCte,
+      s"""WITH ${landmarkChainCte()},
          |batch AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
          |ba AS (
@@ -796,7 +819,7 @@ object CorpusOps {
     // the greatest/coalesce refresh — and the held-out half probes
     // the refreshed index
     "q116_drift_refreshed" ->
-      s"""WITH $landmarkChainCte,
+      s"""WITH ${landmarkChainCte()},
          |b1 AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
          |b2 AS (
@@ -827,6 +850,27 @@ object CorpusOps {
          |  round(b.d, 6) + 0.0 AS dist, round(r.radius, 6) + 0.0 AS radius,
          |  CAST(CASE WHEN b.d > r.radius THEN 1 ELSE 0 END AS BIGINT) AS novel
          |FROM bar b JOIN rad2 r USING (lm_id)""".stripMargin,
+    // the re-selection chain from scratch: k-center traversal over
+    // corpus ∪ accepted (the union IS the new corpus), union-wide
+    // coverage radii, then the held-out probe against the re-selected
+    // index — q112's probe tail over q118's union-built chain
+    "q118_drift_reselected" ->
+      s"""WITH ${landmarkChainCte("vec_id % 10 <> 0 OR vec_id % 20 = 0")},
+         |batch AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 10),
+         |ba AS (
+         |  SELECT b.vec_id, l.lm_id, l.lm_rank,
+         |    1.0 - ${cosSql("b.embedding", "l.lv")} AS d
+         |  FROM batch b CROSS JOIN lmv l),
+         |bar AS (
+         |  SELECT vec_id, lm_id, lm_rank, d FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d ASC, lm_id ASC) AS rk FROM ba)
+         |  WHERE rk = 1)
+         |SELECT b.vec_id, b.lm_id, CAST(b.lm_rank AS BIGINT) AS lm_rank,
+         |  round(b.d, 6) + 0.0 AS dist, round(r.radius, 6) + 0.0 AS radius,
+         |  CAST(CASE WHEN b.d > r.radius THEN 1 ELSE 0 END AS BIGINT) AS novel
+         |FROM bar b JOIN rad r USING (lm_id)""".stripMargin,
     // the full hashed-vector build, every component bit-checked
     "q113_hashed_tfidf" ->
       s"""WITH $hashedTfidfCte

@@ -181,6 +181,60 @@ class CoresetChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("re-selection restores a monitor that radius-stretch refresh left blind") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      // corpus: one tight cluster around +x
+      val corpus = Seq(
+        (0L, Array(1f, 0f)), (1L, Array(0.97f, 0.1f)),
+        (2L, Array(0.95f, -0.15f)), (3L, Array(0.96f, 0.2f)))
+        .toDF("vec_id", "v")
+      val lms = Coreset.landmarksWithRadius(corpus, "vec_id", "v", k = 2)
+      // an accepted batch from GENUINELY new territory: near -x,
+      // cosine distance ~2 from every landmark
+      val accepted = Seq((100L, Array(-1f, 0.05f)), (101L, Array(-0.98f, -0.1f)))
+        .toDF("vec_id", "v")
+      val refreshed = Coreset.refreshRadii(lms, accepted, "vec_id", "v")
+      // the stretch pathology: one radius ballooned to cluster-gap
+      // scale, so a probe from a THIRD region (+y — occupied by
+      // nothing in corpus ∪ accepted) reads as covered. The monitor
+      // is blind.
+      val probe = Seq((200L, Array(0f, 1f))).toDF("vec_id", "v")
+      val blind = Coreset.assignBatchToStored(probe, "vec_id", "v", refreshed)
+        .collect().head
+      assert(blind.getAs[Long]("novel") === 0L,
+        "precondition: the stretched radius should swallow +y")
+      // the alert the scaladoc contract names: refreshed radius >> 2×
+      // its build-time value
+      val before = lms.collect()
+        .map(r => r.getAs[Long]("lm_id") -> r.getAs[Double]("radius")).toMap
+      val after = refreshed.collect()
+        .map(r => r.getAs[Long]("lm_id") -> r.getAs[Double]("radius")).toMap
+      assert(after.exists { case (id, rad) =>
+        rad > 2 * math.max(before(id), 0.05) })
+      // re-selection over corpus ∪ accepted: -x gets its own landmark,
+      // radii shrink back to cluster scale, and the +y probe flags
+      // novel again — discrimination restored
+      val reselected = Coreset.reselectLandmarks(
+        corpus, accepted, "vec_id", "v", k = 3)
+      val rl = reselected.collect()
+      assert(rl.map(_.getAs[Long]("lm_rank")).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(rl.exists(_.getAs[Long]("lm_id") >= 100L),
+        "no landmark in the accepted territory after re-selection")
+      assert(rl.forall(_.getAs[Double]("radius") < 0.5))
+      val seen = Coreset.assignBatchToStored(probe, "vec_id", "v", reselected)
+        .collect().head
+      assert(seen.getAs[Long]("novel") === 1L,
+        "re-selection failed to restore novelty detection for +y")
+      // while accepted territory itself is covered by its new landmark
+      val back = Coreset.assignBatchToStored(
+        Seq((300L, Array(-0.99f, 0f))).toDF("vec_id", "v"),
+        "vec_id", "v", reselected).collect().head
+      assert(back.getAs[Long]("novel") === 0L)
+    }
+  }
+
   test("hashedTfidf vectors are unit-norm and twins are mutual top-1") {
     val s = spark
     import s.implicits._
@@ -204,6 +258,47 @@ class CoresetChunkerSpec extends AnyFunSuite {
         (r.getAs[Long]("nid"), r.getAs[Double]("cos"))).toMap
     assert(nn(1L)._1 === 2L && nn(1L)._2 > 0.999)
     assert(nn(2L)._1 === 1L)
+  }
+
+  test("hashedTfidfWithStats: EMPTY stats degrade to no components, never NaN weights") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val emptyStats = Seq.empty[(String, Long, Long)]
+      .toDF("term", "df", "n_docs")
+    // with N=0 every term scores IDF ln(1/(df+1)) = 0, so the whole
+    // vector is zero-norm — "no corpus knowledge" must mean NO
+    // component rows, not NaN = 0/0 rows
+    val out = graft.operators.SparseVectors
+      .hashedTfidfWithStats(docs, "doc_id", "text", emptyStats).collect()
+    assert(out.isEmpty)
+    // and non-empty stats still vectorize normally (two docs with
+    // disjoint terms, so IDF = ln(3/2) > 0 — a single-doc corpus is
+    // itself all-zero-IDF and correctly emits nothing)
+    val two = docs.union(Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text"))
+    val stats = graft.operators.SparseVectors.corpusStats(two, "doc_id", "text")
+    val ok = graft.operators.SparseVectors
+      .hashedTfidfWithStats(two, "doc_id", "text", stats).collect()
+    assert(ok.nonEmpty && ok.forall(r => !r.getAs[Double]("wgt").isNaN))
+  }
+
+  test("sparseTopK: an over-sized bucketCap drops the broadcast hint but keeps the answer") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    def topk(cap: Int) = graft.engine.CacheRegistry.withRetained {
+      graft.operators.SparseVectors.sparseTopK(
+        graft.operators.SparseVectors.hashedTfidf(docs, "doc_id", "text"),
+        k = 1, bucketCap = cap)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    // 1 << 20 / 4096 = 256 is the largest broadcast-hinted cap; far
+    // past it the postings join must fall back to a shuffled join
+    // (no driver OOM risk) with an identical answer
+    assert(topk(1 << 20) === topk(64))
   }
 
   test("prototypePrune prunes the most-central quarter of each cell") {

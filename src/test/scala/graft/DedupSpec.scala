@@ -411,6 +411,54 @@ class DedupSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("CC: driver union-find and distributed loop label the same graph identically") {
+    val s = spark
+    import s.implicits._
+    // one graph stressing both regimes: a 41-node path (diameter far
+    // past the one-hop rounds, so the distributed run exercises star
+    // contraction), isolated twin pairs, a star, and a random blob
+    val rnd = new scala.util.Random(7)
+    val path = (0 until 40).map(i => (1000L + i, 1001L + i))
+    val twins = (0 until 10).map(i => (2000L + 2 * i, 2001L + 2 * i))
+    val star = (1 to 15).map(i => (3000L, 3000L + i))
+    val blob = Seq.fill(60)((4000L + rnd.nextInt(50), 4000L + rnd.nextInt(50)))
+      .filter(p => p._1 != p._2)
+    val edges = (path ++ twins ++ star ++ blob).toDF("a", "b")
+    val viaUnionFind = Dedup.connectedComponentsWithStats(
+      edges, "a", "b", localEdgeThreshold = Long.MaxValue)
+    val viaLoop = Dedup.connectedComponentsWithStats(
+      edges, "a", "b", localEdgeThreshold = 0L)
+    assert(viaUnionFind._2 === 0, "threshold=MaxValue must take the local path")
+    assert(viaLoop._2 > 0, "threshold=0 must take the distributed loop")
+    assert(viaUnionFind._1.schema === viaLoop._1.schema,
+      "output schema must not depend on the runtime path")
+    val l = viaUnionFind._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = viaLoop._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l === d)
+    // and both agree the path collapsed to its min id
+    assert(l.filter(_._1 >= 1000L).filter(_._1 <= 1040L).forall(_._2 == 1000L))
+  }
+
+  test("CC: local path preserves integral id types; non-integral ids always take the loop") {
+    val s = spark
+    import s.implicits._
+    val intEdges = Seq((5, 6), (6, 7), (10, 11)).toDF("a", "b")
+    val viaLocal = Dedup.connectedComponentsWithStats(
+      intEdges, "a", "b", localEdgeThreshold = Long.MaxValue)._1
+    assert(viaLocal.schema("node").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(viaLocal.collect().map(r => (r.getInt(0), r.getInt(1))).toSet ===
+      Set((5, 5), (6, 5), (7, 5), (10, 10), (11, 10)))
+    // string ids cannot roundtrip through the long union-find — the
+    // short-circuit must defer to the type-agnostic distributed loop
+    val strEdges = Seq(("x", "y"), ("y", "z")).toDF("a", "b")
+    val stats = Dedup.connectedComponentsWithStats(
+      strEdges, "a", "b", localEdgeThreshold = Long.MaxValue)
+    assert(stats._2 > 0, "non-integral ids must take the distributed loop")
+    assert(stats._1.collect().map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("x", "x"), ("y", "x"), ("z", "x")))
+  }
+
   test("one CosineIndex serves multiple thresholds exactly") {
     val s = spark
     import s.implicits._

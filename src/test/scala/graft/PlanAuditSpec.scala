@@ -143,6 +143,48 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(plan.contains("[bucket"), s"no equi-join on bucket:\n$plan")
   }
 
+  test("spreadForExplosion pins the probe-side exchange to full task width (AQE must not coalesce it)") {
+    val s = spark
+    // representative site: q114's qid spread (Spread.spreadForExplosion)
+    // — the pre-join probe is tiny, so without the pin AQE coalesces
+    // the exchange to 1 partition and the candidate explosion runs in
+    // a single task. The executed plan must keep ALL configured
+    // shuffle partitions on the qid exchange.
+    val q = graft.queries.CorpusOps.queries("q114_sparse_topk")(
+      s, "/root/testdata/sf0.001")
+    q.collect()
+    graft.engine.CacheRegistry.releaseAll()
+    // the spread's guarantee is the PROPERTY, not the node: either an
+    // explicit qid exchange at full width, or (as here — the cached
+    // components build already hash-partitions on doc_id at full
+    // width, so the redundant shuffle is elided) an inherited full-
+    // width qid partitioning on every explosion-side operator. The
+    // failure mode this pins against is AQE coalescing that
+    // partitioning to 1.
+    val width = s.sessionState.conf.numShufflePartitions
+    val widths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+            if h.expressions.exists(_.toString.contains("qid")) =>
+          widths += h.numPartitions
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(qs.plan)
+        case _ =>
+      }
+    }
+    walk(q.queryExecution.executedPlan)
+    assert(widths.nonEmpty, "no qid-partitioned operator found in the plan")
+    assert(widths.forall(_ == width),
+      s"qid partitioning widths $widths != configured $width (one-task explosion trap)")
+  }
+
   test("q98 sequence packing: the single-partition exchange carries only bucket totals") {
     val q = graft.queries.CorpusOps.queries("q98_sequence_pack")(
       spark, "/root/testdata/sf0.001")

@@ -316,6 +316,55 @@ class StreamingSpec extends AnyFunSuite {
       s"filler must stay clean, got $unionHits")
   }
 
+  test("streaming merged-users maintenance: each micro-batch leaves the materialized table hash-equal to the full merge") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    import graft.engine.Merge
+    import graft.engine.Model.UserSnapshotRow
+    def ts(x: String) = Timestamp.valueOf(x)
+    def snap(id: Long, user: String, scan: String, deleted: Boolean,
+        name: Option[String], extra: Option[String]) =
+      UserSnapshotRow(id, "fa", user, ts(scan), 1L, ts(scan), deleted, name, extra)
+    val b1 = Seq(
+      snap(1L, "u1", "2022-01-01 10:00:00", deleted = false, Some("One"), Some("""{"a":1}""")),
+      snap(2L, "u2", "2022-01-02 10:00:00", deleted = false, None, None))
+    // batch 2 touches u1 (new snapshot) and introduces u3; u2 untouched
+    val b2 = Seq(
+      snap(3L, "u1", "2022-02-01 10:00:00", deleted = true, None, Some("""{"b":2}""")),
+      snap(4L, "u3", "2022-01-05 10:00:00", deleted = false, Some("Three"), None))
+    val dir = Files.createTempDirectory("graft_merge_maint").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def writeBatch(rows: Seq[UserSnapshotRow]): Unit =
+      rows.toDS().toDF().write.mode("append").parquet(s"$dir/in")
+    writeBatch(b1)
+    val storage = new graft.storage.Storage(s, s"$dir/store")
+    val schema = s.read.parquet(s"$dir/in").schema
+    val q = graft.streaming.StreamingIngest.startUserMergeMaintenance(
+      s.readStream.schema(schema).parquet(s"$dir/in"), storage,
+      s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    def mergedNow() = storage.read("merged_users")
+      .orderBy("site_user_id").toJSON.collect().toSeq
+    def fullMerge(rows: Seq[UserSnapshotRow]) =
+      Merge.mergeUsers(rows.toDS().toDF())
+        .orderBy("site_user_id").toJSON.collect().toSeq
+    assert(mergedNow() === fullMerge(b1))
+    writeBatch(b2)
+    q.processAllAvailable(); q.stop()
+    // after the second micro-batch: u1 re-merged (latest snapshot wins,
+    // M4 coalesce keeps the older display_name), u3 appears, u2's row
+    // carried over untouched — and the whole table equals the full
+    // merge-on-read of all snapshots
+    assert(mergedNow() === fullMerge(b1 ++ b2))
+    val u1 = storage.read("merged_users")
+      .filter(col("site_user_id") === "u1").collect().head
+    assert(u1.getAs[Long]("snapshot_count") === 2L)
+    assert(u1.getAs[Boolean]("is_deleted") === true)
+    assert(u1.getAs[String]("display_name") === "One")
+  }
+
   test("incremental latest-entity state across micro-batches (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
