@@ -67,9 +67,16 @@ object Dedup {
   }
 
   /** Exact Jaccard over two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Shingle arrays are SETS by construction (ShinglesExpr dedupes),
+    * so |A∪B| = |A|+|B|−|A∩B| and one array_intersect replaces the
+    * intersect+union pair — the verification step over candidate
+    * pairs is the CPU hot spot of every sketch-dedup composite
+    * (q27/q62/q67), and this halves its set-op work (the repeated
+    * `inter` subtree is eliminated by codegen CSE). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / ((size(a) + size(b)).cast("double") - inter)
+  }
 
   /** Lossless prefilter for `jaccard(a, b) >= t`: since
     * |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), J <= min/max —

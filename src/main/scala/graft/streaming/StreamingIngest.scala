@@ -58,6 +58,39 @@ object StreamingIngest {
     * after each). At 100 TB both tables are the bucketed layouts
     * (q83/q117) and the overwrite becomes a partition-level replace of
     * touched buckets. */
+  /** [[startUserMergeMaintenance]] for the PRIMARY entity: each
+    * micro-batch carries pre-hydrated nested submission snapshots
+    * (the [[graft.engine.Merge.nestedSubmissionSnapshots]] shape —
+    * ingest converters produce it before the stream, exactly like the
+    * batch path), appends them to the at-rest nested store, and
+    * refreshes only the touched entities of the materialized
+    * `merged_submissions` table. Same idempotence argument: snapshot
+    * ids are deterministic, dedup-on-read absorbs checkpoint
+    * replays. */
+  def startSubmissionMergeMaintenance(
+      nestedSource: DataFrame,
+      storage: Storage,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    nestedSource.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          storage.append("nested_submission_snapshots", b)
+          val all = storage.read("nested_submission_snapshots")
+            .dropDuplicates("submission_snapshot_id")
+          val merged =
+            if (storage.exists("merged_submissions"))
+              graft.engine.Merge.incrementalMergeSubmissions(
+                storage.read("merged_submissions"), all, b)
+            else graft.engine.Merge.mergeSubmissions(all)
+          storage.overwrite("merged_submissions", merged)
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   def startUserMergeMaintenance(
       source: DataFrame,
       storage: Storage,

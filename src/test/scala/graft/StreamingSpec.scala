@@ -365,6 +365,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.getAs[String]("display_name") === "One")
   }
 
+  test("streaming merged-submissions maintenance over nested snapshots matches full merge-on-read") {
+    val s = spark
+    import s.implicits._
+    import graft.engine.{Fixtures, Merge}
+    val nested = Merge.nestedSubmissionSnapshots(
+      Fixtures.submissionSnapshots(s), Fixtures.keywords(s),
+      Fixtures.files(s), Fixtures.fileHashes(s), Fixtures.contributors(s))
+      .persist()
+    // batch split chosen so batch 2 REVISITS an entity batch 1 merged
+    val ids = nested.select("submission_snapshot_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length >= 3)
+    val cut = ids(ids.length / 2)
+    val b1 = nested.filter(col("submission_snapshot_id") <= cut)
+    val b2 = nested.filter(col("submission_snapshot_id") > cut)
+    val dir = Files.createTempDirectory("graft_sub_maint").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    b1.write.mode("append").parquet(s"$dir/in")
+    val storage = new graft.storage.Storage(s, s"$dir/store")
+    val schema = s.read.parquet(s"$dir/in").schema
+    val q = graft.streaming.StreamingIngest.startSubmissionMergeMaintenance(
+      s.readStream.schema(schema).parquet(s"$dir/in"), storage,
+      s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    def mergedNow() = storage.read("merged_submissions")
+      .orderBy("website_id", "site_submission_id")
+      .drop("files").toJSON.collect().toSeq
+    def full(df: org.apache.spark.sql.DataFrame) = Merge.mergeSubmissions(df)
+      .orderBy("website_id", "site_submission_id")
+      .drop("files").toJSON.collect().toSeq
+    assert(mergedNow() === full(b1))
+    b2.write.mode("append").parquet(s"$dir/in")
+    q.processAllAvailable(); q.stop()
+    assert(mergedNow() === full(nested))
+    // M7 file-fold survives the maintained table too (key-set check)
+    val nFiles = storage.read("merged_submissions")
+      .select(sum(size(col("files")))).collect().head.getLong(0)
+    val nFilesFull = Merge.mergeSubmissions(nested)
+      .select(sum(size(col("files")))).collect().head.getLong(0)
+    assert(nFiles === nFilesFull)
+    nested.unpersist()
+  }
+
   test("incremental latest-entity state across micro-batches (mapGroupsWithState)") {
     val s = spark
     import s.implicits._
