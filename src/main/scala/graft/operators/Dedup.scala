@@ -290,6 +290,54 @@ object Dedup {
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
   }
 
+  /** [[multiSketchPairs]] against the AT-REST corpus layout: WITHIN-
+    * corpus near-dup pairs computed entirely from the persisted sketch
+    * tables — `corpusShingles` (doc, sh), `corpusBands`
+    * ([[explodedBands]]), `corpusChunks` ([[explodedChunks]]) — so a
+    * periodic whole-corpus dedup, or the near-dup stage of a curation
+    * run (q119), never re-shingles or re-hashes a byte of corpus text.
+    * With the tables bucketed by their bucket keys (the layout
+    * [[corpusSketch]] prescribes and q91's store writes), both
+    * candidate self-joins are bucket-local — no Exchange on the
+    * n·bands candidate-generation side, which is the whole shuffle
+    * cost of the inline path. Verification reads the stored shingle
+    * arrays (doc-bucketed, so the two verification joins
+    * co-partition). Recall contract identical to [[multiSketchPairs]]:
+    * the union of both sketch families' candidates, each pair verified
+    * exactly once by exact Jaccard. Returns (doc_a, doc_b, jaccard
+    * >= threshold) with doc_a < doc_b. */
+  def multiSketchPairsFromStore(corpusShingles: DataFrame,
+      corpusBands: DataFrame, corpusChunks: DataFrame,
+      threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
+    val mhCands = corpusBands
+      .select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
+      .join(corpusBands.select(col("band_id"), col("band_hash"),
+          col("doc").as("doc_b")),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val shCands = corpusChunks
+      .select(col("chunk_idx"), col("chunk_value"),
+        col("doc").as("doc_a"), col("simhash").as("sim_a"))
+      .join(corpusChunks.select(col("chunk_idx"), col("chunk_value"),
+          col("doc").as("doc_b"), col("simhash").as("sim_b")),
+        Seq("chunk_idx", "chunk_value"))
+      .filter(col("doc_a") < col("doc_b"))
+      // pigeonhole: any pair within Hamming < chunks shares a chunk
+      .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
+      .select("doc_a", "doc_b")
+    mhCands.unionByName(shCands)
+      .distinct() // a pair may collide in several buckets/sketches
+      .join(corpusShingles.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(corpusShingles.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Multi-sketch near-dup pair generation: the UNION of the
     * minhash-banding and simhash-chunk candidate sets, verified once
     * by exact Jaccard. Single-sketch recall is probabilistic —

@@ -513,6 +513,49 @@ object EmbeddingDedup {
       .select(col("batch_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** WITHIN-corpus near-dup pairs from the persisted index alone: the
+    * member table plays both probe and target side, so a periodic
+    * whole-corpus semantic dedup (q120) reads ONLY the store — the
+    * original embedding table is never scanned (StoreSpec pins the
+    * plan). Each member re-angles against every centroid (numCells
+    * narrow dot products per member over the STORED vectors; the
+    * store keeps just the home-cell angle) — the only full pass, no
+    * shuffle. Probe rule and completeness are [[cosinePairsBucketed]]'s
+    * spherical triangle inequality: for a true pair with id_a < id_b,
+    * ang(a, c_b) <= ang(b, c_b) + theta_t <= radius(cell_b) + theta_t,
+    * so a always probes b's UNIQUE home cell — every true pair is
+    * emitted, exactly once (the orientation filter plus single home
+    * cell make a downstream distinct unnecessary). Candidates shuffle
+    * only on the cell key, spread at pinned width
+    * ([[graft.engine.Spread]]). Returns (id_a, id_b, cos). */
+  def cosinePairsWithinStore(cents: DataFrame, members: DataFrame,
+      threshold: Double): DataFrame = {
+    val thetaT = math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val eps = 1e-6
+    val radii = members.groupBy(col("cell"))
+      .agg(max(col("ang")).as("radius"))
+    val probes = members
+      .select(col("vid"), col("vec"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("vec"), col("nrm"),
+        col("centroid_id").as("cell"),
+        angle(col("vec"), col("centroid_vec")).as("ang_a"))
+      .join(broadcast(radii), Seq("cell"))
+      .filter(col("ang_a") <= col("radius") + lit(thetaT + eps))
+      .select(col("vid").as("id_a"), col("vec").as("v_a"),
+        col("nrm").as("n_a"), col("cell"), col("ang_a"))
+    val mem = members.select(col("vid").as("id_b"), col("vec").as("v_b"),
+      col("nrm").as("n_b"), col("cell"), col("ang").as("ang_b"))
+    graft.engine.Spread.spreadForExplosion(probes, col("cell"))
+      .join(mem, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(col("ang_a") - col("ang_b")) <= lit(thetaT + eps))
+      .withColumn("cos",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Convenience overload: build the index inline from `corpus`. */
   def cosinePairsIncremental(corpus: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, threshold: Double,

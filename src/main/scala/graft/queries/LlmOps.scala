@@ -238,9 +238,21 @@ object LlmOps {
     import s.implicits._
     import graft.operators.EmbeddingDedup
     val emb = t(s, d, "embeddings")
-    val pairs = EmbeddingDedup.cosinePairsBucketed(emb, "vec_id",
-      "embedding", threshold = 0.4, numCells = 16)
-    val labeled = emb.select($"vec_id")
+    semanticDedupDecision(s, emb.select($"vec_id"),
+      EmbeddingDedup.cosinePairsBucketed(emb, "vec_id", "embedding",
+        threshold = 0.4, numCells = 16))
+  }
+
+  /** Per-vector SemDeDup decision given the id universe and a verified
+    * near-dup pair frame (id_a, id_b, ...): semantic cluster label
+    * (component min, singletons label themselves), keep flag for the
+    * representative, cluster size. Shared by q102 (pairs bucketed
+    * inline) and q120 (pairs and ids from the persisted cosine
+    * index). */
+  private def semanticDedupDecision(s: SparkSession, ids: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val labeled = ids
       .join(Dedup.connectedComponents(pairs, "id_a", "id_b")
           .select($"node".as("vec_id"), $"cluster"),
         Seq("vec_id"), "left")
@@ -296,9 +308,23 @@ object LlmOps {
     * are chosen corpus-wide (min doc_id), independent of the other
     * gates, so the decision for every doc is well-defined. */
   private val q67Curation: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    curationDecisions(s, docs,
+      Dedup.multiSketchPairs(docs, "doc_id", "text", threshold = 0.8))
+  }
+
+  /** The four curation gates over `docs` given a verified near-dup
+    * pair frame (doc_a, doc_b, ...): language → quality → exact-dup
+    * representative → near-dup cluster representative, emitting each
+    * doc's first failing rule (or 'keep'). Shared by q67 (pairs
+    * sketched inline) and q119 (pairs from the persisted sketch
+    * store); the text-derived gates are one narrow projection plus a
+    * fingerprint window — at 100 TB the near-dup stage is the only
+    * part whose cost the two variants split on. */
+  private def curationDecisions(s: SparkSession, docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, d, "documents")
     val tk = split(trim($"text"), "\\s+")
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
     val base = docs.select($"doc_id",
@@ -307,9 +333,7 @@ object LlmOps {
       round(size(array_distinct(tk)).cast("double") / size(tk), 4).as("ttr4"),
       md5(regexp_replace(lower(trim($"text")), "\\s+", " ")).as("fp"))
       .withColumn("exact_rep", min($"doc_id").over(Window.partitionBy($"fp")))
-    val cc = Dedup.connectedComponents(
-      Dedup.multiSketchPairs(docs, "doc_id", "text", threshold = 0.8),
-      "doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select($"node".as("doc_id"), $"cluster")
     base.join(cc, Seq("doc_id"), "left")
       .select($"doc_id",
@@ -318,6 +342,43 @@ object LlmOps {
           .when($"doc_id" =!= $"exact_rep", "exact_dup")
           .when($"cluster".isNotNull && $"doc_id" =!= $"cluster", "near_dup")
           .otherwise("keep").as("decision"))
+  }
+
+  /** q67's curation pipeline in its PRODUCTION shape: the near-dup
+    * stage — the expensive one — reads the persisted sketch store
+    * ([[sketchStore]]) instead of re-shingling and re-hashing the
+    * corpus, via [[graft.operators.Dedup.multiSketchPairsFromStore]]'s
+    * bucket-local candidate self-joins. The corpus is the store's
+    * population (doc_id % 10 <> 0); the text-derived gates
+    * (lang/quality/exact fingerprint) still scan text once, which is
+    * inherent — they ARE text functions — and narrow. The DuckDB
+    * oracle replays the full four-gate decision over the same corpus
+    * subset, recursive-CTE cluster representatives included. */
+  private val q119CurationStored: Q = (s, d) => {
+    import s.implicits._
+    val (sh, bands, chunks) = sketchStore(s, d)
+    curationDecisions(s,
+      t(s, d, "documents").filter($"doc_id" % 10 =!= 0),
+      Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8))
+  }
+
+  /** q102's SemDeDup decision in its PRODUCTION shape: pairs come from
+    * the persisted cosine index alone
+    * ([[graft.operators.EmbeddingDedup.cosinePairsWithinStore]]) and
+    * even the vector-id universe is read from the store's member
+    * table, so the query touches NO original embedding data at all
+    * (StoreSpec pins the plan: no embeddings.parquet scan). Decision
+    * contract unchanged: per stored vector, (semantic cluster, keep
+    * flag, cluster size), oracle-replayed from brute all-pairs cosine
+    * plus recursive-CTE reachability over the same corpus subset
+    * (vec_id % 10 <> 0). */
+  private val q120SemanticDedupStored: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val (cents, members) = cosineStore(s, d)
+    semanticDedupDecision(s, members.select($"vid".as("vec_id")),
+      EmbeddingDedup.cosinePairsWithinStore(cents, members,
+        threshold = 0.4))
   }
 
   /** Incremental cross-batch MinHash dedup under the hard gate: docs
@@ -460,29 +521,33 @@ object LlmOps {
     "q82_embedding_neardup_bucketed" -> q82EmbeddingNeardupBucketed,
     "q51_ivf_ann" -> q51IvfAnn,
     "q101_ann_recall" -> q101AnnRecall,
-    "q102_semantic_dedup" -> q102SemanticDedup)
+    "q102_semantic_dedup" -> q102SemanticDedup,
+    "q119_curation_stored" -> q119CurationStored,
+    "q120_semantic_dedup_stored" -> q120SemanticDedupStored)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
     * sketch-candidate queries (q27 simhash, q28 minhash) must hit
     * exactly: a missed near-dup pair or a false positive hash-fails. */
-  private val allPairsJaccardSql: String =
-    """WITH tk AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN length(t) >= 3 THEN
-      |      list_distinct(list_transform(range(0, length(t) - 2),
-      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-      |    ELSE [array_to_string(t, ' ')] END AS s
-      |  FROM tk),
-      |pj AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
-      |      / length(list_distinct(list_concat(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT doc_a, doc_b, round(j, 6) AS jaccard
-      |FROM pj WHERE j >= 0.8""".stripMargin
+  private def allPairsJaccardSqlOn(docWhere: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents $docWhere),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) >= 3 THEN
+       |      list_distinct(list_transform(range(0, length(t) - 2),
+       |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+       |    ELSE [array_to_string(t, ' ')] END AS s
+       |  FROM tk),
+       |pj AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / length(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, round(j, 6) AS jaccard
+       |FROM pj WHERE j >= 0.8""".stripMargin
+
+  private val allPairsJaccardSql: String = allPairsJaccardSqlOn("")
 
   /** Inline DuckDB cosine between two DOUBLE-promoted float lists —
     * the same index-order fold as VectorOps.dotProduct. */
@@ -532,33 +597,11 @@ object LlmOps {
     "q91_incremental_dedup_stored" -> batchVsCorpusJaccardSql,
     "q90_embedding_incremental" -> batchVsCorpusCosineSql,
     "q92_embedding_incremental_stored" -> batchVsCorpusCosineSql,
-    "q67_curation" ->
-      s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pj
-         |  UNION ALL SELECT doc_b, doc_a FROM pj),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b),
-         |cc AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
-         |base AS (
-         |  SELECT doc_id,
-         |    length(list_filter(string_split_regex(trim(text), '\\s+'),
-         |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS hits,
-         |    length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-         |    round(CAST(length(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
-         |      / length(string_split_regex(trim(text), '\\s+')), 4) AS ttr4,
-         |    min(doc_id) OVER (PARTITION BY
-         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS exact_rep
-         |  FROM documents)
-         |SELECT base.doc_id,
-         |  CASE WHEN hits < 3 THEN 'lang'
-         |       WHEN n_tokens < 20 OR ttr4 < 0.3 THEN 'quality'
-         |       WHEN base.doc_id <> exact_rep THEN 'exact_dup'
-         |       WHEN cc.cluster IS NOT NULL AND base.doc_id <> cc.cluster THEN 'near_dup'
-         |       ELSE 'keep' END AS decision
-         |FROM base LEFT JOIN cc ON cc.doc_id = base.doc_id""".stripMargin,
+    "q67_curation" -> curationSql(""),
+    "q119_curation_stored" -> curationSql("WHERE doc_id % 10 <> 0"),
+    "q102_semantic_dedup" -> semanticDedupSql(""),
+    "q120_semantic_dedup_stored" ->
+      semanticDedupSql("WHERE vec_id % 10 <> 0"),
     "q63_ivf_train" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
          |ec AS (
@@ -772,28 +815,68 @@ object LlmOps {
          |FROM brute t CROSS JOIN m LEFT JOIN approx a
          |  ON a.method = m.method AND a.qid = t.qid AND a.nid = t.nid
          |GROUP BY m.method, t.qid""".stripMargin,
-    // the full semantic-dedup decision recomputed from first
-    // principles: brute all-pairs cosine >= 0.4, recursive-CTE
-    // reachability, min-id representative, cluster sizes
-    "q102_semantic_dedup" ->
-      s"""WITH RECURSIVE p AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
-         |edges AS (
-         |  SELECT id_a AS x, id_b AS y FROM p
-         |  UNION ALL SELECT id_b, id_a FROM p),
-         |reach(x, y) AS (
-         |  SELECT DISTINCT x, x FROM edges
-         |  UNION
-         |  SELECT e.x, r.y FROM edges e JOIN reach r ON r.x = e.y),
-         |lab AS (SELECT x AS vec_id, min(y) AS cl FROM reach GROUP BY x),
-         |lv AS (
-         |  SELECT e.vec_id, coalesce(l.cl, e.vec_id) AS sem_cluster
-         |  FROM embeddings e LEFT JOIN lab l USING (vec_id))
-         |SELECT vec_id, sem_cluster,
-         |  CAST(CASE WHEN vec_id = sem_cluster THEN 1 ELSE 0 END AS BIGINT)
-         |    AS is_kept,
-         |  count(*) OVER (PARTITION BY sem_cluster) AS cluster_size
-         |FROM lv""".stripMargin)
+    )
+
+  /** The four-gate curation decision recomputed from first principles
+    * (exact all-pairs Jaccard, recursive-CTE cluster representatives),
+    * parameterized by a doc-subset predicate: "" replays q67 over the
+    * whole table, the %10 filter replays q119 over the sketch store's
+    * corpus population. */
+  private def curationSql(docWhere: String): String =
+    s"""WITH RECURSIVE pj AS (${allPairsJaccardSqlOn(docWhere)}),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pj
+       |  UNION ALL SELECT doc_b, doc_a FROM pj),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b),
+       |cc AS (SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a),
+       |base AS (
+       |  SELECT doc_id,
+       |    length(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS hits,
+       |    length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    round(CAST(length(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |      / length(string_split_regex(trim(text), '\\s+')), 4) AS ttr4,
+       |    min(doc_id) OVER (PARTITION BY
+       |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS exact_rep
+       |  FROM documents $docWhere)
+       |SELECT base.doc_id,
+       |  CASE WHEN hits < 3 THEN 'lang'
+       |       WHEN n_tokens < 20 OR ttr4 < 0.3 THEN 'quality'
+       |       WHEN base.doc_id <> exact_rep THEN 'exact_dup'
+       |       WHEN cc.cluster IS NOT NULL AND base.doc_id <> cc.cluster THEN 'near_dup'
+       |       ELSE 'keep' END AS decision
+       |FROM base LEFT JOIN cc ON cc.doc_id = base.doc_id""".stripMargin
+
+  /** The full semantic-dedup decision recomputed from first
+    * principles — brute all-pairs cosine >= 0.4, recursive-CTE
+    * reachability, min-id representative, cluster sizes —
+    * parameterized by a vector-subset predicate: "" replays q102 over
+    * the whole table, the %10 filter replays q120 over the cosine
+    * store's corpus population. */
+  private def semanticDedupSql(vecWhere: String): String =
+    s"""WITH RECURSIVE emb AS (
+       |  SELECT vec_id, embedding FROM embeddings $vecWhere),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.4),
+       |edges AS (
+       |  SELECT id_a AS x, id_b AS y FROM p
+       |  UNION ALL SELECT id_b, id_a FROM p),
+       |reach(x, y) AS (
+       |  SELECT DISTINCT x, x FROM edges
+       |  UNION
+       |  SELECT e.x, r.y FROM edges e JOIN reach r ON r.x = e.y),
+       |lab AS (SELECT x AS vec_id, min(y) AS cl FROM reach GROUP BY x),
+       |lv AS (
+       |  SELECT e.vec_id, coalesce(l.cl, e.vec_id) AS sem_cluster
+       |  FROM emb e LEFT JOIN lab l USING (vec_id))
+       |SELECT vec_id, sem_cluster,
+       |  CAST(CASE WHEN vec_id = sem_cluster THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_kept,
+       |  count(*) OVER (PARTITION BY sem_cluster) AS cluster_size
+       |FROM lv""".stripMargin
 }

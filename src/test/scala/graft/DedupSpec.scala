@@ -510,6 +510,58 @@ class DedupSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("within-corpus multi-sketch pairs from the at-rest tables equal the inline path") {
+    val s = spark
+    import s.implicits._
+    // a corpus with an exact dup, a near dup, and unrelated docs —
+    // the store-path candidate self-joins must reproduce the inline
+    // operator's verified pair set exactly
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (2L, "completely different content about spark shuffles and parquet column pruning"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (4L, "yet another unrelated document mentioning broadcast joins and bucketing")
+    ).toDF("doc_id", "text")
+    val inline = Dedup.multiSketchPairs(corpus, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sk = Dedup.corpusSketch(corpus, "doc_id", "text")
+    val stored = Dedup.multiSketchPairsFromStore(
+      sk.select($"doc", $"sh"),
+      Dedup.explodedBands(sk, 32, 4), Dedup.explodedChunks(sk, 8),
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === inline)
+    assert(stored.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("within-corpus cosine pairs from the stored index equal the bucketed inline path") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    // same clustered shape the bucketed test uses — plus the uniform
+    // degenerate check below, since completeness must hold in both
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(6)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = for { c <- centers.indices; m <- 0 until 20 } yield {
+      val v = centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+      ((c * 20 + m).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = EmbeddingDedup.buildCosineIndex(emb, "vec_id", "embedding", 6)
+    val viaStore = EmbeddingDedup.cosinePairsWithinStore(
+      idx.cents, EmbeddingDedup.membersOf(idx), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = EmbeddingDedup.cosinePairsBucketed(
+      emb, "vec_id", "embedding", threshold = 0.9, numCells = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStore === inline)
+    assert(viaStore.nonEmpty)
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("CacheRegistry: retained frames are cached until releaseAll") {
     val s = spark
     import s.implicits._

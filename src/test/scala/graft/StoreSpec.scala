@@ -101,6 +101,58 @@ class StoreSpec extends AnyFunSuite {
       "single-cell probe read more than one hive partition")
   }
 
+  test("q119's near-dup stage reads the persisted sketch tables and no corpus text") {
+    val s = spark
+    // the connected-components step may run eagerly (driver union-find
+    // short-circuit at this edge count), so the store contract is
+    // pinned on the PAIRS plan — the stage the store exists to
+    // amortize; the full query's decision ledger is checked after
+    val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
+    val pairs = Dedup.multiSketchPairsFromStore(sh, bands, chunks,
+      threshold = 0.8)
+    val pairsPlan = executedPlan(pairs)
+    for (tbl <- Seq("graft_sketch_shingles", "graft_sketch_bands",
+        "graft_sketch_chunks"))
+      assert(pairsPlan.contains(tbl),
+        s"persisted table $tbl not in pairs plan:\n$pairsPlan")
+    assert(!pairsPlan.contains("documents.parquet"),
+      s"near-dup stage re-read corpus text:\n$pairsPlan")
+    val q119 = graft.queries.LlmOps.queries("q119_curation_stored")(s, sf)
+    val decisions = q119.collect().map(_.getString(1)).toSet
+    assert(decisions.contains("keep"))
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("q120 semantic dedup touches ONLY the cosine store — no embedding scan at all") {
+    val s = spark
+    import graft.operators.EmbeddingDedup
+    val (cents, members) = graft.queries.LlmOps.cosineStore(s, sf)
+    val pairs = EmbeddingDedup.cosinePairsWithinStore(cents, members,
+      threshold = 0.4)
+    val pairsPlan = executedPlan(pairs)
+    for (tbl <- Seq("graft_cosidx_cents", "graft_cosidx_members"))
+      assert(pairsPlan.contains(tbl),
+        s"persisted table $tbl not in pairs plan:\n$pairsPlan")
+    assert(!pairsPlan.contains("embeddings.parquet"),
+      s"original embeddings re-read in pairs plan:\n$pairsPlan")
+    // the full query (CC may collapse to an eager LocalTableScan of
+    // labels): its lazy plan must still draw the id universe from the
+    // member table, never the original embedding parquet
+    val q120 = graft.queries.LlmOps.queries("q120_semantic_dedup_stored")(s, sf)
+    val plan = executedPlan(q120)
+    assert(plan.contains("graft_cosidx_members"),
+      s"id universe not read from the member table:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"original embeddings re-read from parquet:\n$plan")
+    val rows = q120.collect()
+    assert(rows.nonEmpty)
+    // every stored vector gets a decision; representatives are kept
+    assert(rows.forall(r => r.getLong(3) >= 1L))
+    assert(rows.filter(r => r.getLong(0) == r.getLong(1))
+      .forall(r => r.getLong(2) == 1L))
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("q115 answers from the persisted sparse stats/components; an external batch needs no corpus text") {
     val s = spark
     import s.implicits._
