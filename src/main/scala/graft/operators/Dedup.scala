@@ -298,11 +298,16 @@ object Dedup {
     * run (q119), never re-shingles or re-hashes a byte of corpus text.
     * With the tables bucketed by their bucket keys (the layout
     * [[corpusSketch]] prescribes and q91's store writes), both
-    * candidate self-joins are bucket-local — no Exchange on the
+    * candidate self-joins can run bucket-local — no Exchange on the
     * n·bands candidate-generation side, which is the whole shuffle
-    * cost of the inline path. Verification reads the stored shingle
-    * arrays (doc-bucketed, so the two verification joins
-    * co-partition). Recall contract identical to [[multiSketchPairs]]:
+    * cost of the inline path (at gate scale the planner instead picks
+    * a broadcast build over one bucketed scan: also Exchange-free, and
+    * faster than the inline path even against its warm cache because
+    * the sketch compute is gone — the committed BENCH_FULL_latest.json
+    * carries the gate-level comparison, q119 vs q67).
+    * Verification reads the stored shingle arrays (doc-bucketed, so
+    * the verification joins co-partition at corpus scale).
+    * Recall contract identical to [[multiSketchPairs]]:
     * the union of both sketch families' candidates, each pair verified
     * exactly once by exact Jaccard. Returns (doc_a, doc_b, jaccard
     * >= threshold) with doc_a < doc_b. */

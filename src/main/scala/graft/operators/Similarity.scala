@@ -441,19 +441,33 @@ object EmbeddingDedup {
     val cents = graft.engine.CacheRegistry.retain(
       if (refineInput.isEmpty) seeds
       else IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
-    val assigned = graft.engine.CacheRegistry.retain(corpus
-      .select(col(idCol).as("vid"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(cents))
-      .select(col("vid"), col("centroid_id"),
-        angle(col("vec"), col("centroid_vec")).as("ang"))
-      .groupBy(col("vid"))
-      .agg(min(struct(col("ang"), col("centroid_id"))).as("m"))
-      .select(col("vid"), col("m.centroid_id").as("cell"),
-        col("m.ang").as("ang")))
+    val assigned = graft.engine.CacheRegistry.retain(
+      assignToCells(cents, corpus, idCol, vecCol)
+        .select(col("vid"), col("cell"), col("ang")))
     val vecs = graft.engine.CacheRegistry.retain(
       withNorms(corpus, idCol, vecCol))
     CosineIndex(cents, assigned, vecs)
   }
+
+  /** Member-shaped rows (vid, vec, nrm, cell, ang) for `df` under an
+    * existing centroid table: one broadcast pass, numCells narrow dot
+    * products per vector, argmin on (angle, centroid_id). This is the
+    * index build's assignment step factored out so the ACCEPT path
+    * ([[graft.queries.LlmOps]] q122) can turn an ingest batch into
+    * rows appendable to the stored member table without rebuilding
+    * anything. */
+  def assignToCells(cents: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("vid"), col("vec"), col("centroid_id"),
+        angle(col("vec"), col("centroid_vec")).as("ang"))
+      .groupBy(col("vid"))
+      .agg(min(struct(col("ang"), col("centroid_id"))).as("m"),
+        first(col("vec")).as("vec"))
+      .select(col("vid"), col("vec"),
+        sqrt(Similarity.dot(col("vec"), col("vec"))).as("nrm"),
+        col("m.centroid_id").as("cell"), col("m.ang").as("ang"))
 
   /** Incremental cross-batch embedding near-dup — the embedding-side
     * counterpart of [[graft.operators.Dedup.incrementalMinhashPairs]]:

@@ -502,6 +502,167 @@ object LlmOps {
       "vec_id", "embedding", threshold = 0.4)
   }
 
+  /** Mutable ACCEPT companion of [[sketchStore]]: three delta tables
+    * (same schemas plus a `batch_id` string) hive-partitioned by
+    * batch_id, managed by [[graft.storage.DurableStores]] under the
+    * same source fingerprint — regenerated source data drops base AND
+    * deltas together, so a stale accepted batch can never outlive the
+    * corpus it was accepted into. The build creates the tables EMPTY;
+    * [[acceptSketchBatch]] fills one partition per ingest batch. */
+  private[graft] def sketchAcceptStore(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.storage.{DurableStores, Storage}
+    val shT = Storage.tableNameFor("graft_sketchacc_shingles", d)
+    val bandT = Storage.tableNameFor("graft_sketchacc_bands", d)
+    val chunkT = Storage.tableNameFor("graft_sketchacc_chunks", d)
+    DurableStores.openOrBuild(s, d, "sketch_accept",
+      Seq(shT, bandT, chunkT)) { st =>
+      val empty = Dedup.corpusSketch(
+        t(s, d, "documents").limit(0), "doc_id", "text")
+      st.appendPartitioned(shT,
+        empty.select(col("doc"), col("sh"), lit("").as("batch_id")),
+        Seq("batch_id"))
+      st.appendPartitioned(bandT,
+        Dedup.explodedBands(empty, 32, 4).withColumn("batch_id", lit("")),
+        Seq("batch_id"))
+      st.appendPartitioned(chunkT,
+        Dedup.explodedChunks(empty, 8).withColumn("batch_id", lit("")),
+        Seq("batch_id"))
+      Seq(DurableStores.TableMeta.partitioned(s, shT, Seq("batch_id")),
+        DurableStores.TableMeta.partitioned(s, bandT, Seq("batch_id")),
+        DurableStores.TableMeta.partitioned(s, chunkT, Seq("batch_id")))
+    }
+    (s.table(shT), s.table(bandT), s.table(chunkT))
+  }
+
+  /** ACCEPT an ingest batch into the sketch store's delta tables: the
+    * batch is sketched once (batch-sized, narrow) and written into the
+    * `batchId` partition of each delta table with DYNAMIC partition
+    * overwrite — re-accepting the same batch rewrites its own
+    * partition and nothing else, so the operation is idempotent
+    * (StoreSpec), and distinct batches accumulate as distinct
+    * partitions. This closes the ingest lifecycle the incremental
+    * probes left open: probe (q91) → accept → later probes see the
+    * accepted docs (q121). At scale, accept cost is batch-proportional
+    * (the corpus is untouched); when deltas grow large, fold them into
+    * the base with `StoreAdmin refresh`. */
+  /** Run `body` with DYNAMIC partition-overwrite semantics: an
+    * overwrite-mode insertInto rewrites only the partitions present in
+    * the written data (the DataFrameWriter-level option of the same
+    * name is not honored by insertInto — only the session conf is). */
+  private def withDynamicPartitionOverwrite[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "dynamic")
+    try body finally s.conf.set(key, prev)
+  }
+
+  private[graft] def acceptSketchBatch(s: SparkSession, d: String,
+      batchId: String, batch: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    import graft.storage.Storage
+    sketchAcceptStore(s, d)
+    graft.engine.CacheRegistry.withRetained {
+      val sk = graft.engine.CacheRegistry.retain(
+        Dedup.corpusSketch(batch.select(col(idCol), col(textCol)),
+          idCol, textCol))
+      def put(table: String, df: DataFrame): Unit =
+        withDynamicPartitionOverwrite(s) {
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").insertInto(table)
+        }
+      put(Storage.tableNameFor("graft_sketchacc_shingles", d),
+        sk.select(col("doc"), col("sh")))
+      put(Storage.tableNameFor("graft_sketchacc_bands", d),
+        Dedup.explodedBands(sk, 32, 4))
+      put(Storage.tableNameFor("graft_sketchacc_chunks", d),
+        Dedup.explodedChunks(sk, 8))
+    }
+  }
+
+  /** q121 — the full sketch-store ingest LIFECYCLE under the hard
+    * gate: batch 1 (doc_id % 20 = 0) is ACCEPTED into the store's
+    * delta tables, then batch 2 (doc_id % 20 = 10) probes base ∪
+    * delta — its near-dups against BOTH the original corpus and the
+    * previously-accepted batch must match DuckDB's exact Jaccard over
+    * corpus ∪ batch1. Only the two batches are ever sketched in this
+    * query; the corpus side is wholly at rest. */
+  private val q121SketchAcceptProbe: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    acceptSketchBatch(s, d, "b1", docs.filter($"doc_id" % 20 === 0),
+      "doc_id", "text")
+    val (sh, bands, chunks) = sketchStore(s, d)
+    val (ash, abands, achunks) = sketchAcceptStore(s, d)
+    Dedup.incrementalMinhashPairsFromStore(
+      sh.unionByName(ash.drop("batch_id")),
+      bands.unionByName(abands.drop("batch_id")),
+      chunks.unionByName(achunks.drop("batch_id")),
+      docs.filter($"doc_id" % 20 === 10),
+      "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+      .select($"batch_doc", $"corpus_doc", round($"jaccard", 6).as("jaccard"))
+  }
+
+  /** Mutable ACCEPT companion of [[cosineStore]]: one delta member
+    * table (member schema plus `batch_id`) partitioned by batch_id,
+    * same fingerprint-coupled lifecycle as [[sketchAcceptStore]]. */
+  private[graft] def cosineAcceptStore(
+      s: SparkSession, d: String): DataFrame = {
+    import graft.operators.EmbeddingDedup
+    import graft.storage.{DurableStores, Storage}
+    val memT = Storage.tableNameFor("graft_cosacc_members", d)
+    DurableStores.openOrBuild(s, d, "cosine_accept", Seq(memT)) { st =>
+      val (cents, _) = cosineStore(s, d)
+      st.appendPartitioned(memT,
+        EmbeddingDedup.assignToCells(cents,
+            t(s, d, "embeddings").limit(0), "vec_id", "embedding")
+          .withColumn("batch_id", lit("")),
+        Seq("batch_id"))
+      Seq(DurableStores.TableMeta.partitioned(s, memT, Seq("batch_id")))
+    }
+    s.table(memT)
+  }
+
+  /** ACCEPT an embedding batch into the cosine index's delta member
+    * table: the batch is assigned to cells under the STORED centroids
+    * (one broadcast pass, batch-sized) and written into its batch_id
+    * partition with dynamic overwrite — idempotent, accumulating,
+    * corpus untouched. Probes against base ∪ delta stay exact: the
+    * per-cell radii fold over the union, so the triangle-inequality
+    * completeness argument covers accepted members automatically. */
+  private[graft] def acceptCosineBatch(s: SparkSession, d: String,
+      batchId: String, batch: DataFrame): Unit = {
+    import graft.operators.EmbeddingDedup
+    import graft.storage.Storage
+    cosineAcceptStore(s, d)
+    val (cents, _) = cosineStore(s, d)
+    withDynamicPartitionOverwrite(s) {
+      EmbeddingDedup.assignToCells(cents, batch, "vec_id", "embedding")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .insertInto(Storage.tableNameFor("graft_cosacc_members", d))
+    }
+  }
+
+  /** q122 — the cosine-index ingest lifecycle under the hard gate:
+    * embedding batch 1 (vec_id % 20 = 0) is accepted into the delta
+    * member table, then batch 2 (vec_id % 20 = 10) probes the stored
+    * index with base ∪ delta members — pairs against corpus AND the
+    * accepted batch checked against DuckDB's brute cosine over
+    * corpus ∪ batch1. */
+  private val q122CosineAcceptProbe: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    val emb = t(s, d, "embeddings")
+    acceptCosineBatch(s, d, "b1", emb.filter($"vec_id" % 20 === 0))
+    val (cents, members) = cosineStore(s, d)
+    val delta = cosineAcceptStore(s, d)
+    EmbeddingDedup.cosinePairsFromStore(cents,
+      members.unionByName(delta.drop("batch_id")),
+      emb.filter($"vec_id" % 20 === 10),
+      "vec_id", "embedding", threshold = 0.4)
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_ngram_jaccard" -> q26NgramJaccard,
     "q86_incremental_dedup" -> q86IncrementalDedup,
@@ -523,7 +684,9 @@ object LlmOps {
     "q101_ann_recall" -> q101AnnRecall,
     "q102_semantic_dedup" -> q102SemanticDedup,
     "q119_curation_stored" -> q119CurationStored,
-    "q120_semantic_dedup_stored" -> q120SemanticDedupStored)
+    "q120_semantic_dedup_stored" -> q120SemanticDedupStored,
+    "q121_sketch_accept_probe" -> q121SketchAcceptProbe,
+    "q122_cosine_accept_probe" -> q122CosineAcceptProbe)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
     * sketch-candidate queries (q27 simhash, q28 minhash) must hit
@@ -557,38 +720,44 @@ object LlmOps {
        |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
-  /** Batch-vs-corpus ground truth for q86: exact Jaccard over exactly
-    * the (doc_id%10==0, doc_id%10!=0) pair orientation the incremental
-    * operator emits. */
+  /** Batch-vs-corpus ground truth for q86 (and, with the accept-path
+    * predicate, q121): exact Jaccard over exactly the (batch, other)
+    * pair orientation the incremental operator emits. */
+  private def batchVsCorpusJaccardSqlOn(joinPred: String): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(t) >= 3 THEN
+       |      list_distinct(list_transform(range(0, length(t) - 2),
+       |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+       |    ELSE [array_to_string(t, ' ')] END AS s
+       |  FROM tk),
+       |pj AS (
+       |  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+       |    CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / length(list_distinct(list_concat(a.s, b.s))) AS j
+       |  FROM sh a JOIN sh b ON $joinPred)
+       |SELECT batch_doc, corpus_doc, round(j, 6) AS jaccard
+       |FROM pj WHERE j >= 0.8""".stripMargin
+
   private val batchVsCorpusJaccardSql: String =
-    """WITH tk AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |    CASE WHEN length(t) >= 3 THEN
-      |      list_distinct(list_transform(range(0, length(t) - 2),
-      |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
-      |    ELSE [array_to_string(t, ' ')] END AS s
-      |  FROM tk),
-      |pj AS (
-      |  SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
-      |    CAST(length(list_intersect(a.s, b.s)) AS DOUBLE)
-      |      / length(list_distinct(list_concat(a.s, b.s))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
-      |SELECT batch_doc, corpus_doc, round(j, 6) AS jaccard
-      |FROM pj WHERE j >= 0.8""".stripMargin
+    batchVsCorpusJaccardSqlOn("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")
 
   /** Brute batch-vs-corpus ground truth for q90/q92: the incremental
     * bucketed path must equal it exactly (recall 1.0 by construction),
     * whether the index is in-JVM (q90) or read from parquet (q92). */
-  private val batchVsCorpusCosineSql: String =
+  private def batchVsCorpusCosineSqlOn(joinPred: String): String =
     s"""SELECT batch_id, corpus_id, round(c, 6) AS cos FROM (
        |  SELECT a.vec_id AS batch_id, b.vec_id AS corpus_id,
        |    ${cosSql("a.embedding", "b.embedding")} AS c
        |  FROM embeddings a JOIN embeddings b
-       |    ON a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0)
+       |    ON $joinPred)
        |WHERE c >= 0.4""".stripMargin
+
+  private val batchVsCorpusCosineSql: String =
+    batchVsCorpusCosineSqlOn("a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0")
 
   val oracles: Map[String, String] = Map(
     "q27_simhash" -> allPairsJaccardSql,
@@ -597,6 +766,12 @@ object LlmOps {
     "q91_incremental_dedup_stored" -> batchVsCorpusJaccardSql,
     "q90_embedding_incremental" -> batchVsCorpusCosineSql,
     "q92_embedding_incremental_stored" -> batchVsCorpusCosineSql,
+    // accept-path lifecycle: batch2 (%20=10) vs corpus (%10<>0) PLUS
+    // the previously-accepted batch1 (%20=0)
+    "q121_sketch_accept_probe" -> batchVsCorpusJaccardSqlOn(
+      "a.doc_id % 20 = 10 AND (b.doc_id % 10 <> 0 OR b.doc_id % 20 = 0)"),
+    "q122_cosine_accept_probe" -> batchVsCorpusCosineSqlOn(
+      "a.vec_id % 20 = 10 AND (b.vec_id % 10 <> 0 OR b.vec_id % 20 = 0)"),
     "q67_curation" -> curationSql(""),
     "q119_curation_stored" -> curationSql("WHERE doc_id % 10 <> 0"),
     "q102_semantic_dedup" -> semanticDedupSql(""),

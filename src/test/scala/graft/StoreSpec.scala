@@ -153,6 +153,74 @@ class StoreSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("accept path: idempotent per-batch overwrite, accumulation, probe sees accepted docs") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    try {
+      val b1 = Seq((900001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b1", b1, "doc_id", "text")
+      val n1 = graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count()
+      // re-accepting the same batch rewrites its own partition only
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b1", b1, "doc_id", "text")
+      assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === n1)
+      // a distinct batch accumulates as its own partition
+      val b2 = Seq((900002L, "one two three four five six seven eight nine ten"))
+        .toDF("doc_id", "text")
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b2", b2, "doc_id", "text")
+      val (ash, abands, achunks) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
+      assert(ash.count() === n1 + 1)
+      assert(ash.select("batch_id").distinct().collect().map(_.getString(0)).toSet
+        === Set("spec_b1", "spec_b2"))
+      // a later probe batch duplicating an ACCEPTED doc finds it through
+      // base ∪ delta — the lifecycle the accept path exists for
+      val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
+      val probe = Seq((900100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.incrementalMinhashPairsFromStore(
+        sh.unionByName(ash.drop("batch_id")),
+        bands.unionByName(abands.drop("batch_id")),
+        chunks.unionByName(achunks.drop("batch_id")),
+        probe, "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq === Seq((900100L, 900001L, 1.0)))
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      // the spec's synthetic batches must not outlive the test: later
+      // sessions' q121 probes base ∪ ALL deltas
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("cosine accept path: idempotent overwrite; probe finds the accepted vector") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    import graft.storage.DurableStores
+    try {
+      val v = Array.tabulate(64)(i => math.sin(i * 3 + 1).toFloat).toSeq
+      val b1 = Seq((900001L, v)).toDF("vec_id", "embedding")
+      graft.queries.LlmOps.acceptCosineBatch(s, sf, "spec_b1", b1)
+      val n1 = graft.queries.LlmOps.cosineAcceptStore(s, sf).count()
+      graft.queries.LlmOps.acceptCosineBatch(s, sf, "spec_b1", b1)
+      val delta = graft.queries.LlmOps.cosineAcceptStore(s, sf)
+      assert(delta.count() === n1)
+      val (cents, members) = graft.queries.LlmOps.cosineStore(s, sf)
+      val probe = Seq((900100L, v)).toDF("vec_id", "embedding")
+      val pairs = EmbeddingDedup.cosinePairsFromStore(cents,
+        members.unionByName(delta.drop("batch_id")),
+        probe, "vec_id", "embedding", threshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq === Seq((900100L, 900001L, 1.0)))
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "cosine_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
   test("q115 answers from the persisted sparse stats/components; an external batch needs no corpus text") {
     val s = spark
     import s.implicits._
