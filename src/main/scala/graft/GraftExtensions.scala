@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** `spark.sql.extensions` entry point: installs every custom Catalyst
+  * expression ([[graft.functions.GraftFunctions.builders]]) at session
+  * BUILD time, so a deployment enables the engine's SQL surface with
+  * configuration alone —
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or programmatically:
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * — no code call required (the runtime alternative,
+  * `GraftFunctions.registerAll`, registers the same builders into an
+  * already-built session and remains for library use;
+  * `Tables.createViews` calls it). Extension-injected functions are
+  * session-wide and survive `newSession()`, which temp functions do
+  * not — the right registration for a multi-tenant Spark deployment
+  * where the engine is one library among several.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, name),
+        builder))
+    }
+}

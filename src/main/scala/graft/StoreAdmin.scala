@@ -16,15 +16,20 @@ import graft.storage.DurableStores
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
-  * With no store names, all six families are addressed:
+  * With no store names, all eight families are addressed:
   * nested_bucketed, merged_base, sketch, cosine_index,
-  * kcenter_landmarks, sparse. `build` is build-if-absent (a no-op when
-  * the at-rest store is fingerprint-current); `refresh` drops and
-  * rebuilds unconditionally — run it after intentionally regenerating
-  * source data in place with unchanged file sizes AND mtimes (the one
-  * shape the fingerprint cannot see); `drop` removes catalog entries,
-  * files, and manifest. Root selection: `spark.graft.store.root` conf,
-  * `GRAFT_STORE_ROOT` env, else `<warehouse>/graft_stores`.
+  * kcenter_landmarks, sparse, plus the two mutable ACCEPT-delta
+  * companions sketch_accept and cosine_accept. `build` is
+  * build-if-absent (a no-op when the at-rest store is
+  * fingerprint-current); `refresh` drops and rebuilds unconditionally
+  * — run it after intentionally regenerating source data in place
+  * with unchanged file sizes AND mtimes (the one shape the
+  * fingerprint cannot see); for the accept families, whose build is
+  * EMPTY delta tables, refresh/drop DISCARDS every accepted batch —
+  * the maintenance step after folding deltas into a rebuilt base.
+  * `drop` removes catalog entries, files, and manifest. Root
+  * selection: `spark.graft.store.root` conf, `GRAFT_STORE_ROOT` env,
+  * else `<warehouse>/graft_stores`.
   */
 object StoreAdmin {
 
@@ -39,6 +44,10 @@ object StoreAdmin {
           graft.queries.MergeScaleQ.incrementalCutoff); () }),
       "sketch" -> (() => { graft.queries.LlmOps.sketchStore(s, d); () }),
       "cosine_index" -> (() => { graft.queries.LlmOps.cosineStore(s, d); () }),
+      "sketch_accept" ->
+        (() => { graft.queries.LlmOps.sketchAcceptStore(s, d); () }),
+      "cosine_accept" ->
+        (() => { graft.queries.LlmOps.cosineAcceptStore(s, d); () }),
       "kcenter_landmarks" ->
         (() => { graft.queries.CorpusOps.landmarkStore(s, d); () }),
       "sparse" -> (() => { graft.queries.CorpusOps.sparseStatsStore(s, d); () }))

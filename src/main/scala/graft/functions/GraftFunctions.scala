@@ -21,6 +21,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   */
 object GraftFunctions {
 
+  /** (name, builder) for every SQL-surfaced custom expression — the
+    * single source both registration routes share: [[registerAll]]
+    * (runtime, temp-function registry) and
+    * [[graft.GraftExtensions]] (session build time, via
+    * `spark.sql.extensions`). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "json_merge_objects" ->
+        ((exprs: Seq[Expression]) => JsonMergeObjects(exprs.head)),
+      "merge_files" -> ((exprs: Seq[Expression]) => MergeFiles(exprs.head)),
+      "long_to_big_endian_binary" ->
+        ((exprs: Seq[Expression]) => LongToBigEndianBinary(exprs.head)),
+      "minhash_signature" -> ((exprs: Seq[Expression]) =>
+        MinhashSignatureExpr(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+      "simhash64" -> ((exprs: Seq[Expression]) => SimHash64Expr(exprs.head)),
+      "shingles" -> ((exprs: Seq[Expression]) =>
+        ShinglesExpr(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+      "dot_product" ->
+        ((exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))),
+      "hamming_bytes" ->
+        ((exprs: Seq[Expression]) => HammingBytesExpr(exprs.head, exprs(1))))
+
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     // idempotent: callers re-enter per query (Tables.createViews runs
@@ -28,19 +50,9 @@ object GraftFunctions {
     // harmless but floods the logs with "replaced a previously
     // registered function" warnings — the only content a truncated
     // driver artifact may capture
-    def register(name: String)(builder: Seq[Expression] => Expression): Unit =
+    builders.foreach { case (name, builder) =>
       if (!registry.functionExists(FunctionIdentifier(name)))
         registry.createOrReplaceTempFunction(name, builder, "scala_udf")
-    register("json_merge_objects")(exprs => JsonMergeObjects(exprs.head))
-    register("merge_files")(exprs => MergeFiles(exprs.head))
-    register("long_to_big_endian_binary")(
-      exprs => LongToBigEndianBinary(exprs.head))
-    register("minhash_signature")(exprs => MinhashSignatureExpr(exprs.head,
-      exprs(1).eval().asInstanceOf[Int]))
-    register("simhash64")(exprs => SimHash64Expr(exprs.head))
-    register("shingles")(exprs => ShinglesExpr(exprs.head,
-      exprs(1).eval().asInstanceOf[Int]))
-    register("dot_product")(exprs => DotProductExpr(exprs.head, exprs(1)))
-    register("hamming_bytes")(exprs => HammingBytesExpr(exprs.head, exprs(1)))
+    }
   }
 }

@@ -140,6 +140,41 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("accept deltas survive a cold catalog: partitions recovered, probe finds accepted docs") {
+    withScratch(Seq("sketch", "sketch_accept")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      graft.queries.LlmOps.sketchStore(s, data) // base store
+      val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      graft.queries.LlmOps.acceptSketchBatch(s, data, "b1",
+        Seq((900001L, dup)).toDF("doc_id", "text"), "doc_id", "text")
+      graft.engine.CacheRegistry.releaseAll()
+      val builtAt = storeMtimes(root)
+      coldCatalog(
+        Storage.tableNameFor("graft_sketch_shingles", data),
+        Storage.tableNameFor("graft_sketch_bands", data),
+        Storage.tableNameFor("graft_sketch_chunks", data),
+        Storage.tableNameFor("graft_sketchacc_shingles", data),
+        Storage.tableNameFor("graft_sketchacc_bands", data),
+        Storage.tableNameFor("graft_sketchacc_chunks", data))
+      val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, data)
+      val (ash, abands, achunks) = graft.queries.LlmOps.sketchAcceptStore(s, data)
+      // RECOVER PARTITIONS found the accepted batch in the new catalog
+      assert(ash.count() === 1)
+      val pairs = graft.operators.Dedup.incrementalMinhashPairsFromStore(
+        sh.unionByName(ash.drop("batch_id")),
+        bands.unionByName(abands.drop("batch_id")),
+        chunks.unionByName(achunks.drop("batch_id")),
+        Seq((900100L, dup)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq === Seq((900100L, 900001L, 1.0)))
+      graft.engine.CacheRegistry.releaseAll()
+      assert(storeMtimes(root) === builtAt,
+        "cold re-open rewrote base or delta files")
+    }
+  }
+
   test("regenerated source data invalidates the store: fingerprint mismatch forces a rebuild") {
     withScratch(Seq("nested_bucketed")) { (root, data) =>
       val s = spark

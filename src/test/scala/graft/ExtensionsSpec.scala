@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Configuration-only installation of the engine's SQL surface:
+  * `spark.sql.extensions=graft.GraftExtensions` (or the builder's
+  * `withExtensions`) must make every custom Catalyst expression
+  * callable from `spark.sql` with no registration code — and, unlike
+  * runtime temp functions, survive `newSession()`. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions installs the SQL functions at session build; newSession keeps them") {
+    // build a FRESH SparkSession (sharing any existing SparkContext)
+    // so the extension's session-build hook actually runs; the suite
+    // restores the previous default/active session afterwards
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val dot = s.sql(
+        "SELECT dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head.getDouble(0)
+      assert(dot === 11.0)
+      assert(s.sql("SELECT shingles(array('a','b','c','d'), 3)")
+        .head.getSeq[String](0).toSet === Set("a b c", "b c d"))
+      assert(s.sql("SELECT simhash64(array('x'))").head.getLong(0) !== 0L)
+      assert(s.sql("SELECT size(minhash_signature(array('x','y'), 8))")
+        .head.getInt(0) === 8)
+      assert(s.sql("SELECT hamming_bytes(X'AA', X'AB')").head.getInt(0) === 1)
+      assert(s.sql("SELECT json_merge_objects(array('{\"a\":1}', '{\"b\":2}'))")
+        .head.getString(0) === """{"a":1,"b":2}""")
+      // extension-injected functions live in the session's BASE
+      // registry: a newSession() still sees them, where a temp
+      // function registered at runtime would be gone
+      val s2 = s.newSession()
+      assert(s2.sql("SELECT hamming_bytes(X'FF', X'00')").head.getInt(0) === 8)
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
