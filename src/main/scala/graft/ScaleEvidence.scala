@@ -77,10 +77,13 @@ object ScaleEvidence {
     * leaving them to /tmp accumulates gigabytes per run). */
   private def deleteRecursively(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)
+    // Files.walk streams hold open directory handles until closed —
+    // across a multi-point sweep the leak accumulates fds
     if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
   }
 
   /** Min of `passes` noop-forced runs: first-run JIT/codegen cost for
@@ -232,6 +235,93 @@ object ScaleEvidence {
         s""""inline_sec":$inlineSec,"pairs":$pairs,"path_diff":$diff}"""
     }
     (textPoints, embPoints)
+  }
+
+  /** Accept-path sweep (q121's contract): corpus sketch at rest, then
+    * nBatches ingest batches ACCEPTED one after another as delta
+    * partition files, with a FIXED probe batch re-run after every
+    * accept. Claims under measurement: (1) accept_sec is
+    * batch-proportional — flat in both the corpus size and the number
+    * of already-accepted batches (the corpus is untouched by an
+    * accept); (2) probe_sec grows only with the delta volume, not the
+    * corpus (compare the same accepted_batches count across corpus
+    * sizes: the increment over the k=1 point tracks delta rows);
+    * (3) the final point's pairs equal a full inline recompute over
+    * corpus ∪ every accepted doc (path_diff 0; earlier points emit
+    * null — the parity check re-sketches everything and would dominate
+    * the sweep's wall-clock if run per point). The probe re-issues
+    * even-twin texts from the corpus head AND from accepted batch 0,
+    * so expected pairs stay constant across the sweep — a drift in
+    * `pairs` would expose a delta wiring bug, not data change. */
+  private def acceptSweep(spark: SparkSession, corpusNs: Seq[Long],
+      nBatches: Int, batchN: Long, textTokens: Int): Seq[String] = {
+    import graft.operators.Dedup
+    corpusNs.flatMap { n =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scale_accept").toString
+      def writeRead(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$root/$name")
+        spark.read.parquet(s"$root/$name")
+      }
+      // one deterministic universe: corpus = ids [0, n); accepted batch
+      // k = ids [n + k·batchN, n + (k+1)·batchN) — novel bases, twin
+      // pairs intact within each range
+      def universe = textCorpus(spark, n + nBatches * batchN, textTokens)
+      val corpusDocs = writeRead(universe.filter(col("doc_id") < n), "docs")
+      val sk = Dedup.corpusSketch(corpusDocs, "doc_id", "text")
+      val sh0 = writeRead(sk.select("doc", "sh"), "sh")
+      val bands0 = writeRead(Dedup.explodedBands(sk, 32, 4), "bands")
+      val chunks0 = writeRead(Dedup.explodedChunks(sk, 8), "chunks")
+      graft.engine.CacheRegistry.releaseAll()
+      val probe = universe
+        .filter((col("doc_id") < batchN ||
+          (col("doc_id") >= n && col("doc_id") < n + batchN)) &&
+          pmod(col("doc_id"), lit(2L)) === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+        .persist()
+      probe.count()
+      val points = (0 until nBatches).map { k =>
+        val batch = universe.filter(col("doc_id") >= n + k * batchN &&
+          col("doc_id") < n + (k + 1) * batchN)
+        val t0 = System.nanoTime()
+        val bsk = graft.engine.CacheRegistry.retain(
+          Dedup.corpusSketch(batch, "doc_id", "text"))
+        bsk.select("doc", "sh")
+          .write.mode("overwrite").parquet(s"$root/acc_sh/b$k")
+        Dedup.explodedBands(bsk, 32, 4)
+          .write.mode("overwrite").parquet(s"$root/acc_bands/b$k")
+        Dedup.explodedChunks(bsk, 8)
+          .write.mode("overwrite").parquet(s"$root/acc_chunks/b$k")
+        graft.engine.CacheRegistry.releaseAll()
+        val acceptSec = (System.nanoTime() - t0) / 1e9
+        def probed = Dedup.incrementalMinhashPairsFromStore(
+          sh0.unionByName(spark.read.parquet(s"$root/acc_sh/*")),
+          bands0.unionByName(spark.read.parquet(s"$root/acc_bands/*")),
+          chunks0.unionByName(spark.read.parquet(s"$root/acc_chunks/*")),
+          probe, "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+        val probeSec = timeNoop(probed)
+        val pairs = probed.count()
+        graft.engine.CacheRegistry.releaseAll()
+        val diff = if (k == nBatches - 1) {
+          val inline = Dedup.incrementalMinhashPairs(
+            Dedup.corpusSketch(universe, "doc_id", "text"),
+            probe, "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+          val d = probed.exceptAll(inline).count() +
+            inline.exceptAll(probed).count()
+          graft.engine.CacheRegistry.releaseAll()
+          d.toString
+        } else "null"
+        System.err.println(f"[scale-accept] corpus=$n%7d " +
+          f"accepted=${k + 1}%2d accept=$acceptSec%6.2fs " +
+          f"probe=$probeSec%6.2fs pairs=$pairs diff=$diff")
+        s"""{"corpus_n":$n,"accepted_batches":${k + 1},""" +
+          s""""batch_n":$batchN,"accept_sec":$acceptSec,""" +
+          s""""probe_sec":$probeSec,"pairs":$pairs,"path_diff":$diff}"""
+      }
+      probe.unpersist(true)
+      deleteRecursively(root)
+      points
+    }
   }
 
   /** Stored-landmark drift probe (q112's contract), FIXED batch vs
@@ -518,7 +608,14 @@ object ScaleEvidence {
       "16384,65536,262144").split(",").map(_.trim.toLong).toSeq
     val ccPoints = ccSweep(spark, ccNs)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]}}"""
+    val acceptNs = sys.env.getOrElse("SPARK_GRAFT_SCALE_ACCEPT_NS",
+      "65536,262144").split(",").map(_.trim.toLong).toSeq
+    val acceptBatches =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_ACCEPT_BATCHES", "4").toInt
+    val acceptPoints = acceptSweep(spark, acceptNs, acceptBatches,
+      incBatch, incTextTokens)
+
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

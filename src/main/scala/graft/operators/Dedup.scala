@@ -66,10 +66,16 @@ object Dedup {
         xxhash64(slice(sig, j * r + 1, lit(r))).as("band_hash")))
   }
 
-  /** Exact Jaccard over two shingle arrays. */
-  /** Shingle arrays are SETS by construction (ShinglesExpr dedupes),
-    * so |A∪B| = |A|+|B|−|A∩B| and one array_intersect replaces the
-    * intersect+union pair — the verification step over candidate
+  /** Exact Jaccard over two shingle arrays.
+    *
+    * PRECONDITION: both arrays must be duplicate-free — the identity
+    * |A∪B| = |A|+|B|−|A∩B| used here holds only for sets, and a
+    * caller passing raw token arrays (with repeats) gets silently
+    * deflated similarities. Every in-repo producer satisfies this by
+    * construction ([[shingles]]/ShinglesExpr dedupes); external
+    * callers with possibly-repeating elements must `array_distinct`
+    * first. The identity matters because one array_intersect replaces
+    * the intersect+union pair — the verification step over candidate
     * pairs is the CPU hot spot of every sketch-dedup composite
     * (q27/q62/q67), and this halves its set-op work (the repeated
     * `inter` subtree is eliminated by codegen CSE). */

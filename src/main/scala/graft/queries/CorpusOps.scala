@@ -357,7 +357,8 @@ object CorpusOps {
   private[graft] def landmarkStore(s: SparkSession, d: String): DataFrame = {
     import graft.storage.{DurableStores, Storage}
     val lmT = Storage.tableNameFor("graft_kcenter_landmarks", d)
-    DurableStores.openOrBuild(s, d, "kcenter_landmarks", Seq(lmT)) { st =>
+    DurableStores.openOrBuild(s, d, "kcenter_landmarks", Seq(lmT),
+        params = "k=16") { st =>
       graft.engine.CacheRegistry.withRetained {
         st.appendTable(lmT, graft.operators.Coreset.landmarksWithRadius(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -463,7 +464,8 @@ object CorpusOps {
     import graft.storage.{DurableStores, Storage}
     val statsT = Storage.tableNameFor("graft_sparse_stats", d)
     val compT = Storage.tableNameFor("graft_sparse_components", d)
-    DurableStores.openOrBuild(s, d, "sparse", Seq(statsT, compT)) { st =>
+    DurableStores.openOrBuild(s, d, "sparse", Seq(statsT, compT),
+        params = "topM=16,buckets=16") { st =>
       graft.engine.CacheRegistry.withRetained {
         val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
         val stats = graft.engine.CacheRegistry.retain(

@@ -431,7 +431,8 @@ object LlmOps {
     val shT = Storage.tableNameFor("graft_sketch_shingles", d)
     val bandT = Storage.tableNameFor("graft_sketch_bands", d)
     val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
-    DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT)) { st =>
+    DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT),
+        params = "k=32,bands=4,chunks=8,buckets=16") { st =>
       graft.engine.CacheRegistry.withRetained {
         val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
           t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
@@ -475,7 +476,8 @@ object LlmOps {
     import graft.storage.{DurableStores, Storage}
     val centT = Storage.tableNameFor("graft_cosidx_cents", d)
     val memT = Storage.tableNameFor("graft_cosidx_members", d)
-    DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT)) { st =>
+    DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT),
+        params = "cells=16") { st =>
       graft.engine.CacheRegistry.withRetained {
         val idx = EmbeddingDedup.buildCosineIndex(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -516,7 +518,10 @@ object LlmOps {
     val bandT = Storage.tableNameFor("graft_sketchacc_bands", d)
     val chunkT = Storage.tableNameFor("graft_sketchacc_chunks", d)
     DurableStores.openOrBuild(s, d, "sketch_accept",
-      Seq(shT, bandT, chunkT)) { st =>
+      // same params as the base sketch store: if the base layout
+      // constants change and it rebuilds, deltas accepted under the
+      // old constants must not survive into the new store's probes
+      Seq(shT, bandT, chunkT), params = "k=32,bands=4,chunks=8") { st =>
       val empty = Dedup.corpusSketch(
         t(s, d, "documents").limit(0), "doc_id", "text")
       st.appendPartitioned(shT,
@@ -594,10 +599,16 @@ object LlmOps {
       "doc_id", "text")
     val (sh, bands, chunks) = sketchStore(s, d)
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
+    // the delta scan selects ONLY this gate's accepted batch (a
+    // partition-pruned read): the delta tables are durable and
+    // accumulate real batches across sessions, and an unrelated
+    // accepted batch must not leak into this oracle's corpus side
+    def own(delta: DataFrame): DataFrame =
+      delta.filter($"batch_id" === "b1").drop("batch_id")
     Dedup.incrementalMinhashPairsFromStore(
-      sh.unionByName(ash.drop("batch_id")),
-      bands.unionByName(abands.drop("batch_id")),
-      chunks.unionByName(achunks.drop("batch_id")),
+      sh.unionByName(own(ash)),
+      bands.unionByName(own(abands)),
+      chunks.unionByName(own(achunks)),
       docs.filter($"doc_id" % 20 === 10),
       "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
       .select($"batch_doc", $"corpus_doc", round($"jaccard", 6).as("jaccard"))
@@ -611,7 +622,10 @@ object LlmOps {
     import graft.operators.EmbeddingDedup
     import graft.storage.{DurableStores, Storage}
     val memT = Storage.tableNameFor("graft_cosacc_members", d)
-    DurableStores.openOrBuild(s, d, "cosine_accept", Seq(memT)) { st =>
+    // cells param mirrors the base cosine store: deltas are assigned
+    // under its centroids and must die with them
+    DurableStores.openOrBuild(s, d, "cosine_accept", Seq(memT),
+        params = "cells=16") { st =>
       val (cents, _) = cosineStore(s, d)
       st.appendPartitioned(memT,
         EmbeddingDedup.assignToCells(cents,
@@ -656,9 +670,12 @@ object LlmOps {
     val emb = t(s, d, "embeddings")
     acceptCosineBatch(s, d, "b1", emb.filter($"vec_id" % 20 === 0))
     val (cents, members) = cosineStore(s, d)
+    // own-batch partition prune, same reasoning as q121: other
+    // sessions' accepted batches must not leak into this oracle
     val delta = cosineAcceptStore(s, d)
+      .filter($"batch_id" === "b1").drop("batch_id")
     EmbeddingDedup.cosinePairsFromStore(cents,
-      members.unionByName(delta.drop("batch_id")),
+      members.unionByName(delta),
       emb.filter($"vec_id" % 20 === 10),
       "vec_id", "embedding", threshold = 0.4)
   }

@@ -115,7 +115,8 @@ object MergeScaleQ {
     import graft.storage.DurableStores
     val tbl = bucketedTableName(d)
     val keys = Seq("website_id", "site_submission_id")
-    DurableStores.openOrBuild(s, d, "nested_bucketed", Seq(tbl)) { st =>
+    DurableStores.openOrBuild(s, d, "nested_bucketed", Seq(tbl),
+        params = "buckets=32") { st =>
       st.appendBucketed(tbl, nestedAtScale(s, d), keys, numBuckets = 32)
       Seq(DurableStores.TableMeta.bucketed(s, tbl, keys, 32))
     }
@@ -136,7 +137,8 @@ object MergeScaleQ {
     import graft.storage.DurableStores
     val tbl = graft.storage.Storage.tableNameFor("graft_merged_base", d)
     val keys = Seq("website_id", "site_submission_id")
-    DurableStores.openOrBuild(s, d, "merged_base", Seq(tbl)) { st =>
+    DurableStores.openOrBuild(s, d, "merged_base", Seq(tbl),
+        params = s"cutoff=$cutoff,buckets=32") { st =>
       st.appendBucketed(tbl,
         Merge.mergeSubmissions(bucketedNested(s, d)
           .filter(col("scan_datetime") <= lit(cutoff).cast("timestamp"))),

@@ -28,11 +28,13 @@ import org.apache.spark.sql.SparkSession
   *    the at-rest files in its catalog via DDL without touching a
   *    byte of data.
   *  - **overwrite-on-refresh**: a fingerprint mismatch (the source
-  *    data was regenerated under the same path) or an explicit
-  *    [[refresh]] drops the catalog entries and files and rebuilds.
-  *    Without this, a persisted store would silently serve answers
-  *    for data that no longer exists — the failure mode the round-9
-  *    testdata re-encoding demonstrated.
+  *    data was regenerated under the same path), a build-params
+  *    mismatch (the caller's layout constants changed), or an explicit
+  *    [[drop]]-then-reopen (what `StoreAdmin refresh` runs) drops the
+  *    catalog entries and files and rebuilds. Without this, a
+  *    persisted store would silently serve answers for data — or
+  *    parameters — that no longer exist; the round-9 testdata
+  *    re-encoding demonstrated the data half of that failure mode.
   *
   * The manifest is written LAST, so a crash mid-build leaves no
   * manifest and the next opener cleans up and rebuilds; partial
@@ -102,15 +104,22 @@ object DurableStores {
   }
 
   /** Line format (newline-free fields only — schema DDL and paths
-    * contain no newlines): line 1 = fingerprint; then one line per
-    * table: name TAB layout TAB numBuckets TAB cols(comma) TAB ddl. */
+    * contain no newlines): line 1 = fingerprint "|" build-params; then
+    * one line per table: name TAB layout TAB numBuckets TAB
+    * cols(comma) TAB ddl. Manifests written before the params field
+    * existed parse with params "" and are invalidated once by any
+    * accessor that now declares params — the migration cost of closing
+    * the parameter-staleness hole (a store built with old k/bands/
+    * cutoff silently serving a caller whose code changed them). */
   private def writeManifest(s: SparkSession, p: Path, fp: String,
-      tables: Seq[TableMeta]): Unit = {
+      params: String, tables: Seq[TableMeta]): Unit = {
+    require(!params.contains("\n") && !params.contains("|"),
+      s"store params must be newline- and pipe-free: $params")
     val f = fs(s, p.toString)
     val tmp = new Path(p.getParent, p.getName + ".tmp")
     val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
     try {
-      out.write(fp + "\n")
+      out.write(fp + "|" + params + "\n")
       tables.foreach { t =>
         out.write(Seq(t.name, t.layout, t.numBuckets.toString,
           t.layoutCols.mkString(","), t.schemaDdl).mkString("\t") + "\n")
@@ -121,14 +130,18 @@ object DurableStores {
   }
 
   private def readManifest(s: SparkSession,
-      p: Path): Option[(String, Seq[TableMeta])] = {
+      p: Path): Option[(String, String, Seq[TableMeta])] = {
     val f = fs(s, p.toString)
     if (!f.exists(p)) return None
     val in = new BufferedReader(
       new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
     try {
-      val fp = in.readLine()
-      if (fp == null) return None
+      val head = in.readLine()
+      if (head == null) return None
+      val (fp, params) = head.split("\\|", 2) match {
+        case Array(h, pr) => (h, pr)
+        case Array(h) => (h, "")
+      }
       val tables = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).map { line =>
           val a = line.split("\t", 5)
@@ -136,7 +149,7 @@ object DurableStores {
             if (a(3).isEmpty) Nil else a(3).split(",").toSeq,
             a(2).toInt, a(4))
         }.toVector
-      Some((fp, tables))
+      Some((fp, params, tables))
     } finally in.close()
   }
 
@@ -163,61 +176,81 @@ object DurableStores {
   }
 
   /** (root, store, dataDir) combinations already fingerprint-checked
-    * in this JVM — later opens only verify catalog presence. */
-  private val verified = scala.collection.mutable.Set.empty[(String, String, String)]
+    * in this JVM, mapped to their parsed table metadata — later opens
+    * are a pure in-memory catalog check, no manifest IO (the store
+    * accessors run at the start of every gate/bench query; on a remote
+    * root each re-read would be a per-query round-trip). */
+  private val verified =
+    scala.collection.mutable.Map.empty[(String, String, String), Seq[TableMeta]]
 
   /** For specs simulating a cold JVM: forget fingerprint checks. */
   private[graft] def resetVerifiedForTest(): Unit =
     synchronized { verified.clear() }
 
+  /** True when `name` is registered in the catalog AND its location is
+    * the current root's path for it. A same-name table pointing
+    * elsewhere is a relic of a different store root earlier in this
+    * JVM — serving it would silently answer from the wrong root's
+    * files, so the caller must drop and re-register. */
+  private def registeredHere(s: SparkSession, st: Storage,
+      name: String): Boolean =
+    s.catalog.tableExists(name) && {
+      val want = new Path(st.path(name))
+      val loc = new Path(s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+      fs(s, want.toString).makeQualified(want) ==
+        fs(s, loc.toString).makeQualified(loc)
+    }
+
   /** Ensure `store`'s tables (the declared `tableNames`) exist in this
     * session's catalog, backed by at-rest files under [[root]]:
-    * register them if the files and a fingerprint-current manifest
-    * exist, otherwise run `build` (which must create/populate every
-    * declared table through the given [[Storage]] — e.g.
+    * register them if the files and a current manifest exist,
+    * otherwise run `build` (which must create/populate every declared
+    * table through the given [[Storage]] — e.g.
     * appendBucketed/appendTable — and return the metadata needed to
-    * re-register each one later). Before a build, stale same-name
+    * re-register each one later). "Current" means the source-data
+    * fingerprint AND the caller's `params` string (the build constants
+    * baked into the at-rest layout: sketch k/bands/chunks, index cell
+    * counts, merge cutoffs, bucket counts) both match — a code change
+    * to any build parameter invalidates the store exactly like
+    * regenerated source data does. Before a build, stale same-name
     * catalog entries (a store built under a different root earlier in
     * this JVM) and leftover location files from a crashed build are
     * dropped, so the build always starts clean and append-mode writes
     * can never double rows. */
   def openOrBuild(s: SparkSession, dataDir: String, store: String,
-      tableNames: Seq[String])(build: Storage => Seq[TableMeta]): Unit =
+      tableNames: Seq[String], params: String = "")(
+      build: Storage => Seq[TableMeta]): Unit =
     synchronized {
       val r = root(s)
       val st = new Storage(s, r)
       val mp = manifestPath(s, store, dataDir)
       val key = (r, store, dataDir)
-      val manifest = if (verified(key)) readManifest(s, mp) else {
+      val cached: Option[Seq[TableMeta]] = verified.get(key).orElse {
         val m = readManifest(s, mp)
-        val current = m.filter { case (fp, tables) =>
-          fp == fingerprint(s, dataDir) && tables.forall(t => st.exists(t.name))
+        val current = m.collect {
+          case (fp, p, tables) if fp == fingerprint(s, dataDir) &&
+            p == params && tables.forall(t => st.exists(t.name)) => tables
         }
-        if (m.isDefined && current.isEmpty) dropFiles(s, st, mp, m.get._2)
-        verified += key
+        if (m.isDefined && current.isEmpty) dropFiles(s, st, mp, m.get._3)
+        current.foreach(tables => verified(key) = tables)
         current
       }
-      manifest match {
-        case Some((_, tables)) =>
-          tables.filterNot(t => s.catalog.tableExists(t.name))
-            .foreach(t => register(s, st, t))
+      cached match {
+        case Some(tables) =>
+          tables.filterNot(t => registeredHere(s, st, t.name)).foreach { t =>
+            if (s.catalog.tableExists(t.name)) s.sql(s"DROP TABLE `${t.name}`")
+            register(s, st, t)
+          }
         case None =>
           tableNames.foreach { n =>
             if (s.catalog.tableExists(n)) s.sql(s"DROP TABLE `$n`")
             fs(s, st.path(n)).delete(new Path(st.path(n)), true)
           }
           val tables = build(st)
-          writeManifest(s, mp, fingerprint(s, dataDir), tables)
+          writeManifest(s, mp, fingerprint(s, dataDir), params, tables)
+          verified(key) = tables
       }
-    }
-
-  /** Explicit overwrite-on-refresh: drop the store (catalog entries,
-    * files, manifest) and rebuild it now. */
-  def refresh(s: SparkSession, dataDir: String, store: String,
-      tableNames: Seq[String])(build: Storage => Seq[TableMeta]): Unit =
-    synchronized {
-      drop(s, dataDir, store)
-      openOrBuild(s, dataDir, store, tableNames)(build)
     }
 
   /** Remove a store's catalog entries, at-rest files, and manifest. */
@@ -225,7 +258,7 @@ object DurableStores {
     synchronized {
       val st = new Storage(s, root(s))
       val mp = manifestPath(s, store, dataDir)
-      readManifest(s, mp).foreach { case (_, t) => dropFiles(s, st, mp, t) }
+      readManifest(s, mp).foreach { case (_, _, t) => dropFiles(s, st, mp, t) }
       verified -= ((root(s), store, dataDir))
     }
 

@@ -106,7 +106,13 @@ object StreamingIngest {
           // a checkpoint-replayed batch re-appends its rows; snapshot
           // ids are deterministic, so dedup-on-read makes the whole
           // maintenance idempotent (the reference's belt-and-braces
-          // A6 dedup pass, applied at the only point it matters)
+          // A6 dedup pass, applied at the only point it matters).
+          // The replayed PHYSICAL rows do persist in the snapshot
+          // table until the periodic Repair.dedup pass (q41) rewrites
+          // it — the reference's own operational model: at-least-once
+          // appends, exactly-once answers, storage reclaimed by the
+          // scheduled repair job rather than a per-batch anti-join
+          // read of the whole table
           val all = storage.read("user_snapshots")
             .dropDuplicates("user_snapshot_id")
           val merged =

@@ -46,8 +46,10 @@ class DurableStoreSpec extends AnyFunSuite {
       s.conf.unset("spark.graft.store.root")
       DurableStores.resetVerifiedForTest()
       Seq(root, data).foreach { d =>
-        Files.walk(Paths.get(d)).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
+        scala.util.Using.resource(Files.walk(Paths.get(d))) {
+          _.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
     }
   }
@@ -55,9 +57,11 @@ class DurableStoreSpec extends AnyFunSuite {
   /** (path -> mtime) for every data file under the store root. */
   private def storeMtimes(root: String): Map[String, Long] = {
     val out = scala.collection.mutable.Map.empty[String, Long]
-    Files.walk(Paths.get(root)).forEach { p =>
-      if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-        out(p.toString) = Files.getLastModifiedTime(p).toMillis
+    scala.util.Using.resource(Files.walk(Paths.get(root))) {
+      _.forEach { p =>
+        if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+          out(p.toString) = Files.getLastModifiedTime(p).toMillis
+      }
     }
     out.toMap
   }
@@ -191,6 +195,76 @@ class DurableStoreSpec extends AnyFunSuite {
       assert(n > 0)
       assert(storeMtimes(root) !== builtAt,
         "store served stale files for regenerated source data")
+    }
+  }
+
+  test("build-params mismatch forces a rebuild; matching params re-register") {
+    withScratch(Seq("spec_params")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      val tbl = Storage.tableNameFor("graft_spec_params", data)
+      def build(n: Int): Storage => Seq[DurableStores.TableMeta] = st => {
+        st.appendTable(tbl, (1 to n).map(_.toLong).toDF("x"))
+        Seq(DurableStores.TableMeta.plain(s, tbl))
+      }
+      DurableStores.openOrBuild(s, data, "spec_params", Seq(tbl),
+        params = "n=1")(build(1))
+      val m1 = storeMtimes(root)
+      assert(s.table(tbl).count() === 1)
+      // same params: pure re-registration, the builder must NOT run
+      coldCatalog(tbl)
+      DurableStores.openOrBuild(s, data, "spec_params", Seq(tbl),
+        params = "n=1")(build(99))
+      assert(s.table(tbl).count() === 1)
+      assert(storeMtimes(root) === m1)
+      // changed params: the at-rest layout no longer matches the
+      // caller's constants — rebuild, exactly like changed source data
+      coldCatalog(tbl)
+      DurableStores.openOrBuild(s, data, "spec_params", Seq(tbl),
+        params = "n=2")(build(2))
+      assert(s.table(tbl).count() === 2)
+      assert(storeMtimes(root) !== m1)
+    }
+  }
+
+  test("switching store roots re-points same-name catalog tables at the current root") {
+    val s = spark
+    import s.implicits._
+    val data = Files.createTempDirectory("graft_root_data").toString
+    Files.list(Paths.get("/root/testdata/sf0.001")).forEach(p =>
+      Files.copy(p, Paths.get(data, p.getFileName.toString)))
+    val rootA = Files.createTempDirectory("graft_rootA").toString
+    val rootB = Files.createTempDirectory("graft_rootB").toString
+    val tbl = Storage.tableNameFor("graft_spec_roots", data)
+    def open(n: Int): Unit =
+      DurableStores.openOrBuild(s, data, "spec_roots", Seq(tbl)) { st =>
+        st.appendTable(tbl, (1 to n).map(_.toLong).toDF("x"))
+        Seq(DurableStores.TableMeta.plain(s, tbl))
+      }
+    try {
+      s.conf.set("spark.graft.store.root", rootA); open(1)
+      assert(s.table(tbl).count() === 1)
+      s.conf.set("spark.graft.store.root", rootB); open(2)
+      assert(s.table(tbl).count() === 2)
+      // back to A: the catalog entry still points at B's files —
+      // serving it would silently answer from the wrong root; the
+      // register path must drop and re-point it (builder must not run:
+      // open(99) building would read 99 rows)
+      s.conf.set("spark.graft.store.root", rootA); open(99)
+      assert(s.table(tbl).count() === 1, "served the wrong root's files")
+    } finally {
+      Seq(rootA, rootB).foreach { r =>
+        s.conf.set("spark.graft.store.root", r)
+        DurableStores.drop(s, data, "spec_roots")
+      }
+      s.conf.unset("spark.graft.store.root")
+      DurableStores.resetVerifiedForTest()
+      Seq(rootA, rootB, data).foreach { d =>
+        scala.util.Using.resource(Files.walk(Paths.get(d))) {
+          _.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      }
     }
   }
 

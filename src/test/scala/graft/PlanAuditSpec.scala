@@ -30,8 +30,10 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   override def afterAll(): Unit = {
     tempDirs.foreach { p =>
       import scala.jdk.CollectionConverters._
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      scala.util.Using.resource(Files.walk(p)) {
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      }
     }
     super.afterAll()
   }

@@ -186,9 +186,15 @@ class StoreSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(pairs.toSeq === Seq((900100L, 900001L, 1.0)))
       graft.engine.CacheRegistry.releaseAll()
+      // the GATE query must be immune to these foreign batches: its
+      // delta scan is partition-pruned to its own batch_id, so the
+      // spec's accepted docs must never surface on its corpus side
+      val q121 = graft.queries.LlmOps.queries("q121_sketch_accept_probe")(s, sf)
+      val corpusSide = q121.collect().map(_.getLong(1)).toSet
+      assert(!corpusSide.contains(900001L) && !corpusSide.contains(900002L),
+        "foreign accepted batches leaked into q121's oracle-checked corpus side")
+      graft.engine.CacheRegistry.releaseAll()
     } finally {
-      // the spec's synthetic batches must not outlive the test: later
-      // sessions' q121 probes base ∪ ALL deltas
       DurableStores.drop(s, sf, "sketch_accept")
       graft.engine.CacheRegistry.releaseAll()
     }
