@@ -485,6 +485,59 @@ object Dedup {
       maxIter: Int = 20, oneHopRounds: Int = 4): DataFrame =
     connectedComponentsWithStats(pairs, aCol, bCol, maxIter, oneHopRounds)._1
 
+  /** INCREMENTAL cluster maintenance — the production lifecycle of
+    * near-dup clustering: the corpus's (node, cluster = component min
+    * id) labels are already materialized (q62's output at rest), a new
+    * ingest batch arrives with its cross-edges to the corpus
+    * ([[incrementalMinhashPairsFromStore]]) and its internal edges
+    * ([[multiSketchPairs]] over just the batch), and the labels are
+    * brought up to date WITHOUT re-clustering the corpus.
+    *
+    * Mechanism: contract every batch↔corpus edge to the corpus
+    * endpoint's stored cluster label (a previously edge-less corpus
+    * doc rides as itself), union the batch-internal edges, and run
+    * [[connectedComponents]] on this CONTRACTED graph — its node set
+    * is {touched cluster labels} ∪ {batch docs} ∪ {newly touched
+    * corpus docs}, sized by the batch's adjacency, not the corpus.
+    * Because a stored label IS the min id of its component, the
+    * contracted component min equals the global min over the merged
+    * member sets, so relabeling is exact: stored labels whose cluster
+    * appears in the contracted result remap to its component min (one
+    * broadcast-sized join over the label column — untouched clusters
+    * pass through unchanged), and contracted nodes that are real doc
+    * ids (batch docs, newly touched corpus docs) take their component
+    * min directly. Output schema and semantics equal a full
+    * re-clustering over corpus ∪ batch edges — q123 pins this against
+    * q62's recursive-CTE oracle, DedupSpec against the operator
+    * itself (cluster merges via a batch bridge included).
+    *
+    * At 100 TB: the expensive loop runs on the contracted graph
+    * (batch-sized); the only corpus-scale work is the narrow label
+    * remap join, and nothing re-reads corpus text or re-shuffles
+    * corpus edges. */
+  def incrementalConnectedComponents(storedLabels: DataFrame,
+      batchCorpusEdges: DataFrame, batchEdges: DataFrame): DataFrame = {
+    val bc = batchCorpusEdges
+      .join(storedLabels.withColumnRenamed("node", "corpus_doc"),
+        Seq("corpus_doc"), "left")
+      .select(col("batch_doc").as("a"),
+        coalesce(col("cluster"), col("corpus_doc")).as("b"))
+    val contracted = bc
+      .unionByName(batchEdges.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val cc = connectedComponents(contracted, "a", "b")
+      .select(col("node").as("cnode"), col("cluster").as("cl"))
+    val remapped = storedLabels
+      .join(cc.withColumnRenamed("cnode", "cluster"), Seq("cluster"), "left")
+      .select(col("node"), coalesce(col("cl"), col("cluster")).as("cluster"))
+    // contracted nodes that are real doc ids, not stored labels: batch
+    // docs and corpus docs that had no corpus-internal edge before
+    val newNodes = cc
+      .join(storedLabels.select(col("cluster").as("cnode")).distinct(),
+        Seq("cnode"), "left_anti")
+      .select(col("cnode").as("node"), col("cl").as("cluster"))
+    remapped.unionByName(newNodes)
+  }
+
   /** [[connectedComponents]] plus its round counts
     * (one-hop rounds run, star-contraction rounds run) — the numbers
     * `ScaleEvidence`'s convergence sweep records.

@@ -362,6 +362,32 @@ object LlmOps {
       Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8))
   }
 
+  /** q62's near-dup clustering brought up to date INCREMENTALLY — the
+    * cluster-maintenance lifecycle ([[graft.operators.Dedup
+    * .incrementalConnectedComponents]]): corpus labels derive from the
+    * persisted sketch tables (no corpus text touched), the ingest
+    * batch (doc_id % 10 = 0) contributes its cross-edges (batch-side
+    * hashing only) and internal edges, and the contracted-graph
+    * relabel runs on a batch-sized graph. The oracle is q62's FULL
+    * whole-table recompute — the incremental path must land on
+    * exactly the same (doc, cluster) decision, merges across
+    * batch bridges included. */
+  private val q123IncrementalClusters: Q = (s, d) => {
+    import s.implicits._
+    val (sh, bands, chunks) = sketchStore(s, d)
+    val stored = Dedup.connectedComponents(
+      Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8),
+      "doc_a", "doc_b")
+    val batch = t(s, d, "documents").filter($"doc_id" % 10 === 0)
+    val bc = Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks, batch,
+      "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+      .select($"batch_doc", $"corpus_doc")
+    val bb = Dedup.multiSketchPairs(batch, "doc_id", "text", threshold = 0.8)
+      .select($"doc_a", $"doc_b")
+    Dedup.incrementalConnectedComponents(stored, bc, bb)
+      .select($"node".as("doc_id"), $"cluster".as("cluster_id"))
+  }
+
   /** q102's SemDeDup decision in its PRODUCTION shape: pairs come from
     * the persisted cosine index alone
     * ([[graft.operators.EmbeddingDedup.cosinePairsWithinStore]]) and
@@ -703,7 +729,8 @@ object LlmOps {
     "q119_curation_stored" -> q119CurationStored,
     "q120_semantic_dedup_stored" -> q120SemanticDedupStored,
     "q121_sketch_accept_probe" -> q121SketchAcceptProbe,
-    "q122_cosine_accept_probe" -> q122CosineAcceptProbe)
+    "q122_cosine_accept_probe" -> q122CosineAcceptProbe,
+    "q123_incremental_clusters" -> q123IncrementalClusters)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
     * sketch-candidate queries (q27 simhash, q28 minhash) must hit
@@ -813,17 +840,12 @@ object LlmOps {
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q62_dedup_clusters" ->
-      s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pj
-         |  UNION ALL SELECT doc_b, doc_a FROM pj),
-         |reach(a, b) AS (
-         |  SELECT DISTINCT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b)
-         |SELECT a AS doc_id, min(b) AS cluster_id
-         |FROM reach GROUP BY a""".stripMargin,
+    "q62_dedup_clusters" -> wholeTableClustersSql,
+    // q123 computes the SAME whole-table clustering incrementally
+    // (stored corpus labels + batch cross/internal edges through the
+    // contracted-graph relabel), so the full-recompute ground truth is
+    // its oracle too — the strongest possible parity check
+    "q123_incremental_clusters" -> wholeTableClustersSql,
     "q29_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
@@ -1008,6 +1030,22 @@ object LlmOps {
          |  ON a.method = m.method AND a.qid = t.qid AND a.nid = t.nid
          |GROUP BY m.method, t.qid""".stripMargin,
     )
+
+  /** Whole-table near-dup clustering ground truth (exact all-pairs
+    * Jaccard >= 0.8, recursive-CTE reachability, min-id labels) —
+    * shared by q62 (computed in one shot) and q123 (computed
+    * incrementally from stored labels + batch edges). */
+  private lazy val wholeTableClustersSql: String =
+    s"""WITH RECURSIVE pj AS ($allPairsJaccardSql),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pj
+       |  UNION ALL SELECT doc_b, doc_a FROM pj),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN reach r ON r.a = e.b)
+       |SELECT a AS doc_id, min(b) AS cluster_id
+       |FROM reach GROUP BY a""".stripMargin
 
   /** The four-gate curation decision recomputed from first principles
     * (exact all-pairs Jaccard, recursive-CTE cluster representatives),

@@ -562,6 +562,37 @@ class DedupSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("incremental CC equals full recompute: merges, new clusters, touched singletons") {
+    val s = spark
+    import s.implicits._
+    // corpus graph: clusters {1,2,3}, {10,11}, {20,21}; corpus docs
+    // 30, 31 have no corpus-internal edge (edge-less, unlabeled)
+    val corpusEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val stored = Dedup.connectedComponents(corpusEdges, "doc_a", "doc_b")
+    // batch 100..104: 100 bridges clusters {1..} and {10,11} (a MERGE),
+    // 101 attaches to previously-unlabeled corpus doc 30, 102-103 form
+    // a batch-only cluster, 104 stays edge-less (must not appear)
+    val bc = Seq((100L, 2L), (100L, 11L), (101L, 30L))
+      .toDF("batch_doc", "corpus_doc")
+    val bb = Seq((102L, 103L)).toDF("doc_a", "doc_b")
+    val incremental = Dedup.incrementalConnectedComponents(stored, bc, bb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(
+      corpusEdges
+        .unionByName(bc.select($"batch_doc".as("doc_a"), $"corpus_doc".as("doc_b")))
+        .unionByName(bb),
+      "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental === full)
+    // spot-check the interesting labels: the bridge merged 1s and 10s
+    assert(incremental.contains((11L, 1L)) && incremental.contains((100L, 1L)))
+    assert(incremental.contains((30L, 30L)) && incremental.contains((101L, 30L)))
+    assert(incremental.contains((102L, 102L)) && incremental.contains((103L, 102L)))
+    assert(incremental.contains((20L, 20L))) // untouched cluster unchanged
+    assert(!incremental.exists(_._1 == 104L)) // edge-less batch doc absent
+  }
+
   test("CacheRegistry: retained frames are cached until releaseAll") {
     val s = spark
     import s.implicits._
