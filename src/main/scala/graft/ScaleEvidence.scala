@@ -324,6 +324,70 @@ object ScaleEvidence {
     }
   }
 
+  /** Incremental cluster maintenance (q123's contract): stored labels
+    * + sketch tables at rest, a FIXED ingest batch (half re-issues of
+    * corpus docs — cross-edges into existing clusters — half novel
+    * twins forming batch-only clusters), incremental relabel vs the
+    * full re-cluster a deployment without the operator runs
+    * (re-sketch everything, CC from scratch). incremental_sec must
+    * stay batch-dominated while full_sec grows with corpus token
+    * volume; path_diff must be 0 (identical labelings). The gate-scale
+    * bench shows the two ~tied (job-scheduling overhead dominates at a
+    * 10:1 corpus:batch ratio) — THIS sweep is the measurement behind
+    * the operator's scale claim. */
+  private def incClusterSweep(spark: SparkSession, corpusNs: Seq[Long],
+      batchN: Long, textTokens: Int): Seq[String] = {
+    import graft.operators.Dedup
+    corpusNs.map { n =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_scale_incclust").toString
+      def writeRead(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$root/$name")
+        spark.read.parquet(s"$root/$name")
+      }
+      def universe = textCorpus(spark, n + batchN, textTokens)
+      val corpusDocs = writeRead(universe.filter(col("doc_id") < n), "docs")
+      val sk = Dedup.corpusSketch(corpusDocs, "doc_id", "text")
+      val sh = writeRead(sk.select("doc", "sh"), "sh")
+      val bands = writeRead(Dedup.explodedBands(sk, 32, 4), "bands")
+      val chunks = writeRead(Dedup.explodedChunks(sk, 8), "chunks")
+      graft.engine.CacheRegistry.releaseAll()
+      val labels = writeRead(Dedup.connectedComponents(
+        Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8),
+        "doc_a", "doc_b"), "labels")
+      graft.engine.CacheRegistry.releaseAll()
+      val batch = universe
+        .filter((col("doc_id") < batchN && pmod(col("doc_id"), lit(2L)) === 0)
+          || (col("doc_id") >= n && col("doc_id") < n + batchN / 2))
+        .select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
+        .persist()
+      batch.count()
+      def incremental = Dedup.incrementalConnectedComponents(labels,
+        Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks, batch,
+          "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+          .select(col("batch_doc"), col("corpus_doc")),
+        Dedup.multiSketchPairs(batch, "doc_id", "text", threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")))
+      def full = Dedup.connectedComponents(
+        Dedup.multiSketchPairs(corpusDocs.unionByName(batch),
+          "doc_id", "text", threshold = 0.8),
+        "doc_a", "doc_b")
+      val incSec = timeNoop(incremental)
+      val fullSec = timeNoop(full, passes = 2)
+      val labeled = incremental.count()
+      val diff = incremental.exceptAll(full).count() +
+        full.exceptAll(incremental).count()
+      graft.engine.CacheRegistry.releaseAll()
+      batch.unpersist(true)
+      deleteRecursively(root)
+      System.err.println(f"[scale-incclust] corpus=$n%7d batch=$batchN " +
+        f"incremental=$incSec%6.2fs full=$fullSec%7.2fs " +
+        f"labeled=$labeled diff=$diff")
+      s"""{"corpus_n":$n,"batch_n":$batchN,"incremental_sec":$incSec,""" +
+        s""""full_sec":$fullSec,"labeled":$labeled,"path_diff":$diff}"""
+    }
+  }
+
   /** Stored-landmark drift probe (q112's contract), FIXED batch vs
     * growing corpus: the landmark index is built ONCE per corpus (the
     * k-center traversal) and each ingest then probes k literal rows —
@@ -615,7 +679,12 @@ object ScaleEvidence {
     val acceptPoints = acceptSweep(spark, acceptNs, acceptBatches,
       incBatch, incTextTokens)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]}}"""
+    val incClustNs = sys.env.getOrElse("SPARK_GRAFT_SCALE_INCCLUST_NS",
+      "65536,262144").split(",").map(_.trim.toLong).toSeq
+    val incClustPoints = incClusterSweep(spark, incClustNs, incBatch,
+      incTextTokens)
+
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]},"incremental_clusters":{"what":"q123's contract: stored labels + sketch tables at rest, fixed ingest batch (half cross-edges into existing clusters, half novel batch-only twins) - incremental relabel vs full re-sketch-and-recluster; incremental_sec batch-dominated, full_sec grows with corpus token volume, path_diff must be 0 (identical labelings)","points":[${incClustPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

@@ -16,9 +16,10 @@ import graft.storage.DurableStores
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
-  * With no store names, all eight families are addressed:
+  * With no store names, all nine families are addressed:
   * nested_bucketed, merged_base, sketch, cosine_index,
-  * kcenter_landmarks, sparse, plus the two mutable ACCEPT-delta
+  * kcenter_landmarks, sparse, clusters (the materialized near-dup
+  * labels q123 maintains), plus the two mutable ACCEPT-delta
   * companions sketch_accept and cosine_accept. `build` is
   * build-if-absent (a no-op when the at-rest store is
   * fingerprint-current); `refresh` drops and rebuilds unconditionally
@@ -48,6 +49,7 @@ object StoreAdmin {
         (() => { graft.queries.LlmOps.sketchAcceptStore(s, d); () }),
       "cosine_accept" ->
         (() => { graft.queries.LlmOps.cosineAcceptStore(s, d); () }),
+      "clusters" -> (() => { graft.queries.LlmOps.clusterStore(s, d); () }),
       "kcenter_landmarks" ->
         (() => { graft.queries.CorpusOps.landmarkStore(s, d); () }),
       "sparse" -> (() => { graft.queries.CorpusOps.sparseStatsStore(s, d); () }))

@@ -362,22 +362,44 @@ object LlmOps {
       Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8))
   }
 
+  /** The ninth store family: the corpus's materialized near-dup
+    * cluster labels (node, cluster = component min id) — q62's
+    * decision at rest, built once from the persisted sketch tables
+    * (no corpus text touched even at build) and probed forever by
+    * the cluster-maintenance lifecycle (q123). Params mirror the
+    * sketch store's sketch constants plus the clustering threshold:
+    * any change invalidates the labels with the layout. */
+  private[graft] def clusterStore(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.{DurableStores, Storage}
+    val tbl = Storage.tableNameFor("graft_corpus_clusters", d)
+    DurableStores.openOrBuild(s, d, "clusters", Seq(tbl),
+        params = "threshold=0.8,k=32,bands=4,chunks=8") { st =>
+      graft.engine.CacheRegistry.withRetained {
+        val (sh, bands, chunks) = sketchStore(s, d)
+        st.appendTable(tbl, Dedup.connectedComponents(
+          Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8),
+          "doc_a", "doc_b"))
+      }
+      Seq(DurableStores.TableMeta.plain(s, tbl))
+    }
+    s.table(tbl)
+  }
+
   /** q62's near-dup clustering brought up to date INCREMENTALLY — the
     * cluster-maintenance lifecycle ([[graft.operators.Dedup
-    * .incrementalConnectedComponents]]): corpus labels derive from the
-    * persisted sketch tables (no corpus text touched), the ingest
-    * batch (doc_id % 10 = 0) contributes its cross-edges (batch-side
-    * hashing only) and internal edges, and the contracted-graph
-    * relabel runs on a batch-sized graph. The oracle is q62's FULL
-    * whole-table recompute — the incremental path must land on
-    * exactly the same (doc, cluster) decision, merges across
-    * batch bridges included. */
+    * .incrementalConnectedComponents]]): corpus labels are read AT
+    * REST ([[clusterStore]] — rebuilding them in-query would bench
+    * mostly the work the operator exists to avoid, the q65/q117
+    * lesson), the ingest batch (doc_id % 10 = 0) contributes its
+    * cross-edges (batch-side hashing only, against the sketch store)
+    * and internal edges, and the contracted-graph relabel runs on a
+    * batch-sized graph. The oracle is q62's FULL whole-table
+    * recompute — the incremental path must land on exactly the same
+    * (doc, cluster) decision, merges across batch bridges included. */
   private val q123IncrementalClusters: Q = (s, d) => {
     import s.implicits._
     val (sh, bands, chunks) = sketchStore(s, d)
-    val stored = Dedup.connectedComponents(
-      Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8),
-      "doc_a", "doc_b")
+    val stored = clusterStore(s, d)
     val batch = t(s, d, "documents").filter($"doc_id" % 10 === 0)
     val bc = Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks, batch,
       "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
