@@ -89,7 +89,9 @@ object ScaleEvidence {
   /** Min of `passes` noop-forced runs: first-run JIT/codegen cost for
     * this pipeline shape is 5–20 s (measured), which would otherwise be
     * billed to whichever size runs first — and this shared machine's
-    * load swings individual passes several-fold. */
+    * load swings individual passes several-fold. Paths being COMPARED
+    * in one sweep must use the same `passes` — asymmetric sampling
+    * biases the min toward the better-sampled path. */
   private def timeNoop(df: => DataFrame, passes: Int = 3): Double =
     (1 to passes).map { _ =>
       val t0 = System.nanoTime()
@@ -97,6 +99,31 @@ object ScaleEvidence {
       graft.engine.CacheRegistry.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }.min
+
+  /** Write `df` to `root/name` and read it back — every sweep's
+    * corpus-side inputs live in PARQUET, not .persist() caches (see
+    * [[incrementalSweep]]'s honest-measurement notes). */
+  private def writeRead(spark: SparkSession, root: String, df: DataFrame,
+      name: String): DataFrame = {
+    df.write.mode("overwrite").parquet(s"$root/$name")
+    spark.read.parquet(s"$root/$name")
+  }
+
+  /** The at-rest sketch-table layout (sh/bands/chunks) for a text
+    * corpus — the corpus side every store-path sweep probes. The
+    * sketch frame is retained once for the three writes, then
+    * released. */
+  private def sketchAtRest(spark: SparkSession, root: String,
+      corpusDocs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.Dedup
+    val sk = graft.engine.CacheRegistry.retain(
+      Dedup.corpusSketch(corpusDocs, "doc_id", "text"))
+    val sh = writeRead(spark, root, sk.select("doc", "sh"), "sh")
+    val bands = writeRead(spark, root, Dedup.explodedBands(sk, 32, 4), "bands")
+    val chunks = writeRead(spark, root, Dedup.explodedChunks(sk, 8), "chunks")
+    graft.engine.CacheRegistry.releaseAll()
+    (sh, bands, chunks)
+  }
 
   /** Deterministic n-doc text corpus with twin near-dups: docs (2j,
     * 2j+1) share an `nTokens`-token body derived from xxhash of their
@@ -156,15 +183,11 @@ object ScaleEvidence {
     // the "store" path into the inline path mid-measurement (observed:
     // store_sec ≈ inline_sec at 1M under persist(), 3× apart from
     // parquet).
-    def writeRead(df: DataFrame, dir: String, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$dir/$name")
-      spark.read.parquet(s"$dir/$name")
-    }
     val textPoints = textSizes.map { n =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_scale_inc_text").toString
       val corpusDocs =
-        writeRead(textCorpus(spark, n, textTokens), root, "docs")
+        writeRead(spark, root, textCorpus(spark, n, textTokens), "docs")
       // the batch duplicates corpus docs 2b and 2b+1 for each batch
       // doc b < batchN (same base-derived body), under fresh ids
       val batch = textCorpus(spark, batchN, textTokens)
@@ -172,11 +195,7 @@ object ScaleEvidence {
         .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
         .persist()
       batch.count()
-      val sk = Dedup.corpusSketch(corpusDocs, "doc_id", "text")
-      val sh = writeRead(sk.select("doc", "sh"), root, "sh")
-      val bands = writeRead(Dedup.explodedBands(sk, 32, 4), root, "bands")
-      val chunks = writeRead(Dedup.explodedChunks(sk, 8), root, "chunks")
-      graft.engine.CacheRegistry.releaseAll() // drop build-time caches
+      val (sh, bands, chunks) = sketchAtRest(spark, root, corpusDocs)
       def stored = Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks,
         batch, "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
       def inline = Dedup.incrementalMinhashPairs(
@@ -204,7 +223,7 @@ object ScaleEvidence {
       // same parquet-at-rest discipline as the text sweep: the inline
       // path re-reads corpus VECTORS and re-indexes; the store path
       // streams the at-rest index tables
-      val emb = writeRead(corpus(spark, sfDir, n, clusters), root, "emb")
+      val emb = writeRead(spark, root, corpus(spark, sfDir, n, clusters), "emb")
       // batch b duplicates corpus vectors 2b/2b+1's shared base jitter
       // (twin construction), re-identified outside the corpus id space
       val batch = corpus(spark, sfDir, batchN, clusters)
@@ -214,8 +233,8 @@ object ScaleEvidence {
       batch.count()
       val idx = EmbeddingDedup.buildCosineIndex(emb, "vec_id", "embedding",
         numCells = clusters)
-      val cents = writeRead(idx.cents, root, "cents")
-      val members = writeRead(EmbeddingDedup.membersOf(idx), root, "members")
+      val cents = writeRead(spark, root, idx.cents, "cents")
+      val members = writeRead(spark, root, EmbeddingDedup.membersOf(idx), "members")
       graft.engine.CacheRegistry.releaseAll() // drop build-time caches
       def stored = EmbeddingDedup.cosinePairsFromStore(cents, members,
         batch, "vec_id", "embedding", threshold = 0.9)
@@ -259,20 +278,13 @@ object ScaleEvidence {
     corpusNs.flatMap { n =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_scale_accept").toString
-      def writeRead(df: DataFrame, name: String): DataFrame = {
-        df.write.mode("overwrite").parquet(s"$root/$name")
-        spark.read.parquet(s"$root/$name")
-      }
       // one deterministic universe: corpus = ids [0, n); accepted batch
       // k = ids [n + k·batchN, n + (k+1)·batchN) — novel bases, twin
       // pairs intact within each range
       def universe = textCorpus(spark, n + nBatches * batchN, textTokens)
-      val corpusDocs = writeRead(universe.filter(col("doc_id") < n), "docs")
-      val sk = Dedup.corpusSketch(corpusDocs, "doc_id", "text")
-      val sh0 = writeRead(sk.select("doc", "sh"), "sh")
-      val bands0 = writeRead(Dedup.explodedBands(sk, 32, 4), "bands")
-      val chunks0 = writeRead(Dedup.explodedChunks(sk, 8), "chunks")
-      graft.engine.CacheRegistry.releaseAll()
+      val corpusDocs =
+        writeRead(spark, root, universe.filter(col("doc_id") < n), "docs")
+      val (sh0, bands0, chunks0) = sketchAtRest(spark, root, corpusDocs)
       val probe = universe
         .filter((col("doc_id") < batchN ||
           (col("doc_id") >= n && col("doc_id") < n + batchN)) &&
@@ -332,8 +344,8 @@ object ScaleEvidence {
     * (re-sketch everything, CC from scratch). incremental_sec must
     * stay batch-dominated while full_sec grows with corpus token
     * volume; path_diff must be 0 (identical labelings). The gate-scale
-    * bench shows the two ~tied (job-scheduling overhead dominates at a
-    * 10:1 corpus:batch ratio) — THIS sweep is the measurement behind
+    * bench difference is modest (job-scheduling overhead dominates at
+    * a 10:1 corpus:batch ratio) — THIS sweep is the measurement behind
     * the operator's scale claim. */
   private def incClusterSweep(spark: SparkSession, corpusNs: Seq[Long],
       batchN: Long, textTokens: Int): Seq[String] = {
@@ -341,18 +353,11 @@ object ScaleEvidence {
     corpusNs.map { n =>
       val root = java.nio.file.Files
         .createTempDirectory("graft_scale_incclust").toString
-      def writeRead(df: DataFrame, name: String): DataFrame = {
-        df.write.mode("overwrite").parquet(s"$root/$name")
-        spark.read.parquet(s"$root/$name")
-      }
       def universe = textCorpus(spark, n + batchN, textTokens)
-      val corpusDocs = writeRead(universe.filter(col("doc_id") < n), "docs")
-      val sk = Dedup.corpusSketch(corpusDocs, "doc_id", "text")
-      val sh = writeRead(sk.select("doc", "sh"), "sh")
-      val bands = writeRead(Dedup.explodedBands(sk, 32, 4), "bands")
-      val chunks = writeRead(Dedup.explodedChunks(sk, 8), "chunks")
-      graft.engine.CacheRegistry.releaseAll()
-      val labels = writeRead(Dedup.connectedComponents(
+      val corpusDocs =
+        writeRead(spark, root, universe.filter(col("doc_id") < n), "docs")
+      val (sh, bands, chunks) = sketchAtRest(spark, root, corpusDocs)
+      val labels = writeRead(spark, root, Dedup.connectedComponents(
         Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8),
         "doc_a", "doc_b"), "labels")
       graft.engine.CacheRegistry.releaseAll()
@@ -372,8 +377,10 @@ object ScaleEvidence {
         Dedup.multiSketchPairs(corpusDocs.unionByName(batch),
           "doc_id", "text", threshold = 0.8),
         "doc_a", "doc_b")
+      // SAME pass count for both paths — asymmetric min-sampling would
+      // bias the committed comparison toward the better-sampled side
       val incSec = timeNoop(incremental)
-      val fullSec = timeNoop(full, passes = 2)
+      val fullSec = timeNoop(full)
       val labeled = incremental.count()
       val diff = incremental.exceptAll(full).count() +
         full.exceptAll(incremental).count()

@@ -25,9 +25,15 @@ import graft.storage.DurableStores
   * fingerprint-current); `refresh` drops and rebuilds unconditionally
   * — run it after intentionally regenerating source data in place
   * with unchanged file sizes AND mtimes (the one shape the
-  * fingerprint cannot see); for the accept families, whose build is
-  * EMPTY delta tables, refresh/drop DISCARDS every accepted batch —
-  * the maintenance step after folding deltas into a rebuilt base.
+  * fingerprint cannot see); a no-arg refresh drops EVERY family first
+  * and rebuilds in dependency order, so derived stores (clusters, the
+  * accept deltas) never rebuild from a stale upstream — `refresh
+  * <family>` with explicit names rebuilds only those, FROM their
+  * current upstreams, and is for parameter changes local to one
+  * family, not for source regeneration. For the accept families,
+  * whose build is EMPTY delta tables, refresh/drop DISCARDS every
+  * accepted batch — the maintenance step after folding deltas into a
+  * rebuilt base.
   * `drop` removes catalog entries, files, and manifest. Root
   * selection: `spark.graft.store.root` conf, `GRAFT_STORE_ROOT` env,
   * else `<warehouse>/graft_stores`.
@@ -35,21 +41,27 @@ import graft.storage.DurableStores
 object StoreAdmin {
 
   /** Store family → an action that ensures it exists (each accessor is
-    * build-if-absent via DurableStores.openOrBuild). */
-  private def builders(s: SparkSession, d: String): Map[String, () => Unit] =
-    Map(
+    * build-if-absent via DurableStores.openOrBuild). ORDERED so that
+    * every derived family appears after its dependency — clusters
+    * builds FROM the sketch tables, the accept deltas assign under
+    * their base store's artifacts — and a no-arg `refresh` (which
+    * drops everything first, then rebuilds in this order) can never
+    * rebuild a derived store from a stale upstream. A Map here would
+    * leave refresh-all correctness to hash iteration order. */
+  private def builders(s: SparkSession, d: String): Seq[(String, () => Unit)] =
+    Seq(
       "nested_bucketed" ->
         (() => { graft.queries.MergeScaleQ.bucketedNested(s, d); () }),
       "merged_base" ->
         (() => { graft.queries.MergeScaleQ.mergedBaseStore(s, d,
           graft.queries.MergeScaleQ.incrementalCutoff); () }),
       "sketch" -> (() => { graft.queries.LlmOps.sketchStore(s, d); () }),
-      "cosine_index" -> (() => { graft.queries.LlmOps.cosineStore(s, d); () }),
       "sketch_accept" ->
         (() => { graft.queries.LlmOps.sketchAcceptStore(s, d); () }),
+      "clusters" -> (() => { graft.queries.LlmOps.clusterStore(s, d); () }),
+      "cosine_index" -> (() => { graft.queries.LlmOps.cosineStore(s, d); () }),
       "cosine_accept" ->
         (() => { graft.queries.LlmOps.cosineAcceptStore(s, d); () }),
-      "clusters" -> (() => { graft.queries.LlmOps.clusterStore(s, d); () }),
       "kcenter_landmarks" ->
         (() => { graft.queries.CorpusOps.landmarkStore(s, d); () }),
       "sparse" -> (() => { graft.queries.CorpusOps.sparseStatsStore(s, d); () }))
@@ -64,25 +76,36 @@ object StoreAdmin {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = builders(spark, dataDir)
-    val targets = if (args.length > 2) args.drop(2).toSeq else all.keys.toSeq
-    targets.foreach { st =>
-      require(all.contains(st),
-        s"unknown store '$st' (know: ${all.keys.toSeq.sorted.mkString(", ")})")
+    val known = all.map(_._1)
+    val requested =
+      if (args.length > 2) args.drop(2).toSeq else known
+    requested.foreach { st =>
+      require(known.contains(st),
+        s"unknown store '$st' (know: ${known.sorted.mkString(", ")})")
     }
+    // always act in declared (dependency) order, whatever order the
+    // user typed the names in
+    val targets = all.filter { case (n, _) => requested.contains(n) }
     cmd match {
       case "build" =>
-        targets.foreach { st =>
-          graft.engine.CacheRegistry.withRetained(all(st)())
+        targets.foreach { case (st, build) =>
+          graft.engine.CacheRegistry.withRetained(build())
           println(s"[store-admin] built-or-current: $st ($dataDir)")
         }
       case "refresh" =>
-        targets.foreach { st =>
+        // drop EVERY requested family first, then rebuild in
+        // dependency order — a derived family (clusters) must never
+        // rebuild against an upstream (sketch) that is about to be
+        // dropped-and-rebuilt itself
+        targets.foreach { case (st, _) =>
           DurableStores.drop(spark, dataDir, st)
-          graft.engine.CacheRegistry.withRetained(all(st)())
+        }
+        targets.foreach { case (st, build) =>
+          graft.engine.CacheRegistry.withRetained(build())
           println(s"[store-admin] refreshed: $st ($dataDir)")
         }
       case "drop" =>
-        targets.foreach { st =>
+        targets.foreach { case (st, _) =>
           DurableStores.drop(spark, dataDir, st)
           println(s"[store-admin] dropped: $st ($dataDir)")
         }
@@ -90,7 +113,7 @@ object StoreAdmin {
         println(s"[store-admin] root: ${DurableStores.root(spark)}")
         println(s"[store-admin] fingerprint($dataDir): " +
           DurableStores.fingerprint(spark, dataDir))
-        all.keys.toSeq.sorted.foreach(st => println(s"[store-admin] family: $st"))
+        known.foreach(st => println(s"[store-admin] family: $st"))
       case other =>
         sys.error(s"unknown command '$other' (build|refresh|drop|list)")
     }

@@ -511,17 +511,29 @@ object Dedup {
     * q62's recursive-CTE oracle, DedupSpec against the operator
     * itself (cluster merges via a batch bridge included).
     *
+    * PRECONDITION: batch ids must be DISJOINT from corpus ids (the
+    * same daily-ingest contract [[incrementalMinhashPairsFromStore]]
+    * documents) — a batch doc sharing an id with a clustered corpus
+    * doc would be emitted twice (once remapped, once as a contracted
+    * node), and one sharing an id with an untouched cluster's LABEL
+    * would hijack that cluster through the remap join. Re-ingesting a
+    * corrected version of an existing doc is an upsert, not an
+    * accept: route it through a refresh.
+    *
     * At 100 TB: the expensive loop runs on the contracted graph
     * (batch-sized); the only corpus-scale work is the narrow label
     * remap join, and nothing re-reads corpus text or re-shuffles
-    * corpus edges. */
+    * corpus edges — in particular the touched-label set used to
+    * separate real-doc nodes from label nodes is collected from the
+    * contraction join itself (batch-adjacency-sized, broadcastable),
+    * never from a corpus-wide distinct. */
   def incrementalConnectedComponents(storedLabels: DataFrame,
       batchCorpusEdges: DataFrame, batchEdges: DataFrame): DataFrame = {
-    val bc = batchCorpusEdges
+    val bc0 = batchCorpusEdges
       .join(storedLabels.withColumnRenamed("node", "corpus_doc"),
         Seq("corpus_doc"), "left")
-      .select(col("batch_doc").as("a"),
-        coalesce(col("cluster"), col("corpus_doc")).as("b"))
+    val bc = bc0.select(col("batch_doc").as("a"),
+      coalesce(col("cluster"), col("corpus_doc")).as("b"))
     val contracted = bc
       .unionByName(batchEdges.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val cc = connectedComponents(contracted, "a", "b")
@@ -530,10 +542,14 @@ object Dedup {
       .join(cc.withColumnRenamed("cnode", "cluster"), Seq("cluster"), "left")
       .select(col("node"), coalesce(col("cl"), col("cluster")).as("cluster"))
     // contracted nodes that are real doc ids, not stored labels: batch
-    // docs and corpus docs that had no corpus-internal edge before
-    val newNodes = cc
-      .join(storedLabels.select(col("cluster").as("cnode")).distinct(),
-        Seq("cnode"), "left_anti")
+    // docs and corpus docs that had no corpus-internal edge before.
+    // Every label in the contracted graph arrived through a bc edge,
+    // so the label set to exclude is exactly the contraction join's
+    // matched clusters — batch-adjacency-sized, NOT a corpus-wide
+    // distinct over the stored labels
+    val touchedLabels = bc0.filter(col("cluster").isNotNull)
+      .select(col("cluster").as("cnode")).distinct()
+    val newNodes = cc.join(touchedLabels, Seq("cnode"), "left_anti")
       .select(col("cnode").as("node"), col("cl").as("cluster"))
     remapped.unionByName(newNodes)
   }

@@ -362,13 +362,19 @@ object LlmOps {
       Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8))
   }
 
-  /** The ninth store family: the corpus's materialized near-dup
-    * cluster labels (node, cluster = component min id) — q62's
-    * decision at rest, built once from the persisted sketch tables
-    * (no corpus text touched even at build) and probed forever by
-    * the cluster-maintenance lifecycle (q123). Params mirror the
-    * sketch store's sketch constants plus the clustering threshold:
-    * any change invalidates the labels with the layout. */
+  /** The ninth store family: the materialized near-dup cluster labels
+    * (node, cluster = component min id) of the SKETCH STORE'S corpus
+    * population (doc_id % 10 <> 0) — q62's clustering SEMANTICS
+    * applied to that subset, NOT q62's whole-table output (q123
+    * reaches the whole-table decision only after folding in the
+    * ingest batch's edges). Built once from the persisted sketch
+    * tables (no corpus text touched even at build) and probed forever
+    * by the cluster-maintenance lifecycle. Params mirror the sketch
+    * store's sketch constants plus the clustering threshold: any
+    * change invalidates the labels with the layout. Depends on the
+    * sketch store — after an in-place source regeneration, refresh
+    * the sketch family before (or together with) this one
+    * ([[graft.StoreAdmin]] refreshes in dependency order). */
   private[graft] def clusterStore(s: SparkSession, d: String): DataFrame = {
     import graft.storage.{DurableStores, Storage}
     val tbl = Storage.tableNameFor("graft_corpus_clusters", d)

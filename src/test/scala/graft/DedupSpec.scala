@@ -576,8 +576,13 @@ class DedupSpec extends AnyFunSuite {
     val bc = Seq((100L, 2L), (100L, 11L), (101L, 30L))
       .toDF("batch_doc", "corpus_doc")
     val bb = Seq((102L, 103L)).toDF("doc_a", "doc_b")
-    val incremental = Dedup.incrementalConnectedComponents(stored, bc, bb)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incrementalRows = Dedup.incrementalConnectedComponents(stored, bc, bb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly one row per node — a set compare alone would hide a
+    // node emitted through both the remap and the new-node branch
+    assert(incrementalRows.size === incrementalRows.toSet.size,
+      "duplicate (node, cluster) rows emitted")
+    val incremental = incrementalRows.toSet
     val full = Dedup.connectedComponents(
       corpusEdges
         .unionByName(bc.select($"batch_doc".as("doc_a"), $"corpus_doc".as("doc_b")))
