@@ -529,9 +529,16 @@ object Dedup {
     * never from a corpus-wide distinct. */
   def incrementalConnectedComponents(storedLabels: DataFrame,
       batchCorpusEdges: DataFrame, batchEdges: DataFrame): DataFrame = {
-    val bc0 = batchCorpusEdges
+    // retained: the contraction join feeds BOTH the contracted edge
+    // list and the touched-label set below, and its upstream (the
+    // batch-corpus edge derivation) is typically the query's most
+    // expensive subtree — without the cache Spark re-evaluates it once
+    // per consumer. Batch-adjacency-sized, registered for
+    // CacheRegistry.releaseAll like sparseTopK's build (callers
+    // release at query boundaries; see CacheRegistry's contract).
+    val bc0 = graft.engine.CacheRegistry.retain(batchCorpusEdges
       .join(storedLabels.withColumnRenamed("node", "corpus_doc"),
-        Seq("corpus_doc"), "left")
+        Seq("corpus_doc"), "left"))
     val bc = bc0.select(col("batch_doc").as("a"),
       coalesce(col("cluster"), col("corpus_doc")).as("b"))
     val contracted = bc
