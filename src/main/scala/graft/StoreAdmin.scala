@@ -59,6 +59,8 @@ object StoreAdmin {
       "sketch_accept" ->
         (() => { graft.queries.LlmOps.sketchAcceptStore(s, d); () }),
       "clusters" -> (() => { graft.queries.LlmOps.clusterStore(s, d); () }),
+      "cluster_accept" ->
+        (() => { graft.queries.LlmOps.clusterAcceptStore(s, d); () }),
       "cosine_index" -> (() => { graft.queries.LlmOps.cosineStore(s, d); () }),
       "cosine_accept" ->
         (() => { graft.queries.LlmOps.cosineAcceptStore(s, d); () }),

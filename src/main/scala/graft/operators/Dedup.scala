@@ -518,7 +518,9 @@ object Dedup {
     * node), and one sharing an id with an untouched cluster's LABEL
     * would hijack that cluster through the remap join. Re-ingesting a
     * corrected version of an existing doc is an upsert, not an
-    * accept: route it through a refresh.
+    * accept: route it through a refresh. ENFORCED: both variants fail
+    * fast on a collision (broadcast semi-join guard in the shared
+    * core; DedupSpec pins the rejection).
     *
     * At 100 TB: the expensive loop runs on the contracted graph
     * (batch-sized); the only corpus-scale work is the narrow label
@@ -529,25 +531,97 @@ object Dedup {
     * never from a corpus-wide distinct. */
   def incrementalConnectedComponents(storedLabels: DataFrame,
       batchCorpusEdges: DataFrame, batchEdges: DataFrame): DataFrame = {
-    // retained: the contraction join feeds BOTH the contracted edge
-    // list and the touched-label set below, and its upstream (the
-    // batch-corpus edge derivation) is typically the query's most
-    // expensive subtree — without the cache Spark re-evaluates it once
-    // per consumer. Batch-adjacency-sized, registered for
-    // CacheRegistry.releaseAll like sparseTopK's build (callers
-    // release at query boundaries; see CacheRegistry's contract).
-    val bc0 = graft.engine.CacheRegistry.retain(batchCorpusEdges
-      .join(storedLabels.withColumnRenamed("node", "corpus_doc"),
-        Seq("corpus_doc"), "left"))
-    val bc = bc0.select(col("batch_doc").as("a"),
-      coalesce(col("cluster"), col("corpus_doc")).as("b"))
-    val contracted = bc
-      .unionByName(batchEdges.select(col("doc_a").as("a"), col("doc_b").as("b")))
-    val cc = connectedComponents(contracted, "a", "b")
-      .select(col("node").as("cnode"), col("cluster").as("cl"))
+    val (cc, touched) =
+      contractedRelabel(storedLabels, batchCorpusEdges, batchEdges)
     val remapped = storedLabels
       .join(cc.withColumnRenamed("cnode", "cluster"), Seq("cluster"), "left")
       .select(col("node"), coalesce(col("cl"), col("cluster")).as("cluster"))
+    val newNodes = cc.join(touched, Seq("cnode"), "left_anti")
+      .select(col("cnode").as("node"), col("cl").as("cluster"))
+    remapped.unionByName(newNodes)
+  }
+
+  /** The LABEL-DELTA form of [[incrementalConnectedComponents]]: only
+    * rows whose label CHANGED (members of clusters a batch edge merged
+    * into a smaller-min component) plus NEW nodes (batch docs and
+    * newly-touched edge-less corpus docs) are emitted — untouched
+    * clusters stay at rest entirely. The full labeling is `stored
+    * labels overridden by delta` (apply deltas latest-batch-wins);
+    * DedupSpec pins delta-applied ≡ the full variant ≡ a from-scratch
+    * [[connectedComponents]] run.
+    *
+    * This is what makes per-batch maintenance cost genuinely
+    * batch-proportional at 100 TB: the full variant's output (and its
+    * store write-back) is corpus-sized per batch, while this delta is
+    * sized by the batch's adjacency — the corpus-scale work left is
+    * one broadcast-inner-join SCAN of the label store (changed-member
+    * lookup; no shuffle, no corpus-wide write), measured in
+    * SCALE_EVIDENCE's incremental_clusters sweep. */
+  def incrementalConnectedComponentsDelta(storedLabels: DataFrame,
+      batchCorpusEdges: DataFrame, batchEdges: DataFrame): DataFrame = {
+    val (cc, touched) =
+      contractedRelabel(storedLabels, batchCorpusEdges, batchEdges)
+    // members of touched clusters whose component min moved: the cc
+    // frame is batch-adjacency-sized, so the lookup broadcasts and the
+    // stored-label side is a narrow scan, not a shuffle
+    val changed = storedLabels
+      .join(broadcast(cc.withColumnRenamed("cnode", "cluster")),
+        Seq("cluster"))
+      .filter(col("cl") =!= col("cluster"))
+      .select(col("node"), col("cl").as("cluster"))
+    val newNodes = cc.join(touched, Seq("cnode"), "left_anti")
+      .select(col("cnode").as("node"), col("cl").as("cluster"))
+    changed.unionByName(newNodes)
+  }
+
+  /** Shared core of the incremental-CC variants: contract batch edges
+    * to stored labels, run CC on the contracted (batch-sized) graph,
+    * and return (contracted labels as (cnode, cl), touched stored
+    * labels as (cnode)). Enforces the id-disjointness PRECONDITION
+    * documented on [[incrementalConnectedComponents]]: batch ids must
+    * not collide with stored nodes (stored labels are component-min
+    * member ids, so the node check covers labels too) — a collision
+    * would silently double-emit the doc or hijack an untouched cluster
+    * through the remap join, so it fails fast instead, naming the
+    * upsert route. */
+  private def contractedRelabel(storedLabels: DataFrame,
+      batchCorpusEdges: DataFrame, batchEdges: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // retained: the contraction join feeds the contracted edge list,
+    // the touched-label set, AND the precondition guard below, and its
+    // upstream (the batch-corpus edge derivation) is typically the
+    // query's most expensive subtree — without the cache Spark
+    // re-evaluates it once per consumer. Batch-adjacency-sized,
+    // registered for CacheRegistry.releaseAll like sparseTopK's build
+    // (callers release at query boundaries; see CacheRegistry's
+    // contract). batchEdges likewise (guard + contracted union).
+    val bc0 = graft.engine.CacheRegistry.retain(batchCorpusEdges
+      .join(storedLabels.withColumnRenamed("node", "corpus_doc"),
+        Seq("corpus_doc"), "left"))
+    val be = graft.engine.CacheRegistry.retain(
+      batchEdges.select(col("doc_a"), col("doc_b")))
+    // the guard's collect is the FIRST action, so it also materializes
+    // both caches for the main pipeline; limit(5) keeps it a bounded
+    // coordinator read (offender sample for the error message)
+    val batchIds = bc0.select(col("batch_doc").as("id"))
+      .unionByName(be.select(col("doc_a").as("id")))
+      .unionByName(be.select(col("doc_b").as("id")))
+      .distinct()
+    val clash = storedLabels
+      .join(broadcast(batchIds), col("node") === col("id"), "left_semi")
+      .select(col("node")).limit(5).collect()
+    require(clash.isEmpty,
+      "incremental CC precondition violated: batch ids " +
+        clash.map(_.get(0)).mkString(", ") +
+        " already exist in the stored labels — re-ingesting an existing doc " +
+        "is an upsert, not an accept; route it through a store refresh " +
+        "(StoreAdmin refresh) instead")
+    val bc = bc0.select(col("batch_doc").as("a"),
+      coalesce(col("cluster"), col("corpus_doc")).as("b"))
+    val contracted = bc
+      .unionByName(be.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val cc = connectedComponents(contracted, "a", "b")
+      .select(col("node").as("cnode"), col("cluster").as("cl"))
     // contracted nodes that are real doc ids, not stored labels: batch
     // docs and corpus docs that had no corpus-internal edge before.
     // Every label in the contracted graph arrived through a bc edge,
@@ -556,9 +630,7 @@ object Dedup {
     // distinct over the stored labels
     val touchedLabels = bc0.filter(col("cluster").isNotNull)
       .select(col("cluster").as("cnode")).distinct()
-    val newNodes = cc.join(touchedLabels, Seq("cnode"), "left_anti")
-      .select(col("cnode").as("node"), col("cl").as("cluster"))
-    remapped.unionByName(newNodes)
+    (cc, touchedLabels)
   }
 
   /** [[connectedComponents]] plus its round counts

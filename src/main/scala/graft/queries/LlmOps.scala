@@ -378,17 +378,113 @@ object LlmOps {
   private[graft] def clusterStore(s: SparkSession, d: String): DataFrame = {
     import graft.storage.{DurableStores, Storage}
     val tbl = Storage.tableNameFor("graft_corpus_clusters", d)
+    // bucketed by node since round 12: the maintenance lifecycle's
+    // label lookups (effective-label override join, delta remaps) then
+    // run bucket-local on the base side — at 100 TB the base labels
+    // are the corpus-sized frame, so this is the join whose Exchange
+    // matters. The layout param invalidates pre-bucketed stores.
     DurableStores.openOrBuild(s, d, "clusters", Seq(tbl),
-        params = "threshold=0.8,k=32,bands=4,chunks=8") { st =>
+        params = "threshold=0.8,k=32,bands=4,chunks=8,layout=bucketed16") { st =>
       graft.engine.CacheRegistry.withRetained {
         val (sh, bands, chunks) = sketchStore(s, d)
-        st.appendTable(tbl, Dedup.connectedComponents(
+        st.appendBucketed(tbl, Dedup.connectedComponents(
           Dedup.multiSketchPairsFromStore(sh, bands, chunks, threshold = 0.8),
-          "doc_a", "doc_b"))
+          "doc_a", "doc_b"), Seq("node"), numBuckets = 16)
       }
-      Seq(DurableStores.TableMeta.plain(s, tbl))
+      Seq(DurableStores.TableMeta.bucketed(s, tbl, Seq("node"), 16))
     }
     s.table(tbl)
+  }
+
+  /** Mutable ACCEPT companion of [[clusterStore]] — the write-back
+    * half of the cluster-maintenance lifecycle (round 11 computed the
+    * relabel but never persisted it, so the ninth family was
+    * read-only): one label-DELTA table (node, cluster, batch_id)
+    * partitioned by batch_id, holding per accepted batch exactly the
+    * rows [[graft.operators.Dedup.incrementalConnectedComponentsDelta]]
+    * emits — changed corpus labels + new nodes. Same
+    * fingerprint-coupled lifecycle and params as the base labels. */
+  private[graft] def clusterAcceptStore(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.{DurableStores, Storage}
+    val tbl = Storage.tableNameFor("graft_clusacc_labels", d)
+    DurableStores.openOrBuild(s, d, "cluster_accept", Seq(tbl),
+        params = "threshold=0.8,k=32,bands=4,chunks=8") { st =>
+      st.appendPartitioned(tbl,
+        clusterStore(s, d).limit(0).withColumn("batch_id", lit("")),
+        Seq("batch_id"))
+      Seq(DurableStores.TableMeta.partitioned(s, tbl, Seq("batch_id")))
+    }
+    s.table(tbl)
+  }
+
+  /** The CURRENT cluster labeling: base labels overridden by the
+    * committed accept deltas, latest batch winning per node (batch ids
+    * are lexicographically monotone in accept order — the daily-ingest
+    * id contract; [[acceptClusterRelabel]] enforces replay semantics
+    * under it). `before` replays the labeling as of just BEFORE that
+    * batch id — what an accept computes its delta against, and what
+    * makes re-accepting a historical batch (followed by re-accepting
+    * every later one, classic log replay) reproduce identical state.
+    * At 100 TB: the base side is bucketed by node, the delta side is
+    * accepted-batches-sized — the override join shuffles only the
+    * deltas. */
+  private[graft] def effectiveClusterLabels(s: SparkSession, d: String,
+      before: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = clusterStore(s, d)
+    val deltas0 = committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
+    val deltas = before.map(b => deltas0.filter(col("batch_id") < b))
+      .getOrElse(deltas0)
+    val latest = deltas
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("batch_id").desc)))
+      .filter(col("rk") === 1)
+      .select(col("node"), col("cluster").as("dcl"))
+    base.join(latest, Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("dcl"), col("cluster")).as("cluster"))
+  }
+
+  /** ACCEPT an ingest batch's cluster relabel: compute the label DELTA
+    * (changed + new labels only —
+    * [[graft.operators.Dedup.incrementalConnectedComponentsDelta]])
+    * against the labeling as of before this batch, write it into the
+    * batch's partition of [[clusterAcceptStore]] with dynamic
+    * overwrite, and commit-mark it. Cross-edges probe the sketch base
+    * plus PRIOR committed sketch-accept batches (batch_id <), so the
+    * two accept families stay in lockstep under one id space — accept
+    * the batch's sketches first ([[acceptSketchBatch]]), then its
+    * relabel. Idempotent under replay: re-accepting batch X recomputes
+    * exactly X's original delta (the `before` cut), then re-accepting
+    * later batches rebuilds theirs. Accept cost is batch-proportional:
+    * batch-side sketching only, a batch-sized contracted CC, and a
+    * broadcast-join scan of the label store. */
+  private[graft] def acceptClusterRelabel(s: SparkSession, d: String,
+      batchId: String, batch: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    import graft.storage.{DurableStores, Storage}
+    clusterAcceptStore(s, d)
+    val (sh, bands, chunks) = sketchStore(s, d)
+    val (ash, abands, achunks) = sketchAcceptStore(s, d)
+    def prior(delta: DataFrame): DataFrame =
+      committedDelta(s, d, "sketch_accept", delta)
+        .filter(col("batch_id") < batchId).drop("batch_id")
+    graft.engine.CacheRegistry.withRetained {
+      val bc = Dedup.incrementalMinhashPairsFromStore(
+        sh.unionByName(prior(ash)), bands.unionByName(prior(abands)),
+        chunks.unionByName(prior(achunks)),
+        batch, idCol, textCol, k = 32, bands = 4, threshold = 0.8)
+        .select(col("batch_doc"), col("corpus_doc"))
+      val bb = Dedup.multiSketchPairs(batch, idCol, textCol, threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val delta = Dedup.incrementalConnectedComponentsDelta(
+        effectiveClusterLabels(s, d, before = Some(batchId)), bc, bb)
+      withDynamicPartitionOverwrite(s) {
+        delta.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .insertInto(Storage.tableNameFor("graft_clusacc_labels", d))
+      }
+    }
+    DurableStores.markBatchCommitted(s, d, "cluster_accept", batchId)
   }
 
   /** q62's near-dup clustering brought up to date INCREMENTALLY — the
@@ -413,6 +509,30 @@ object LlmOps {
     val bb = Dedup.multiSketchPairs(batch, "doc_id", "text", threshold = 0.8)
       .select($"doc_a", $"doc_b")
     Dedup.incrementalConnectedComponents(stored, bc, bb)
+      .select($"node".as("doc_id"), $"cluster".as("cluster_id"))
+  }
+
+  /** q124 — the cluster-maintenance WRITE-BACK lifecycle under the
+    * hard gate (q123 computes the relabel; this gate proves it
+    * PERSISTS and compounds): ingest batch 1 (doc_id % 20 = 0) is
+    * sketch-accepted and its cluster relabel ACCEPTED into the label
+    * delta store; batch 2 (doc_id % 20 = 10) then computes ITS relabel
+    * against the UPDATED labels (base ⊕ batch 1's delta) and is
+    * accepted too. The emitted final labeling — base overridden by
+    * both deltas — must equal DuckDB's full recursive-CTE clustering
+    * over corpus ∪ b1 ∪ b2 (the whole documents table), bridge merges
+    * across both batches included. Per batch, only that batch is ever
+    * sketched; the corpus labels and sketches stay at rest. */
+  private val q124ClusterAcceptProbe: Q = (s, d) => {
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val b1 = docs.filter($"doc_id" % 20 === 0)
+    val b2 = docs.filter($"doc_id" % 20 === 10)
+    acceptSketchBatch(s, d, "b1", b1, "doc_id", "text")
+    acceptClusterRelabel(s, d, "b1", b1, "doc_id", "text")
+    acceptSketchBatch(s, d, "b2", b2, "doc_id", "text")
+    acceptClusterRelabel(s, d, "b2", b2, "doc_id", "text")
+    effectiveClusterLabels(s, d)
       .select($"node".as("doc_id"), $"cluster".as("cluster_id"))
   }
 
@@ -605,15 +725,25 @@ object LlmOps {
     * accepted docs (q121). At scale, accept cost is batch-proportional
     * (the corpus is untouched); when deltas grow large, fold them into
     * the base with `StoreAdmin refresh`. */
-  /** Run `body` with DYNAMIC partition-overwrite semantics: an
-    * overwrite-mode insertInto rewrites only the partitions present in
-    * the written data (the DataFrameWriter-level option of the same
-    * name is not honored by insertInto — only the session conf is). */
-  private def withDynamicPartitionOverwrite[A](s: SparkSession)(body: => A): A = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.get(key)
-    s.conf.set(key, "dynamic")
-    try body finally s.conf.set(key, prev)
+  /** Delegates to [[graft.storage.DurableStores
+    * .withDynamicPartitionOverwrite]] — the session-conf flip is
+    * global, so every accept write in the JVM serializes on its one
+    * lock (two concurrent accepts racing the restore could flip a
+    * still-running overwrite to STATIC mode, a full-table overwrite). */
+  private def withDynamicPartitionOverwrite[A](s: SparkSession)(body: => A): A =
+    graft.storage.DurableStores.withDynamicPartitionOverwrite(s)(body)
+
+  /** `delta` restricted to batches whose accept fully COMMITTED (all
+    * delta tables written, then the marker — DurableStores
+    * .markBatchCommitted): a crashed multi-table accept leaves its
+    * partitions mutually inconsistent, and probing them would silently
+    * drop candidates at the verification join. The committed-id set is
+    * one marker-dir listing, batch-count-sized, applied as an isin
+    * partition filter (pruned scan). */
+  private[graft] def committedDelta(s: SparkSession, d: String,
+      store: String, delta: DataFrame): DataFrame = {
+    val ids = graft.storage.DurableStores.committedBatches(s, d, store)
+    delta.filter(col("batch_id").isin(ids.toSeq: _*))
   }
 
   private[graft] def acceptSketchBatch(s: SparkSession, d: String,
@@ -637,6 +767,11 @@ object LlmOps {
       put(Storage.tableNameFor("graft_sketchacc_chunks", d),
         Dedup.explodedChunks(sk, 8))
     }
+    // marker LAST: the batch becomes visible to probes only once all
+    // three delta tables hold it; a crash above leaves it invisible
+    // until a (partition-idempotent) re-accept heals and commits it
+    graft.storage.DurableStores.markBatchCommitted(
+      s, d, "sketch_accept", batchId)
   }
 
   /** q121 — the full sketch-store ingest LIFECYCLE under the hard
@@ -656,9 +791,11 @@ object LlmOps {
     // the delta scan selects ONLY this gate's accepted batch (a
     // partition-pruned read): the delta tables are durable and
     // accumulate real batches across sessions, and an unrelated
-    // accepted batch must not leak into this oracle's corpus side
+    // accepted batch must not leak into this oracle's corpus side.
+    // COMMITTED batches only — a crashed partial accept is invisible
     def own(delta: DataFrame): DataFrame =
-      delta.filter($"batch_id" === "b1").drop("batch_id")
+      committedDelta(s, d, "sketch_accept", delta)
+        .filter($"batch_id" === "b1").drop("batch_id")
     Dedup.incrementalMinhashPairsFromStore(
       sh.unionByName(own(ash)),
       bands.unionByName(own(abands)),
@@ -710,6 +847,10 @@ object LlmOps {
         .write.mode("overwrite")
         .insertInto(Storage.tableNameFor("graft_cosacc_members", d))
     }
+    // single-table accept, but the same probe-side contract as the
+    // sketch store: only committed batches are probed
+    graft.storage.DurableStores.markBatchCommitted(
+      s, d, "cosine_accept", batchId)
   }
 
   /** q122 — the cosine-index ingest lifecycle under the hard gate:
@@ -725,8 +866,9 @@ object LlmOps {
     acceptCosineBatch(s, d, "b1", emb.filter($"vec_id" % 20 === 0))
     val (cents, members) = cosineStore(s, d)
     // own-batch partition prune, same reasoning as q121: other
-    // sessions' accepted batches must not leak into this oracle
-    val delta = cosineAcceptStore(s, d)
+    // sessions' accepted batches must not leak into this oracle —
+    // and committed batches only
+    val delta = committedDelta(s, d, "cosine_accept", cosineAcceptStore(s, d))
       .filter($"batch_id" === "b1").drop("batch_id")
     EmbeddingDedup.cosinePairsFromStore(cents,
       members.unionByName(delta),
@@ -758,7 +900,8 @@ object LlmOps {
     "q120_semantic_dedup_stored" -> q120SemanticDedupStored,
     "q121_sketch_accept_probe" -> q121SketchAcceptProbe,
     "q122_cosine_accept_probe" -> q122CosineAcceptProbe,
-    "q123_incremental_clusters" -> q123IncrementalClusters)
+    "q123_incremental_clusters" -> q123IncrementalClusters,
+    "q124_cluster_accept_probe" -> q124ClusterAcceptProbe)
 
   /** All-pairs exact n-gram Jaccard >= 0.8 — the ground truth the
     * sketch-candidate queries (q27 simhash, q28 minhash) must hit
@@ -874,6 +1017,9 @@ object LlmOps {
     // contracted-graph relabel), so the full-recompute ground truth is
     // its oracle too — the strongest possible parity check
     "q123_incremental_clusters" -> wholeTableClustersSql,
+    // q124 lands on the same whole-table decision THROUGH the persisted
+    // two-batch accept chain — same full-recompute ground truth
+    "q124_cluster_accept_probe" -> wholeTableClustersSql,
     "q29_ann_lsh" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,

@@ -191,15 +191,35 @@ object DurableStores {
     * the current root's path for it. A same-name table pointing
     * elsewhere is a relic of a different store root earlier in this
     * JVM — serving it would silently answer from the wrong root's
-    * files, so the caller must drop and re-register. */
+    * files, so the caller must drop and re-register. A same-name TEMP
+    * VIEW passes tableExists but has no table metadata
+    * (getTableMetadata throws) — treated as not-registered-here, so
+    * the caller drops the view and re-registers instead of crashing. */
   private def registeredHere(s: SparkSession, st: Storage,
       name: String): Boolean =
     s.catalog.tableExists(name) && {
-      val want = new Path(st.path(name))
-      val loc = new Path(s.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
-      fs(s, want.toString).makeQualified(want) ==
-        fs(s, loc.toString).makeQualified(loc)
+      try {
+        val want = new Path(st.path(name))
+        val loc = new Path(s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+        fs(s, want.toString).makeQualified(want) ==
+          fs(s, loc.toString).makeQualified(loc)
+      } catch {
+        case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+          false
+      }
+    }
+
+  /** Drop whatever the catalog has under `name` — table or (temp)
+    * view. DROP TABLE on a temp view errors in Spark, so the shadowed
+    * case needs the view form. */
+  private def dropRelation(s: SparkSession, name: String): Unit =
+    if (s.catalog.tableExists(name)) {
+      val isView =
+        try s.catalog.getTable(name).tableType == "TEMPORARY"
+        catch { case _: Throwable => false }
+      if (isView) s.sql(s"DROP VIEW `$name`")
+      else s.sql(s"DROP TABLE `$name`")
     }
 
   /** Ensure `store`'s tables (the declared `tableNames`) exist in this
@@ -238,13 +258,22 @@ object DurableStores {
       }
       cached match {
         case Some(tables) =>
-          tables.filterNot(t => registeredHere(s, st, t.name)).foreach { t =>
-            if (s.catalog.tableExists(t.name)) s.sql(s"DROP TABLE `${t.name}`")
-            register(s, st, t)
+          tables.foreach { t =>
+            if (!registeredHere(s, st, t.name)) {
+              dropRelation(s, t.name)
+              register(s, st, t)
+            } else if (t.layout == "partitioned") {
+              // partitions added by ANOTHER process since this JVM
+              // registered the table (cross-process accepts) are
+              // invisible until re-discovered — re-list on every open
+              // so a long-lived probe session sees them; one
+              // partition-dir listing per open, delta-table-sized
+              s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
+            }
           }
         case None =>
           tableNames.foreach { n =>
-            if (s.catalog.tableExists(n)) s.sql(s"DROP TABLE `$n`")
+            dropRelation(s, n)
             fs(s, st.path(n)).delete(new Path(st.path(n)), true)
           }
           val tables = build(st)
@@ -265,10 +294,75 @@ object DurableStores {
   private def dropFiles(s: SparkSession, st: Storage, mp: Path,
       tables: Seq[TableMeta]): Unit = {
     tables.foreach { t =>
-      if (s.catalog.tableExists(t.name)) s.sql(s"DROP TABLE `${t.name}`")
+      dropRelation(s, t.name)
       val f = fs(s, st.path(t.name))
       f.delete(new Path(st.path(t.name)), true)
     }
+    // commit markers live and die with the store's manifest
+    fs(s, mp.toString).delete(markerDir(mp), true)
     fs(s, mp.toString).delete(mp, false)
+  }
+
+  // ---- accept-write serialization + per-batch commit markers --------
+
+  private val dpoLock = new Object
+
+  /** Run `body` with DYNAMIC partition-overwrite semantics (an
+    * overwrite-mode insertInto then rewrites only the partitions
+    * present in the written data; the DataFrameWriter-level option of
+    * the same name is NOT honored by insertInto — only the session
+    * conf is). The conf flip is session-GLOBAL, so all such writes in
+    * the JVM serialize on one lock: two concurrent accepts could
+    * otherwise race the restore, flipping a still-running overwrite
+    * back to static mode — a full-table overwrite that silently
+    * deletes every other accepted batch partition. Cross-PROCESS
+    * accepts on a shared root remain single-writer by deployment
+    * contract (same as store builds — see the class doc). */
+  def withDynamicPartitionOverwrite[A](s: SparkSession)(body: => A): A =
+    dpoLock.synchronized {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "dynamic")
+      try body finally s.conf.set(key, prev)
+    }
+
+  private def markerDir(mp: Path): Path =
+    new Path(mp.getParent, mp.getName.stripSuffix(".meta") + ".accepted")
+
+  /** Record that EVERY delta-table write of `batchId`'s accept
+    * completed. A multi-table accept (sketch: shingles + bands +
+    * chunks) that crashes partway leaves the delta tables mutually
+    * inconsistent for that batch — bands without shingles make probes
+    * silently drop candidates at the verification join. Probes
+    * therefore read only batches listed by [[committedBatches]]; a
+    * crashed accept is invisible until re-accepted (idempotent — the
+    * partition rewrite heals it, then the marker commits it). */
+  def markBatchCommitted(s: SparkSession, dataDir: String, store: String,
+      batchId: String): Unit = {
+    val dir = markerDir(manifestPath(s, store, dataDir))
+    val f = fs(s, dir.toString)
+    f.mkdirs(dir)
+    f.create(new Path(dir, batchId + ".ok"), true).close()
+  }
+
+  /** Batch ids whose accept fully committed — one marker-dir listing. */
+  def committedBatches(s: SparkSession, dataDir: String,
+      store: String): Set[String] = {
+    val dir = markerDir(manifestPath(s, store, dataDir))
+    val f = fs(s, dir.toString)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".ok"))
+      .map(_.stripSuffix(".ok")).toSet
+  }
+
+  /** Forget the commit markers of a store's accepted batches — the
+    * truncate-side bookkeeping of [[graft.StoreAdmin]] compact (the
+    * folded batches live in the base now; their delta partitions and
+    * markers are gone together). */
+  def clearCommittedBatches(s: SparkSession, dataDir: String,
+      store: String): Unit = {
+    val dir = markerDir(manifestPath(s, store, dataDir))
+    fs(s, dir.toString).delete(dir, true)
   }
 }

@@ -598,6 +598,107 @@ class DedupSpec extends AnyFunSuite {
     assert(!incremental.exists(_._1 == 104L)) // edge-less batch doc absent
   }
 
+  // stored labels overridden by one batch's delta (latest-wins is
+  // trivial with a single delta) — the application step
+  // LlmOps.effectiveClusterLabels runs over the persisted store
+  private def applyDelta(stored: org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    stored.join(delta.withColumnRenamed("cluster", "dcl"), Seq("node"), "full_outer")
+      .select(col("node"), coalesce(col("dcl"), col("cluster")).as("cluster"))
+
+  test("label-delta incremental CC: delta-applied equals full; untouched clusters stay at rest") {
+    val s = spark
+    import s.implicits._
+    // same fixture as the full-variant test above
+    val corpusEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val stored = Dedup.connectedComponents(corpusEdges, "doc_a", "doc_b")
+      .localCheckpoint()
+    val bc = Seq((100L, 2L), (100L, 11L), (101L, 30L))
+      .toDF("batch_doc", "corpus_doc")
+    val bb = Seq((102L, 103L)).toDF("doc_a", "doc_b")
+    val deltaRows = Dedup.incrementalConnectedComponentsDelta(stored, bc, bb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(deltaRows.size === deltaRows.toSet.size, "duplicate delta rows")
+    val delta = deltaRows.toSet
+    // the at-rest contract: the untouched cluster {20, 21} must NOT be
+    // in the delta, and neither must already-minimal touched members
+    // whose label did not change (1, 2, 3 keep label 1)
+    assert(!delta.exists(p => p._1 == 20L || p._1 == 21L))
+    assert(!delta.exists(p => p._1 == 1L || p._1 == 2L || p._1 == 3L))
+    // changed members of the merged {10,11} cluster ARE in the delta,
+    // as are the new nodes (batch docs + newly-touched corpus doc 30)
+    assert(delta.contains((10L, 1L)) && delta.contains((11L, 1L)))
+    assert(delta.contains((100L, 1L)) && delta.contains((30L, 30L)))
+    // applied over the stored labels, the delta reproduces the full
+    // variant (and hence the from-scratch recompute that test pins)
+    val applied = applyDelta(stored,
+      Dedup.incrementalConnectedComponentsDelta(stored, bc, bb))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.incrementalConnectedComponents(stored, bc, bb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(applied === full)
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("two-batch delta sequence equals full CC over corpus + both batches") {
+    val s = spark
+    import s.implicits._
+    val corpusEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val stored0 = Dedup.connectedComponents(corpusEdges, "doc_a", "doc_b")
+      .localCheckpoint()
+    // batch 1: 100 merges {1..3} with {10,11}; 102-103 batch-only pair
+    val bc1 = Seq((100L, 2L), (100L, 11L)).toDF("batch_doc", "corpus_doc")
+    val bb1 = Seq((102L, 103L)).toDF("doc_a", "doc_b")
+    val labels1 = applyDelta(stored0,
+      Dedup.incrementalConnectedComponentsDelta(stored0, bc1, bb1))
+      .localCheckpoint()
+    // batch 2: 200 bridges batch-1's {102,103} cluster with corpus
+    // cluster {20,21} — a merge whose endpoints BOTH postdate the
+    // original corpus labels; 201 attaches to the batch-1-merged giant
+    val bc2 = Seq((200L, 103L), (200L, 20L), (201L, 10L))
+      .toDF("batch_doc", "corpus_doc")
+    val bb2 = s.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    val labels2 = applyDelta(labels1,
+      Dedup.incrementalConnectedComponentsDelta(labels1, bc2, bb2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.connectedComponents(
+      corpusEdges
+        .unionByName(bc1.select($"batch_doc".as("doc_a"), $"corpus_doc".as("doc_b")))
+        .unionByName(bb1)
+        .unionByName(bc2.select($"batch_doc".as("doc_a"), $"corpus_doc".as("doc_b"))),
+      "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels2 === full)
+    // the cross-batch bridge merged {102,103,200} with {20,21}:
+    // component min is 20
+    assert(labels2.contains((102L, 20L)) && labels2.contains((21L, 20L)))
+    assert(labels2.contains((201L, 1L))) // attached to the merged giant
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
+  test("incremental CC rejects a batch whose ids collide with stored nodes") {
+    val s = spark
+    import s.implicits._
+    val stored = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .localCheckpoint()
+    // batch doc 10 already exists in the stored labels — an upsert
+    // masquerading as an accept must fail fast, not double-emit
+    val bc = Seq((10L, 2L)).toDF("batch_doc", "corpus_doc")
+    val bb = s.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalConnectedComponentsDelta(stored, bc, bb).collect()
+    }
+    assert(e.getMessage.contains("upsert"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalConnectedComponents(stored, bc, bb).collect()
+    }
+    assert(e2.getMessage.contains("upsert"))
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("CacheRegistry: retained frames are cached until releaseAll") {
     val s = spark
     import s.implicits._

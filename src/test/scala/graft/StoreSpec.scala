@@ -227,6 +227,80 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster relabel write-back: delta-sized store, idempotent replay, effective labels = full CC") {
+    val s = spark
+    import graft.storage.DurableStores
+    try {
+      val labels1 = graft.queries.LlmOps
+        .queries("q124_cluster_accept_probe")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth: one-shot clustering over the whole table (q62)
+      val full = graft.queries.LlmOps.queries("q62_dedup_clusters")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels1 === full)
+      graft.engine.CacheRegistry.releaseAll()
+      // the persisted deltas are label-DELTAS, not full relabels: far
+      // fewer rows than the effective labeling, only batches b1/b2
+      val acc = graft.queries.LlmOps.clusterAcceptStore(s, sf)
+      val accBatches = acc.select("batch_id").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(accBatches.subsetOf(Set("b1", "b2")))
+      val accRows = acc.count()
+      assert(accRows > 0 && accRows < labels1.size,
+        s"accept store holds $accRows rows vs ${labels1.size} labels — " +
+          "deltas should be batch-adjacency-sized, not corpus-sized")
+      // replaying the whole two-batch sequence reproduces identical
+      // store state and answers (log-replay contract)
+      val labels2 = graft.queries.LlmOps
+        .queries("q124_cluster_accept_probe")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels2 === labels1)
+      assert(graft.queries.LlmOps.clusterAcceptStore(s, sf).count() === accRows)
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "cluster_accept")
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("a partial (uncommitted) accept is invisible until its commit marker exists") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    try {
+      // simulate a crash mid-accept: one delta table gets the batch's
+      // rows, the others don't, and no marker is written
+      val (ash, _, _) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
+      val sk = Dedup.corpusSketch(
+        Seq((900009L, "orphan partial batch row")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      DurableStores.withDynamicPartitionOverwrite(s) {
+        sk.select(col("doc"), col("sh"))
+          .withColumn("batch_id", lit("crashed"))
+          .write.mode("overwrite")
+          .insertInto(graft.storage.Storage.tableNameFor(
+            "graft_sketchacc_shingles", sf))
+      }
+      val raw = graft.queries.LlmOps.sketchAcceptStore(s, sf)._1
+      assert(raw.filter(col("batch_id") === "crashed").count() === 1L)
+      // committed view: the crashed batch is filtered out
+      val committed = graft.queries.LlmOps.committedDelta(
+        s, sf, "sketch_accept", raw)
+      assert(committed.filter(col("batch_id") === "crashed").count() === 0L)
+      // once marked committed (what a healing re-accept ends with),
+      // the batch becomes visible
+      DurableStores.markBatchCommitted(s, sf, "sketch_accept", "crashed")
+      assert(graft.queries.LlmOps.committedDelta(s, sf, "sketch_accept",
+        graft.queries.LlmOps.sketchAcceptStore(s, sf)._1)
+        .filter(col("batch_id") === "crashed").count() === 1L)
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
   test("q115 answers from the persisted sparse stats/components; an external batch needs no corpus text") {
     val s = spark
     import s.implicits._
