@@ -13,27 +13,35 @@ import graft.storage.DurableStores
   * Usage:
   *   sbt "runMain graft.StoreAdmin build   <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin refresh <dataDir> [store ...]"
+  *   sbt "runMain graft.StoreAdmin compact <dataDir> [acceptStore ...]"
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
-  * With no store names, all nine families are addressed:
-  * nested_bucketed, merged_base, sketch, cosine_index,
-  * kcenter_landmarks, sparse, clusters (the materialized near-dup
-  * labels q123 maintains), plus the two mutable ACCEPT-delta
-  * companions sketch_accept and cosine_accept. `build` is
-  * build-if-absent (a no-op when the at-rest store is
-  * fingerprint-current); `refresh` drops and rebuilds unconditionally
-  * — run it after intentionally regenerating source data in place
-  * with unchanged file sizes AND mtimes (the one shape the
-  * fingerprint cannot see); a no-arg refresh drops EVERY family first
-  * and rebuilds in dependency order, so derived stores (clusters, the
-  * accept deltas) never rebuild from a stale upstream — `refresh
-  * <family>` with explicit names rebuilds only those, FROM their
-  * current upstreams, and is for parameter changes local to one
-  * family, not for source regeneration. For the accept families,
-  * whose build is EMPTY delta tables, refresh/drop DISCARDS every
-  * accepted batch — the maintenance step after folding deltas into a
-  * rebuilt base.
+  * With no store names, all ten families are addressed: seven
+  * write-once bases — nested_bucketed, merged_base, sketch,
+  * cosine_index, kcenter_landmarks, sparse, clusters (the
+  * materialized near-dup labels q123/q124 maintain) — plus the three
+  * mutable ACCEPT-delta companions sketch_accept, cluster_accept and
+  * cosine_accept. `build` is build-if-absent (a no-op when the
+  * at-rest store is fingerprint-current); `refresh` drops and
+  * rebuilds unconditionally — run it after intentionally regenerating
+  * source data in place with unchanged file sizes AND mtimes (the one
+  * shape the fingerprint cannot see); a no-arg refresh drops EVERY
+  * family first and rebuilds in dependency order, so derived stores
+  * (clusters, the accept deltas) never rebuild from a stale upstream
+  * — `refresh <family>` with explicit names rebuilds only those, FROM
+  * their current upstreams, and is for parameter changes local to one
+  * family, not for source regeneration.
+  *
+  * `compact` FOLDS each accept family's committed delta batches into
+  * its write-once base (base rebuilt from base ∪ deltas under the
+  * same manifest params, deltas + commit markers truncated) — probe
+  * answers are unchanged (StoreSpec) and plans return to a single
+  * base scan. For the accept families, whose build is EMPTY delta
+  * tables, refresh/drop DISCARDS every accepted batch WITHOUT folding
+  * — accepted batches survive a rebuild only if `compact` ran first
+  * (or they are re-accepted afterwards); there is no implicit fold
+  * anywhere else.
   * `drop` removes catalog entries, files, and manifest. Root
   * selection: `spark.graft.store.root` conf, `GRAFT_STORE_ROOT` env,
   * else `<warehouse>/graft_stores`.
@@ -70,7 +78,7 @@ object StoreAdmin {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StoreAdmin build|refresh|drop|list <dataDir> [store ...]")
+      "usage: StoreAdmin build|refresh|compact|drop|list <dataDir> [store ...]")
     val (cmd, dataDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(
@@ -106,6 +114,30 @@ object StoreAdmin {
           graft.engine.CacheRegistry.withRetained(build())
           println(s"[store-admin] refreshed: $st ($dataDir)")
         }
+      case "compact" =>
+        val folders: Seq[(String, () => Boolean)] = Seq(
+          "sketch_accept" ->
+            (() => graft.queries.LlmOps.compactSketchStore(spark, dataDir)),
+          "cluster_accept" ->
+            (() => graft.queries.LlmOps.compactClusterStore(spark, dataDir)),
+          "cosine_accept" ->
+            (() => graft.queries.LlmOps.compactCosineStore(spark, dataDir)))
+        val foldable = folders.map(_._1).toSet
+        val askedAccept =
+          if (args.length > 2) args.drop(2).toSeq else folders.map(_._1)
+        askedAccept.foreach { st =>
+          require(foldable.contains(st),
+            s"'$st' is not an accept family (compactable: " +
+              s"${foldable.toSeq.sorted.mkString(", ")})")
+        }
+        folders.filter { case (n, _) => askedAccept.contains(n) }
+          .foreach { case (st, fold) =>
+            val folded = graft.engine.CacheRegistry.withRetained(fold())
+            println(if (folded)
+              s"[store-admin] compacted: $st ($dataDir)"
+            else
+              s"[store-admin] nothing committed to fold: $st ($dataDir)")
+          }
       case "drop" =>
         targets.foreach { case (st, _) =>
           DurableStores.drop(spark, dataDir, st)
@@ -117,7 +149,7 @@ object StoreAdmin {
           DurableStores.fingerprint(spark, dataDir))
         known.foreach(st => println(s"[store-admin] family: $st"))
       case other =>
-        sys.error(s"unknown command '$other' (build|refresh|drop|list)")
+        sys.error(s"unknown command '$other' (build|refresh|compact|drop|list)")
     }
     spark.stop()
   }

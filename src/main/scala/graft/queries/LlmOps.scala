@@ -384,7 +384,7 @@ object LlmOps {
     // are the corpus-sized frame, so this is the join whose Exchange
     // matters. The layout param invalidates pre-bucketed stores.
     DurableStores.openOrBuild(s, d, "clusters", Seq(tbl),
-        params = "threshold=0.8,k=32,bands=4,chunks=8,layout=bucketed16") { st =>
+        params = clusterParams) { st =>
       graft.engine.CacheRegistry.withRetained {
         val (sh, bands, chunks) = sketchStore(s, d)
         st.appendBucketed(tbl, Dedup.connectedComponents(
@@ -408,7 +408,7 @@ object LlmOps {
     import graft.storage.{DurableStores, Storage}
     val tbl = Storage.tableNameFor("graft_clusacc_labels", d)
     DurableStores.openOrBuild(s, d, "cluster_accept", Seq(tbl),
-        params = "threshold=0.8,k=32,bands=4,chunks=8") { st =>
+        params = clusterAcceptParams) { st =>
       st.appendPartitioned(tbl,
         clusterStore(s, d).limit(0).withColumn("batch_id", lit("")),
         Seq("batch_id"))
@@ -599,6 +599,16 @@ object LlmOps {
     * re-registers the at-rest files, never rebuilds
     * (DurableStoreSpec); the gate proves a later ingest batch needs
     * ONLY these tables, never the corpus text. */
+  // build-params baked into each at-rest layout, shared between the
+  // accessor (build-if-absent) and StoreAdmin compact (fold-rebuild):
+  // the two writers MUST stamp identical params or the next open would
+  // see a mismatch and silently rebuild from source, dropping folds
+  private val sketchParams = "k=32,bands=4,chunks=8,buckets=16"
+  private val sketchAcceptParams = "k=32,bands=4,chunks=8"
+  private val cosineParams = "cells=16"
+  private val clusterParams = "threshold=0.8,k=32,bands=4,chunks=8,layout=bucketed16"
+  private val clusterAcceptParams = "threshold=0.8,k=32,bands=4,chunks=8"
+
   private[graft] def sketchStore(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.storage.{DurableStores, Storage}
@@ -606,7 +616,7 @@ object LlmOps {
     val bandT = Storage.tableNameFor("graft_sketch_bands", d)
     val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
     DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT),
-        params = "k=32,bands=4,chunks=8,buckets=16") { st =>
+        params = sketchParams) { st =>
       graft.engine.CacheRegistry.withRetained {
         val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
           t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
@@ -651,7 +661,7 @@ object LlmOps {
     val centT = Storage.tableNameFor("graft_cosidx_cents", d)
     val memT = Storage.tableNameFor("graft_cosidx_members", d)
     DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT),
-        params = "cells=16") { st =>
+        params = cosineParams) { st =>
       graft.engine.CacheRegistry.withRetained {
         val idx = EmbeddingDedup.buildCosineIndex(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -695,7 +705,7 @@ object LlmOps {
       // same params as the base sketch store: if the base layout
       // constants change and it rebuilds, deltas accepted under the
       // old constants must not survive into the new store's probes
-      Seq(shT, bandT, chunkT), params = "k=32,bands=4,chunks=8") { st =>
+      Seq(shT, bandT, chunkT), params = sketchAcceptParams) { st =>
       val empty = Dedup.corpusSketch(
         t(s, d, "documents").limit(0), "doc_id", "text")
       st.appendPartitioned(shT,
@@ -816,7 +826,7 @@ object LlmOps {
     // cells param mirrors the base cosine store: deltas are assigned
     // under its centroids and must die with them
     DurableStores.openOrBuild(s, d, "cosine_accept", Seq(memT),
-        params = "cells=16") { st =>
+        params = cosineParams) { st =>
       val (cents, _) = cosineStore(s, d)
       st.appendPartitioned(memT,
         EmbeddingDedup.assignToCells(cents,
@@ -874,6 +884,133 @@ object LlmOps {
       members.unionByName(delta),
       emb.filter($"vec_id" % 20 === 10),
       "vec_id", "embedding", threshold = 0.4)
+  }
+
+  // ---- delta COMPACTION (StoreAdmin compact) ----------------------
+  //
+  // Accept deltas accumulate one partition per batch forever; probes
+  // read base ∪ N deltas. Compaction folds the COMMITTED deltas into
+  // the write-once base (rebuild base from base ∪ deltas through a
+  // temp location, re-manifest under the SAME params, truncate the
+  // deltas + their commit markers) so probe plans return to a single
+  // base scan. Probe answers are identical before and after
+  // (StoreSpec). Crash safety: a crash before the base rebuild leaves
+  // the pre-compact state intact (manifest-last semantics — the next
+  // opener rebuilds the base from source, deltas untouched); a crash
+  // AFTER the rebuild but before the delta truncate leaves batches in
+  // both places — re-running compact heals it (the fold dedups on
+  // each table's natural key), which is why compact, like every store
+  // write, is a single-writer admin action. Folding retires the
+  // batches' ids into the corpus: re-accepting one afterwards is an
+  // id collision, answered by the incremental-CC guard / duplicate
+  // rows, so production batch ids must be fresh per ingest.
+
+  private def compactTmp(s: SparkSession, family: String): String =
+    graft.storage.DurableStores.root(s) + s"/_compact/$family"
+
+  private def deleteDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Fold committed sketch-accept batches into the sketch base.
+    * Returns false (no-op) when nothing is committed. */
+  private[graft] def compactSketchStore(s: SparkSession, d: String): Boolean = {
+    import graft.storage.{DurableStores, Storage}
+    if (DurableStores.committedBatches(s, d, "sketch_accept").isEmpty)
+      return false
+    val (sh, bands, chunks) = sketchStore(s, d)
+    val (ash, abands, achunks) = sketchAcceptStore(s, d)
+    val tmp = compactTmp(s, "sketch")
+    def fold(base: DataFrame, delta: DataFrame, keys: Seq[String],
+        name: String): Unit =
+      base.unionByName(
+          committedDelta(s, d, "sketch_accept", delta).drop("batch_id"))
+        .dropDuplicates(keys)
+        .write.mode("overwrite").parquet(s"$tmp/$name")
+    fold(sh, ash, Seq("doc"), "shingles")
+    fold(bands, abands, Seq("doc", "band_id"), "bands")
+    fold(chunks, achunks, Seq("doc", "chunk_idx"), "chunks")
+    val shT = Storage.tableNameFor("graft_sketch_shingles", d)
+    val bandT = Storage.tableNameFor("graft_sketch_bands", d)
+    val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
+    DurableStores.drop(s, d, "sketch")
+    DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT),
+        params = sketchParams) { st =>
+      st.appendBucketed(shT, s.read.parquet(s"$tmp/shingles"),
+        Seq("doc"), numBuckets = 16)
+      st.appendBucketed(bandT, s.read.parquet(s"$tmp/bands"),
+        Seq("band_id", "band_hash"), numBuckets = 16)
+      st.appendBucketed(chunkT, s.read.parquet(s"$tmp/chunks"),
+        Seq("chunk_idx", "chunk_value"), numBuckets = 16)
+      Seq(DurableStores.TableMeta.bucketed(s, shT, Seq("doc"), 16),
+        DurableStores.TableMeta.bucketed(s, bandT,
+          Seq("band_id", "band_hash"), 16),
+        DurableStores.TableMeta.bucketed(s, chunkT,
+          Seq("chunk_idx", "chunk_value"), 16))
+    }
+    DurableStores.drop(s, d, "sketch_accept") // truncate: deltas + markers
+    sketchAcceptStore(s, d)                   // recreate empty
+    deleteDir(s, tmp)
+    true
+  }
+
+  /** Fold committed cosine-accept batches into the cosine index's
+    * member table (centroids unchanged — deltas were assigned under
+    * them, so fold is a pure member union). */
+  private[graft] def compactCosineStore(s: SparkSession, d: String): Boolean = {
+    import graft.storage.{DurableStores, Storage}
+    if (DurableStores.committedBatches(s, d, "cosine_accept").isEmpty)
+      return false
+    val (cents, members) = cosineStore(s, d)
+    val delta = cosineAcceptStore(s, d)
+    val tmp = compactTmp(s, "cosine_index")
+    cents.write.mode("overwrite").parquet(s"$tmp/cents")
+    members.unionByName(
+        committedDelta(s, d, "cosine_accept", delta).drop("batch_id"))
+      .dropDuplicates(Seq("vid"))
+      .write.mode("overwrite").parquet(s"$tmp/members")
+    val centT = Storage.tableNameFor("graft_cosidx_cents", d)
+    val memT = Storage.tableNameFor("graft_cosidx_members", d)
+    DurableStores.drop(s, d, "cosine_index")
+    DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT),
+        params = cosineParams) { st =>
+      st.appendTable(centT, s.read.parquet(s"$tmp/cents"))
+      st.appendPartitioned(memT, s.read.parquet(s"$tmp/members"), Seq("cell"))
+      Seq(DurableStores.TableMeta.plain(s, centT),
+        DurableStores.TableMeta.partitioned(s, memT, Seq("cell")))
+    }
+    DurableStores.drop(s, d, "cosine_accept")
+    cosineAcceptStore(s, d)
+    deleteDir(s, tmp)
+    true
+  }
+
+  /** Fold committed cluster-relabel deltas into the base label table:
+    * the new base IS the effective labeling (base overridden by
+    * deltas, latest batch wins). Fold sketch and cluster families
+    * together when both have accepted the same batches — the folded
+    * corpus sketch and the folded labels then describe the same
+    * population. */
+  private[graft] def compactClusterStore(s: SparkSession, d: String): Boolean = {
+    import graft.storage.{DurableStores, Storage}
+    if (DurableStores.committedBatches(s, d, "cluster_accept").isEmpty)
+      return false
+    val tmp = compactTmp(s, "clusters")
+    effectiveClusterLabels(s, d)
+      .write.mode("overwrite").parquet(s"$tmp/labels")
+    val tbl = Storage.tableNameFor("graft_corpus_clusters", d)
+    DurableStores.drop(s, d, "clusters")
+    DurableStores.openOrBuild(s, d, "clusters", Seq(tbl),
+        params = clusterParams) { st =>
+      st.appendBucketed(tbl, s.read.parquet(s"$tmp/labels"),
+        Seq("node"), numBuckets = 16)
+      Seq(DurableStores.TableMeta.bucketed(s, tbl, Seq("node"), 16))
+    }
+    DurableStores.drop(s, d, "cluster_accept")
+    clusterAcceptStore(s, d)
+    deleteDir(s, tmp)
+    true
   }
 
   val queries: Map[String, Q] = Map(

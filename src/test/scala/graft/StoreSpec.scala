@@ -301,6 +301,106 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch compaction: probes unchanged, deltas truncated, folded doc lives in the base") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    try {
+      val text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1",
+        Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      def probePairs(): Set[(Long, Long, Double)] = {
+        val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
+        val (ash, abands, achunks) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
+        val out = Dedup.incrementalMinhashPairsFromStore(
+          sh.unionByName(ash.drop("batch_id")),
+          bands.unionByName(abands.drop("batch_id")),
+          chunks.unionByName(achunks.drop("batch_id")),
+          Seq((910100L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        graft.engine.CacheRegistry.releaseAll()
+        out
+      }
+      val before = probePairs()
+      assert(before.contains((910100L, 910001L, 1.0)))
+      assert(graft.queries.LlmOps.compactSketchStore(s, sf))
+      // deltas truncated: empty partitions, commit markers cleared
+      assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === 0L)
+      assert(DurableStores.committedBatches(s, sf, "sketch_accept").isEmpty)
+      // identical probe answers from the base alone
+      assert(probePairs() === before)
+      val (sh2, _, _) = graft.queries.LlmOps.sketchStore(s, sf)
+      assert(sh2.filter(col("doc") === 910001L).count() === 1L)
+      // idempotent: nothing left to fold
+      assert(!graft.queries.LlmOps.compactSketchStore(s, sf))
+    } finally {
+      // restore the pristine source-built base for the other specs/gates
+      DurableStores.drop(s, sf, "sketch_accept")
+      DurableStores.drop(s, sf, "sketch")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("cosine compaction: accepted member folded into the base, probe answers unchanged") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.EmbeddingDedup
+    import graft.storage.DurableStores
+    try {
+      val v = Array.tabulate(64)(i => math.cos(i * 5 + 2).toFloat).toSeq
+      graft.queries.LlmOps.acceptCosineBatch(s, sf, "cpt_b1",
+        Seq((910001L, v)).toDF("vec_id", "embedding"))
+      def probePairs(): Set[(Long, Long, Double)] = {
+        val (cents, members) = graft.queries.LlmOps.cosineStore(s, sf)
+        val delta = graft.queries.LlmOps.cosineAcceptStore(s, sf)
+        val out = EmbeddingDedup.cosinePairsFromStore(cents,
+          members.unionByName(delta.drop("batch_id")),
+          Seq((910100L, v)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", threshold = 0.99)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        graft.engine.CacheRegistry.releaseAll()
+        out
+      }
+      val before = probePairs()
+      assert(before.contains((910100L, 910001L, 1.0)))
+      assert(graft.queries.LlmOps.compactCosineStore(s, sf))
+      assert(graft.queries.LlmOps.cosineAcceptStore(s, sf).count() === 0L)
+      assert(probePairs() === before)
+    } finally {
+      DurableStores.drop(s, sf, "cosine_accept")
+      DurableStores.drop(s, sf, "cosine_index")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("cluster compaction: the effective labeling becomes the base; answers unchanged") {
+    val s = spark
+    import graft.storage.DurableStores
+    try {
+      // two-batch accept sequence populates the label deltas
+      graft.queries.LlmOps.queries("q124_cluster_accept_probe")(s, sf)
+        .write.format("noop").mode("overwrite").save()
+      graft.engine.CacheRegistry.releaseAll()
+      val eff = graft.queries.LlmOps.effectiveClusterLabels(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(graft.queries.LlmOps.compactClusterStore(s, sf))
+      assert(graft.queries.LlmOps.clusterAcceptStore(s, sf).count() === 0L)
+      // the base alone now answers with the folded labeling
+      val baseOnly = graft.queries.LlmOps.clusterStore(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(baseOnly === eff)
+      assert(graft.queries.LlmOps.effectiveClusterLabels(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === eff)
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "cluster_accept")
+      DurableStores.drop(s, sf, "clusters")
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
   test("q115 answers from the persisted sparse stats/components; an external batch needs no corpus text") {
     val s = spark
     import s.implicits._
