@@ -56,7 +56,7 @@ object StoreAdmin {
     * drops everything first, then rebuilds in this order) can never
     * rebuild a derived store from a stale upstream. A Map here would
     * leave refresh-all correctness to hash iteration order. */
-  private def builders(s: SparkSession, d: String): Seq[(String, () => Unit)] =
+  private[graft] def builders(s: SparkSession, d: String): Seq[(String, () => Unit)] =
     Seq(
       "nested_bucketed" ->
         (() => { graft.queries.MergeScaleQ.bucketedNested(s, d); () }),

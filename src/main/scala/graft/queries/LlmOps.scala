@@ -429,12 +429,20 @@ object LlmOps {
     * accepted-batches-sized — the override join shuffles only the
     * deltas. */
   private[graft] def effectiveClusterLabels(s: SparkSession, d: String,
-      before: Option[String] = None): DataFrame = {
+      before: Option[String] = None,
+      lineage: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = clusterStore(s, d)
     val deltas0 = committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
-    val deltas = before.map(b => deltas0.filter(col("batch_id") < b))
+    // lineage: restrict to a caller-owned batch-id set — the same
+    // isolation q121/q122 apply with their own-batch partition prunes
+    // (the delta store is durable and shared; a foreign accepted batch
+    // must not leak into an oracle-checked gate's label universe)
+    val deltas1 = lineage
+      .map(ls => deltas0.filter(col("batch_id").isin(ls.toSeq: _*)))
       .getOrElse(deltas0)
+    val deltas = before.map(b => deltas1.filter(col("batch_id") < b))
+      .getOrElse(deltas1)
     val latest = deltas
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("node")).orderBy(col("batch_id").desc)))
@@ -460,14 +468,20 @@ object LlmOps {
     * broadcast-join scan of the label store. */
   private[graft] def acceptClusterRelabel(s: SparkSession, d: String,
       batchId: String, batch: DataFrame, idCol: String,
-      textCol: String): Unit = {
+      textCol: String, lineage: Option[Set[String]] = None): Unit = {
     import graft.storage.{DurableStores, Storage}
     clusterAcceptStore(s, d)
     val (sh, bands, chunks) = sketchStore(s, d)
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
-    def prior(delta: DataFrame): DataFrame =
-      committedDelta(s, d, "sketch_accept", delta)
+    // prior batches in the SAME lineage under this id (lexicographic
+    // monotone contract); the lineage scope keeps an oracle-checked
+    // gate's accept chain deterministic on a shared delta store
+    def prior(delta: DataFrame): DataFrame = {
+      val committed = committedDelta(s, d, "sketch_accept", delta)
+      lineage.map(ls => committed.filter(col("batch_id").isin(ls.toSeq: _*)))
+        .getOrElse(committed)
         .filter(col("batch_id") < batchId).drop("batch_id")
+    }
     graft.engine.CacheRegistry.withRetained {
       val bc = Dedup.incrementalMinhashPairsFromStore(
         sh.unionByName(prior(ash)), bands.unionByName(prior(abands)),
@@ -477,7 +491,8 @@ object LlmOps {
       val bb = Dedup.multiSketchPairs(batch, idCol, textCol, threshold = 0.8)
         .select(col("doc_a"), col("doc_b"))
       val delta = Dedup.incrementalConnectedComponentsDelta(
-        effectiveClusterLabels(s, d, before = Some(batchId)), bc, bb)
+        effectiveClusterLabels(s, d, before = Some(batchId),
+          lineage = lineage), bc, bb)
       withDynamicPartitionOverwrite(s) {
         delta.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
@@ -528,11 +543,15 @@ object LlmOps {
     val docs = t(s, d, "documents")
     val b1 = docs.filter($"doc_id" % 20 === 0)
     val b2 = docs.filter($"doc_id" % 20 === 10)
+    // lineage scope: this gate's label universe is its own two
+    // batches — foreign batches accepted into the shared delta store
+    // by other sessions must not leak into the oracle compare
+    val own = Some(Set("b1", "b2"))
     acceptSketchBatch(s, d, "b1", b1, "doc_id", "text")
-    acceptClusterRelabel(s, d, "b1", b1, "doc_id", "text")
+    acceptClusterRelabel(s, d, "b1", b1, "doc_id", "text", lineage = own)
     acceptSketchBatch(s, d, "b2", b2, "doc_id", "text")
-    acceptClusterRelabel(s, d, "b2", b2, "doc_id", "text")
-    effectiveClusterLabels(s, d)
+    acceptClusterRelabel(s, d, "b2", b2, "doc_id", "text", lineage = own)
+    effectiveClusterLabels(s, d, lineage = own)
       .select($"node".as("doc_id"), $"cluster".as("cluster_id"))
   }
 

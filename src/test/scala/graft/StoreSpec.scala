@@ -257,6 +257,28 @@ class StoreSpec extends AnyFunSuite {
       assert(labels2 === labels1)
       assert(graft.queries.LlmOps.clusterAcceptStore(s, sf).count() === accRows)
       graft.engine.CacheRegistry.releaseAll()
+      // a FOREIGN batch accepted into the shared delta store (ids
+      // sorting before AND after the gate's own) must not leak into
+      // the gate's lineage-scoped label universe
+      import s.implicits._
+      for (foreign <- Seq("a_foreign", "zz_foreign")) {
+        graft.queries.LlmOps.acceptSketchBatch(s, sf, foreign,
+          Seq((920001L, "an island document shared with nobody else at all"),
+            (920002L, "an island document shared with nobody else at all"))
+            .toDF("doc_id", "text"), "doc_id", "text")
+        graft.queries.LlmOps.acceptClusterRelabel(s, sf, foreign,
+          Seq((920001L, "an island document shared with nobody else at all"),
+            (920002L, "an island document shared with nobody else at all"))
+            .toDF("doc_id", "text"), "doc_id", "text",
+          lineage = Some(Set(foreign)))
+        graft.engine.CacheRegistry.releaseAll()
+      }
+      val labels3 = graft.queries.LlmOps
+        .queries("q124_cluster_accept_probe")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels3 === labels1,
+        "foreign accepted batches leaked into q124's label universe")
+      graft.engine.CacheRegistry.releaseAll()
     } finally {
       DurableStores.drop(s, sf, "cluster_accept")
       DurableStores.drop(s, sf, "sketch_accept")
