@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Evidence main for the cross-PROCESS accept→probe→compact chain
+  * recorded in STORE_DURABILITY.json. Each invocation is one JVM
+  * phase against a shared `GRAFT_STORE_ROOT`:
+  *
+  *   accept  <dataDir> — accept a fixed evidence batch (batch id
+  *                       "dur_b1": a twin pair of documents with text
+  *                       that exists nowhere in the corpus, plus one
+  *                       embedding) into the sketch, cluster-label and
+  *                       cosine accept stores.
+  *   probe   <dataDir> — WITHOUT accepting anything, probe all three
+  *                       stores for the accepted rows from a cold
+  *                       catalog and print one JSON line of answers —
+  *                       a later JVM proving it sees an earlier JVM's
+  *                       accept purely from at-rest files + markers.
+  *   compact <dataDir> — fold every committed delta into the bases
+  *                       (StoreAdmin compact semantics), then run the
+  *                       SAME probe: its JSON must equal the
+  *                       pre-compact probe's byte for byte.
+  *
+  * The probe texts/vectors are unique to this chain, and the probes
+  * partition-prune to the chain's own batch id, so gate batches
+  * accepted by an interleaved Verify run neither affect these answers
+  * nor are affected by them (the same lineage isolation q121/q122/q124
+  * use). */
+object StoreChain {
+
+  private val bid = "dur_b1"
+  private val txt = "durability evidence twin document with a " +
+    "deliberately unique phrase xyzzy plugh quux"
+  private def vec: Seq[Float] =
+    Array.tabulate(64)(i => math.sin(i * 7 + 3).toFloat).toSeq
+
+  def main(args: Array[String]): Unit = {
+    val Array(phase, dataDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def docs: DataFrame =
+      Seq((990000001L, txt), (990000002L, txt)).toDF("doc_id", "text")
+    phase match {
+      case "accept" =>
+        graft.engine.CacheRegistry.withRetained {
+          queries.LlmOps.acceptSketchBatch(spark, dataDir, bid,
+            docs, "doc_id", "text")
+          queries.LlmOps.acceptClusterRelabel(spark, dataDir, bid,
+            docs, "doc_id", "text", lineage = Some(Set(bid)))
+          queries.LlmOps.acceptCosineBatch(spark, dataDir, bid,
+            Seq((990000001L, vec)).toDF("vec_id", "embedding"))
+        }
+        println(s"""{"phase":"accept","batch":"$bid"}""")
+      case "probe" | "compact" =>
+        if (phase == "compact") graft.engine.CacheRegistry.withRetained {
+          queries.LlmOps.compactSketchStore(spark, dataDir)
+          queries.LlmOps.compactClusterStore(spark, dataDir)
+          queries.LlmOps.compactCosineStore(spark, dataDir)
+        }
+        val (sp, cp, cl) = graft.engine.CacheRegistry.withRetained {
+          import graft.operators.{Dedup, EmbeddingDedup}
+          val (sh, bands, chunks) = queries.LlmOps.sketchStore(spark, dataDir)
+          val (ash, abands, achunks) =
+            queries.LlmOps.sketchAcceptStore(spark, dataDir)
+          def own(df: DataFrame): DataFrame =
+            queries.LlmOps.committedDelta(spark, dataDir, "sketch_accept", df)
+              .filter(col("batch_id") === bid).drop("batch_id")
+          val sketchPairs = Dedup.incrementalMinhashPairsFromStore(
+            sh.unionByName(own(ash)), bands.unionByName(own(abands)),
+            chunks.unionByName(own(achunks)),
+            Seq((990000100L, txt)).toDF("doc_id", "text"),
+            "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+            .collect()
+            .map(r => s"[${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}]")
+            .sorted
+          val (cents, members) = queries.LlmOps.cosineStore(spark, dataDir)
+          val cosDelta = queries.LlmOps.committedDelta(spark, dataDir,
+              "cosine_accept", queries.LlmOps.cosineAcceptStore(spark, dataDir))
+            .filter(col("batch_id") === bid).drop("batch_id")
+          val cosinePairs = EmbeddingDedup.cosinePairsFromStore(cents,
+            members.unionByName(cosDelta),
+            Seq((990000100L, vec)).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", threshold = 0.99)
+            .collect()
+            .map(r => s"[${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}]")
+            .sorted
+          val labels = queries.LlmOps.effectiveClusterLabels(spark, dataDir,
+              lineage = Some(Set(bid)))
+            .filter(col("node").isin(990000001L, 990000002L))
+            .collect().map(r => s"[${r.getLong(0)},${r.getLong(1)}]").sorted
+          (sketchPairs, cosinePairs, labels)
+        }
+        println(s"""{"phase":"$phase",""" +
+          s""""sketch_pairs":[${sp.mkString(",")}],""" +
+          s""""cosine_pairs":[${cp.mkString(",")}],""" +
+          s""""cluster_labels":[${cl.mkString(",")}]}""")
+      case other => sys.error(s"unknown phase '$other' (accept|probe|compact)")
+    }
+    spark.stop()
+  }
+}
