@@ -70,6 +70,7 @@ object Bench {
     // persisted incremental base
     "q55_merge_scale", "q83_merge_scale_bucketed",
     "q65_incremental_merge", "q117_incremental_merge_stored",
+    "q125_merge_accept_probe",
     // curation + semantic dedup: inline vs stored-index
     "q67_curation", "q119_curation_stored",
     "q102_semantic_dedup", "q120_semantic_dedup_stored",
@@ -98,7 +99,6 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
     val queryCapSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_CAP_SEC", "60").toDouble
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
@@ -122,7 +122,19 @@ object Bench {
     // 100-query sweep; it bypasses the headline filter.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "headline")
+    // an ONLY-filtered dev run reports mode "only" — its artifact must
+    // not be mistakable for an official headline/all measurement
+    val mode =
+      if (only.isDefined) "only"
+      else sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "headline")
+    // default artifact path follows the mode: a default (headline)
+    // invocation must not clobber the committed full-sweep artifact,
+    // and a dev ONLY run must not clobber either official file
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", mode match {
+      case "all"      => "BENCH_FULL_latest.json"
+      case "headline" => "BENCH_HEADLINE_latest.json"
+      case _          => "/tmp/BENCH_ONLY_latest.json"
+    })
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .filter { case (n, _) =>

@@ -356,13 +356,4 @@ object DurableStores {
       .map(_.stripSuffix(".ok")).toSet
   }
 
-  /** Forget the commit markers of a store's accepted batches — the
-    * truncate-side bookkeeping of [[graft.StoreAdmin]] compact (the
-    * folded batches live in the base now; their delta partitions and
-    * markers are gone together). */
-  def clearCommittedBatches(s: SparkSession, dataDir: String,
-      store: String): Unit = {
-    val dir = markerDir(manifestPath(s, store, dataDir))
-    fs(s, dir.toString).delete(dir, true)
-  }
 }
