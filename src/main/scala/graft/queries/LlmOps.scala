@@ -775,11 +775,39 @@ object LlmOps {
     delta.filter(col("batch_id").isin(ids.toSeq: _*))
   }
 
+  /** Fail-fast id guard shared by the sketch and cosine accept verbs:
+    * once `StoreAdmin compact` folds a batch into the write-once
+    * base, its ids are corpus ids — re-accepting them would duplicate
+    * every row for those docs in probes' base ∪ delta union (doubled
+    * shingle/band/member rows mean silently wrong jaccard and cosine
+    * answers, not an error). The cluster family already fails fast
+    * through the incremental-CC precondition guard; this is the same
+    * contract for the other two accept families. Re-accepting an
+    * UNcompacted batch stays legal (partition-idempotent crash
+    * healing): the guard checks the BASE only, never the deltas.
+    * Cost per accept: one pruned single-column scan of the base id
+    * column against a batch-sized broadcast. */
+  private[graft] def requireFreshBatchIds(base: DataFrame, idCol: String,
+      batchIds: DataFrame, family: String): Unit = {
+    val clash = base
+      .join(broadcast(batchIds), base(idCol) === batchIds("id"), "left_semi")
+      .select(col(idCol)).limit(5).collect()
+    require(clash.isEmpty,
+      s"$family accept precondition violated: batch ids " +
+        clash.map(_.get(0)).mkString(", ") +
+        s" already exist in the $family base (corpus or previously " +
+        "compacted ids) — re-ingesting an existing doc is an upsert, " +
+        "not an accept; rebuild the store (StoreAdmin refresh) instead")
+  }
+
   private[graft] def acceptSketchBatch(s: SparkSession, d: String,
       batchId: String, batch: DataFrame, idCol: String,
       textCol: String): Unit = {
     import graft.storage.Storage
     sketchAcceptStore(s, d)
+    val (baseSh, _, _) = sketchStore(s, d)
+    requireFreshBatchIds(baseSh, "doc",
+      batch.select(col(idCol).as("id")).distinct(), "sketch")
     graft.engine.CacheRegistry.withRetained {
       val sk = graft.engine.CacheRegistry.retain(
         Dedup.corpusSketch(batch.select(col(idCol), col(textCol)),
@@ -869,7 +897,9 @@ object LlmOps {
     import graft.operators.EmbeddingDedup
     import graft.storage.Storage
     cosineAcceptStore(s, d)
-    val (cents, _) = cosineStore(s, d)
+    val (cents, members) = cosineStore(s, d)
+    requireFreshBatchIds(members, "vid",
+      batch.select(col("vec_id").as("id")).distinct(), "cosine")
     withDynamicPartitionOverwrite(s) {
       EmbeddingDedup.assignToCells(cents, batch, "vec_id", "embedding")
         .withColumn("batch_id", lit(batchId))
@@ -1005,18 +1035,48 @@ object LlmOps {
     true
   }
 
-  /** Fold committed cluster-relabel deltas into the base label table:
-    * the new base IS the effective labeling (base overridden by
-    * deltas, latest batch wins). Fold sketch and cluster families
-    * together when both have accepted the same batches — the folded
-    * corpus sketch and the folded labels then describe the same
-    * population. */
+  /** Fold committed cluster-relabel deltas into the base label table.
+    *
+    * NOT latest-wins: deltas from divergent LINEAGES (each accept is
+    * computed against base ⊕ its own lineage's prior batches — the
+    * isolation q124 and foreign sessions rely on) can disagree per
+    * node, and a per-node latest-wins pick could strand a label in a
+    * phantom cluster (F→10 from one lineage while another relabeled
+    * 10→1) or split a component between two merge decisions —
+    * breaking the invariant that a stored label IS the min id of its
+    * component, which every later contraction remap leans on.
+    * Instead the fold treats EVERY (node, cluster) row — base plus
+    * ALL committed delta rows, superseded or not — as evidence edges
+    * and re-runs connected components over them: merges are monotone
+    * in this model (accepts only ever add docs and merge clusters,
+    * never split), so the union of all accepted merge evidence with
+    * component-min labels is exactly the labeling a global recompute
+    * over every lineage's inputs would produce, and it restores the
+    * invariant by construction. For single-lineage input (no
+    * divergence) it reproduces the effective labeling unchanged —
+    * StoreSpec pins both. Cost: one CC over corpus-sized star edges
+    * (label chains have depth ≤ lineage length, so the min-label
+    * loop converges in a round or two; below the 1M-edge threshold
+    * the driver union-find short-circuit answers it outright) —
+    * admin-verb cost, not probe cost. Fold sketch and cluster
+    * families together when both have accepted the same batches —
+    * the folded corpus sketch and the folded labels then describe
+    * the same population. */
   private[graft] def compactClusterStore(s: SparkSession, d: String): Boolean = {
     import graft.storage.{DurableStores, Storage}
     if (DurableStores.committedBatches(s, d, "cluster_accept").isEmpty)
       return false
     val tmp = compactTmp(s, "clusters")
-    effectiveClusterLabels(s, d)
+    val evidence = clusterStore(s, d).unionByName(
+      committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
+        .select(col("node"), col("cluster")))
+    val cc = Dedup.connectedComponents(evidence, "node", "cluster")
+    // CC drops self-edges, so singleton nodes (node == cluster, no
+    // other evidence) vanish from its output — backfill them from the
+    // evidence node set (their component min is themselves)
+    evidence.select(col("node")).distinct()
+      .join(cc.withColumnRenamed("cluster", "cl"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cl"), col("node")).as("cluster"))
       .write.mode("overwrite").parquet(s"$tmp/labels")
     val tbl = Storage.tableNameFor("graft_corpus_clusters", d)
     DurableStores.drop(s, d, "clusters")
