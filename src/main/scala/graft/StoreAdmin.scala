@@ -17,12 +17,15 @@ import graft.storage.DurableStores
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
-  * With no store names, all ten families are addressed: seven
+  * With no store names, all twelve families are addressed: seven
   * write-once bases — nested_bucketed, merged_base, sketch,
   * cosine_index, kcenter_landmarks, sparse, clusters (the
-  * materialized near-dup labels q123/q124 maintain) — plus the three
-  * mutable ACCEPT-delta companions sketch_accept, cluster_accept and
-  * cosine_accept. `build` is build-if-absent (a no-op when the
+  * materialized near-dup labels q123/q124 maintain) — plus the four
+  * mutable ACCEPT-delta companions merge_accept (q125's write-back
+  * half), sketch_accept, cluster_accept and cosine_accept, and the
+  * merge family's permanent snapshot ingest log merge_log (owns the
+  * merge accepts' commit markers; survives merge_accept compaction
+  * by design). `build` is build-if-absent (a no-op when the
   * at-rest store is fingerprint-current); `refresh` drops and
   * rebuilds unconditionally — run it after intentionally regenerating
   * source data in place with unchanged file sizes AND mtimes (the one
@@ -37,11 +40,15 @@ import graft.storage.DurableStores
   * its write-once base (base rebuilt from base ∪ deltas under the
   * same manifest params, deltas + commit markers truncated) — probe
   * answers are unchanged (StoreSpec) and plans return to a single
-  * base scan. For the accept families, whose build is EMPTY delta
-  * tables, refresh/drop DISCARDS every accepted batch WITHOUT folding
-  * — accepted batches survive a rebuild only if `compact` ran first
-  * (or they are re-accepted afterwards); there is no implicit fold
-  * anywhere else.
+  * base scan. Retention contract, stated plainly: refresh/drop of an
+  * accept family DISCARDS its delta batches without folding, and a
+  * refresh of a BASE family rebuilds that base FROM SOURCE TABLES —
+  * so batches previously folded in by `compact` are discarded too if
+  * their docs are not in the sources. Compact protects accepts from
+  * delta truncation only; nothing survives a base rebuild except
+  * what the sources contain. After any refresh, externally-ingested
+  * batches must be re-accepted (their ids are fresh again — the
+  * accept-path id guards allow it once the fold is gone).
   * `drop` removes catalog entries, files, and manifest. Root
   * selection: `spark.graft.store.root` conf, `GRAFT_STORE_ROOT` env,
   * else `<warehouse>/graft_stores`.
@@ -63,6 +70,10 @@ object StoreAdmin {
       "merged_base" ->
         (() => { graft.queries.MergeScaleQ.mergedBaseStore(s, d,
           graft.queries.MergeScaleQ.incrementalCutoff); () }),
+      "merge_log" ->
+        (() => { graft.queries.MergeScaleQ.mergeAcceptStore(s, d); () }),
+      "merge_accept" ->
+        (() => { graft.queries.MergeScaleQ.mergeAcceptStore(s, d); () }),
       "sketch" -> (() => { graft.queries.LlmOps.sketchStore(s, d); () }),
       "sketch_accept" ->
         (() => { graft.queries.LlmOps.sketchAcceptStore(s, d); () }),
@@ -116,6 +127,8 @@ object StoreAdmin {
         }
       case "compact" =>
         val folders: Seq[(String, () => Boolean)] = Seq(
+          "merge_accept" ->
+            (() => graft.queries.MergeScaleQ.compactMergeStore(spark, dataDir)),
           "sketch_accept" ->
             (() => graft.queries.LlmOps.compactSketchStore(spark, dataDir)),
           "cluster_accept" ->

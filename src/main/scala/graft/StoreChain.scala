@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *
   *   accept  <dataDir> — accept a fixed evidence batch (batch id
   *                       "dur_b1": a twin pair of documents with text
-  *                       that exists nowhere in the corpus, plus one
-  *                       embedding) into the sketch, cluster-label and
-  *                       cosine accept stores.
-  *   probe   <dataDir> — WITHOUT accepting anything, probe all three
+  *                       that exists nowhere in the corpus, one
+  *                       embedding, and one nested snapshot for a new
+  *                       merge entity) into the sketch, cluster-label,
+  *                       cosine and merge accept stores.
+  *   probe   <dataDir> — WITHOUT accepting anything, probe all four
   *                       stores for the accepted rows from a cold
   *                       catalog and print one JSON line of answers —
   *                       a later JVM proving it sees an earlier JVM's
@@ -35,7 +36,23 @@ object StoreChain {
   private def vec: Seq[Float] =
     Array.tabulate(64)(i => math.sin(i * 7 + 3).toFloat).toSeq
 
+  /** One nested snapshot for a NEW entity, chain-unique ids — the
+    * merge family's evidence batch. Schema borrowed from a real
+    * store row so the heavyweight nested children types stay exact. */
+  private def mergeBatch(s: SparkSession, d: String): DataFrame =
+    queries.MergeScaleQ.bucketedNested(s, d)
+      .orderBy("submission_snapshot_id").limit(1)
+      .withColumn("submission_snapshot_id", lit(990000001L))
+      .withColumn("site_submission_id", lit("dur_entity"))
+      .withColumn("title", lit("durability merge title"))
+      .withColumn("scan_datetime", lit("2002-01-01").cast("timestamp"))
+
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println(
+        "usage: runMain graft.StoreChain <accept|probe|compact> <dataDir>")
+      sys.exit(2)
+    }
     val Array(phase, dataDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(
@@ -54,15 +71,18 @@ object StoreChain {
             docs, "doc_id", "text", lineage = Some(Set(bid)))
           queries.LlmOps.acceptCosineBatch(spark, dataDir, bid,
             Seq((990000001L, vec)).toDF("vec_id", "embedding"))
+          queries.MergeScaleQ.acceptMergeBatch(spark, dataDir, bid,
+            mergeBatch(spark, dataDir), lineage = Some(Set(bid)))
         }
         println(s"""{"phase":"accept","batch":"$bid"}""")
       case "probe" | "compact" =>
         if (phase == "compact") graft.engine.CacheRegistry.withRetained {
+          queries.MergeScaleQ.compactMergeStore(spark, dataDir)
           queries.LlmOps.compactSketchStore(spark, dataDir)
           queries.LlmOps.compactClusterStore(spark, dataDir)
           queries.LlmOps.compactCosineStore(spark, dataDir)
         }
-        val (sp, cp, cl) = graft.engine.CacheRegistry.withRetained {
+        val (sp, cp, cl, mg) = graft.engine.CacheRegistry.withRetained {
           import graft.operators.{Dedup, EmbeddingDedup}
           val (sh, bands, chunks) = queries.LlmOps.sketchStore(spark, dataDir)
           val (ash, abands, achunks) =
@@ -93,12 +113,21 @@ object StoreChain {
               lineage = Some(Set(bid)))
             .filter(col("node").isin(990000001L, 990000002L))
             .collect().map(r => s"[${r.getLong(0)},${r.getLong(1)}]").sorted
-          (sketchPairs, cosinePairs, labels)
+          val mergedRows = queries.MergeScaleQ.effectiveMerged(spark, dataDir,
+              lineage = Some(Set(bid)))
+            .filter(col("site_submission_id") === "dur_entity")
+            .select(col("site_submission_id"), col("snapshot_count"),
+              col("title"))
+            .collect()
+            .map(r => s"""["${r.getString(0)}",${r.getLong(1)},"${r.getString(2)}"]""")
+            .sorted
+          (sketchPairs, cosinePairs, labels, mergedRows)
         }
         println(s"""{"phase":"$phase",""" +
           s""""sketch_pairs":[${sp.mkString(",")}],""" +
           s""""cosine_pairs":[${cp.mkString(",")}],""" +
-          s""""cluster_labels":[${cl.mkString(",")}]}""")
+          s""""cluster_labels":[${cl.mkString(",")}],""" +
+          s""""merged_rows":[${mg.mkString(",")}]}""")
       case other => sys.error(s"unknown phase '$other' (accept|probe|compact)")
     }
     spark.stop()

@@ -197,11 +197,235 @@ object MergeScaleQ {
       mergedBaseStore(s, d, incrementalCutoff), nested, newBatch))
   }
 
+  // ---- merge-family ACCEPT lifecycle (q125) --------------------------
+  //
+  // q117 reads the persisted merged base but its incremental result
+  // evaporates — the same computed-but-never-persisted gap the cluster
+  // family closed with acceptClusterRelabel/q124. This is the merge
+  // family's write-back half: an ingest batch's raw snapshots AND the
+  // re-merged rows of the entities it touched are accepted into
+  // batch_id-partitioned delta tables; the CURRENT merged table is the
+  // base with touched entities overridden by their latest accepted
+  // re-merge. Snapshots are the ground truth the compact fold
+  // recomputes from, so divergent lineages can never strand a merged
+  // row the way per-entity latest-wins alone could.
+
+  /** Mutable ACCEPT companion of [[mergedBaseStore]]: two delta
+    * tables partitioned by batch_id, in two SEPARATE store families
+    * whose split is the retention contract. `merge_log` holds the
+    * batch's raw nested snapshots — the permanent append-only ingest
+    * log (the bronze layer at 100 TB) later accepts and compact folds
+    * re-merge from — and OWNS the commit markers, because a batch's
+    * visibility must outlive any fold of its derived rows.
+    * `merge_accept` holds the re-merged rows of the entities each
+    * batch touched; it is the foldable half compact drops and
+    * recreates. Both share [[mergedBaseStore]]'s params. */
+  private[graft] def mergeAcceptStore(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import graft.storage.{DurableStores, Storage}
+    val snapsT = Storage.tableNameFor("graft_mrgacc_snaps", d)
+    val mergedT = Storage.tableNameFor("graft_mrgacc_merged", d)
+    lazy val empty = bucketedNested(s, d).limit(0)
+    DurableStores.openOrBuild(s, d, "merge_log", Seq(snapsT),
+        params = s"cutoff=$incrementalCutoff,buckets=32") { st =>
+      st.appendPartitioned(snapsT,
+        empty.withColumn("batch_id", lit("")), Seq("batch_id"))
+      Seq(DurableStores.TableMeta.partitioned(s, snapsT, Seq("batch_id")))
+    }
+    DurableStores.openOrBuild(s, d, "merge_accept", Seq(mergedT),
+        params = s"cutoff=$incrementalCutoff,buckets=32") { st =>
+      st.appendPartitioned(mergedT,
+        Merge.mergeSubmissions(empty).withColumn("batch_id", lit("")),
+        Seq("batch_id"))
+      Seq(DurableStores.TableMeta.partitioned(s, mergedT, Seq("batch_id")))
+    }
+    (s.table(snapsT), s.table(mergedT))
+  }
+
+  /** COMMITTED delta rows (markers live with the `merge_log` store),
+    * optionally lineage-scoped and replayed as of just before a batch
+    * id — the same scoping contract as
+    * [[LlmOps.effectiveClusterLabels]]. */
+  private def scopedMergeDelta(s: SparkSession, d: String, delta: DataFrame,
+      before: Option[String], lineage: Option[Set[String]]): DataFrame = {
+    val committed = LlmOps.committedDelta(s, d, "merge_log", delta)
+    val scoped = lineage
+      .map(ls => committed.filter(col("batch_id").isin(ls.toSeq: _*)))
+      .getOrElse(committed)
+    before.map(b => scoped.filter(col("batch_id") < b)).getOrElse(scoped)
+  }
+
+  private val entityKeys = Seq("website_id", "site_submission_id")
+
+  /** The CURRENT merged table: [[mergedBaseStore]] with every entity
+    * present in a committed accept delta overridden by its LATEST
+    * accepted re-merge (batch ids lexicographically monotone in accept
+    * order — the same id contract as the cluster deltas). At 100 TB
+    * the base side is bucketed by the entity key and the override side
+    * is accepted-batches-sized: the anti join and the union shuffle
+    * only the deltas. */
+  private[graft] def effectiveMerged(s: SparkSession, d: String,
+      before: Option[String] = None,
+      lineage: Option[Set[String]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = mergedBaseStore(s, d, incrementalCutoff)
+    val (_, mergedD) = mergeAcceptStore(s, d)
+    val latest = scopedMergeDelta(s, d, mergedD, before, lineage)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(entityKeys.map(col): _*)
+          .orderBy(col("batch_id").desc)))
+      .filter(col("rk") === 1).drop("rk", "batch_id")
+    base.join(latest.select(entityKeys.head, entityKeys.tail: _*),
+        entityKeys, "left_anti")
+      .unionByName(latest)
+  }
+
+  /** Pre-cutoff nested history — what [[mergedBaseStore]] merged, and
+    * therefore the id universe an accepted batch must be disjoint
+    * from. (bucketedNested also holds the post-cutoff rows the GATES
+    * use as their ingest batches — a testdata artifact; in production
+    * the nested store holds exactly the ingested history.) */
+  private def baseHistory(s: SparkSession, d: String): DataFrame =
+    bucketedNested(s, d).filter(
+      col("scan_datetime") <= lit(incrementalCutoff).cast("timestamp"))
+
+  /** ACCEPT an ingest batch of nested snapshots: guard the snapshot
+    * ids against the base history plus EVERY other committed accept (a
+    * doubled snapshot would silently double M8 snapshot counts —
+    * the guard spans lineages and survives compaction because the
+    * snapshot deltas are a permanent ingest log, see
+    * [[compactMergeStore]]), re-merge the touched entities over base
+    * history ∪ prior accepted snapshots ∪ the batch, and write BOTH
+    * the raw snapshots and the re-merged rows into the batch's
+    * partitions, commit-marked last. Idempotent under replay (the
+    * `before` cut excludes the batch's own and later partitions, and
+    * the guard skips the batch's own prior partition); accept cost is
+    * batch-proportional — the only corpus-scale touch is the
+    * shuffle-free left_semi over the bucketed nested store. */
+  private[graft] def acceptMergeBatch(s: SparkSession, d: String,
+      batchId: String, batchSnaps: DataFrame,
+      lineage: Option[Set[String]] = None): Unit = {
+    import graft.storage.{DurableStores, Storage}
+    val (snapsD, _) = mergeAcceptStore(s, d)
+    val hist = baseHistory(s, d)
+    val prior = scopedMergeDelta(s, d, snapsD, Some(batchId), lineage)
+      .drop("batch_id")
+    val cols = hist.columns.map(col).toIndexedSeq
+    val batch = batchSnaps.select(cols: _*)
+    // collision universe: base history plus ALL committed accepts of
+    // every lineage except this batch's own partition (whose presence
+    // just means a replay) — an id accepted by ANY batch is taken
+    val others = LlmOps.committedDelta(s, d, "merge_log", snapsD)
+      .filter(col("batch_id") =!= batchId).drop("batch_id")
+    LlmOps.requireFreshBatchIds(
+      hist.unionByName(others), "submission_snapshot_id",
+      batch.select(col("submission_snapshot_id").as("id")).distinct(),
+      "merge")
+    val history = hist.unionByName(prior).unionByName(batch)
+    val touched = batch.select(entityKeys.head, entityKeys.tail: _*).distinct()
+    val refreshed = Merge.mergeSubmissions(
+      history.join(touched, entityKeys, "left_semi"))
+    DurableStores.withDynamicPartitionOverwrite(s) {
+      batch.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .insertInto(Storage.tableNameFor("graft_mrgacc_snaps", d))
+      refreshed.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .insertInto(Storage.tableNameFor("graft_mrgacc_merged", d))
+    }
+    DurableStores.markBatchCommitted(s, d, "merge_log", batchId)
+  }
+
+  /** Fold committed merge-accept batches into the merged base, so
+    * probe plans return from base ∪ N merged deltas to a single base
+    * scan. The fold is NOT per-entity latest-wins: divergent lineages
+    * each re-merged a shared entity blind to the other's snapshots,
+    * so no accepted row need equal the global answer. Snapshots ARE
+    * the ground truth, so the fold recomputes: every entity present
+    * in any committed delta is re-merged over base history ∪ ALL
+    * committed snapshot deltas ([[Merge.incrementalMergeSubmissions]]
+    * shape — base carve-out plus touched-entity re-merge), which
+    * equals a full merge over that history whatever the lineage mix
+    * (StoreSpec).
+    *
+    * Only the MERGED delta table is truncated. The snapshot deltas
+    * and their commit markers are a PERMANENT append-only ingest log
+    * (the bronze layer of the 100 TB deployment): they are what the
+    * accept guard checks id freshness against and what later accepts
+    * and folds re-merge from — truncating them would reopen the very
+    * coverage hole compaction of the other families closes with
+    * their id guards (the base's `cutoff=` param stops describing
+    * its coverage after a fold, so coverage must stay queryable from
+    * the log). Probes never read the log; its growth costs probe
+    * plans nothing. */
+  private[graft] def compactMergeStore(s: SparkSession, d: String): Boolean = {
+    import graft.storage.{DurableStores, Storage}
+    if (DurableStores.committedBatches(s, d, "merge_log").isEmpty)
+      return false
+    val tmp = DurableStores.root(s) + "/_compact/merge"
+    val (snapsD, mergedD) = mergeAcceptStore(s, d)
+    // fold only when MERGED rows are still unfolded: after a previous
+    // compact the markers survive (they gate the snapshot log) while
+    // the merged partitions are gone — nothing left to fold
+    if (LlmOps.committedDelta(s, d, "merge_log", mergedD).limit(1)
+        .collect().isEmpty)
+      return false
+    val acceptedSnaps =
+      LlmOps.committedDelta(s, d, "merge_log", snapsD).drop("batch_id")
+    val foldedNested = baseHistory(s, d).unionByName(acceptedSnaps)
+    Merge.incrementalMergeSubmissions(
+        mergedBaseStore(s, d, incrementalCutoff), foldedNested, acceptedSnaps)
+      .write.mode("overwrite").parquet(s"$tmp/merged")
+    val mergedT = Storage.tableNameFor("graft_merged_base", d)
+    DurableStores.drop(s, d, "merged_base")
+    DurableStores.openOrBuild(s, d, "merged_base", Seq(mergedT),
+        params = s"cutoff=$incrementalCutoff,buckets=32") { st =>
+      st.appendBucketed(mergedT, s.read.parquet(s"$tmp/merged"),
+        entityKeys, numBuckets = 32)
+      Seq(DurableStores.TableMeta.bucketed(s, mergedT, entityKeys, 32))
+    }
+    // the merged deltas are folded: drop + recreate their store empty.
+    // The snapshot log and its commit markers live in `merge_log` and
+    // are untouched — they remain the id-guard universe and the
+    // ground truth of every later fold
+    DurableStores.drop(s, d, "merge_accept")
+    mergeAcceptStore(s, d)
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    true
+  }
+
+  /** q125 — the merge-maintenance WRITE-BACK lifecycle under the hard
+    * gate (q117 reads the persisted base but discards its result;
+    * this gate proves the incremental merge PERSISTS and compounds):
+    * ingest batch 1 = snapshots scanned in (cutoff, cutoff+1 month],
+    * accepted; batch 2 = everything after, accepted against the
+    * UPDATED state (base ⊕ batch 1 — an entity spanning both batches
+    * is re-merged by batch 2 over batch 1's accepted snapshots). The
+    * emitted effective merged table must hash-equal q55's full
+    * merge-on-read over ALL snapshots — same oracle; per batch, only
+    * that batch's touched entities are ever re-merged. */
+  private val q125MergeAcceptProbe: Q = (s, d) => {
+    val nested = bucketedNested(s, d)
+    val cutoff = lit(incrementalCutoff).cast("timestamp")
+    val mid = lit("2001-07-01").cast("timestamp")
+    // lineage scope: foreign batches accepted into the shared delta
+    // store by other sessions must not leak into this oracle
+    val own = Some(Set("mb1", "mb2"))
+    acceptMergeBatch(s, d, "mb1",
+      nested.filter(col("scan_datetime") > cutoff
+        && col("scan_datetime") <= mid), lineage = own)
+    acceptMergeBatch(s, d, "mb2",
+      nested.filter(col("scan_datetime") > mid), lineage = own)
+    webShape(effectiveMerged(s, d, lineage = own))
+  }
+
   val queries: Map[String, Q] = Map(
     "q55_merge_scale" -> q55MergeScale,
     "q65_incremental_merge" -> q65IncrementalMerge,
     "q83_merge_scale_bucketed" -> q83MergeScaleBucketed,
-    "q117_incremental_merge_stored" -> q117IncrementalMergeStored)
+    "q117_incremental_merge_stored" -> q117IncrementalMergeStored,
+    "q125_merge_accept_probe" -> q125MergeAcceptProbe)
 
   /** q65, q83, and q117 must produce the identical answer to q55 —
     * same oracle: the incremental and shuffle-free paths are pure plan
@@ -210,7 +434,8 @@ object MergeScaleQ {
     "q55_merge_scale" -> mergeScaleSql,
     "q65_incremental_merge" -> mergeScaleSql,
     "q83_merge_scale_bucketed" -> mergeScaleSql,
-    "q117_incremental_merge_stored" -> mergeScaleSql)
+    "q117_incremental_merge_stored" -> mergeScaleSql,
+    "q125_merge_accept_probe" -> mergeScaleSql)
 
   private lazy val mergeScaleSql: String =
       """WITH snaps AS (

@@ -356,6 +356,19 @@ class StoreSpec extends AnyFunSuite {
       assert(sh2.filter(col("doc") === 910001L).count() === 1L)
       // idempotent: nothing left to fold
       assert(!graft.queries.LlmOps.compactSketchStore(s, sf))
+      // the folded batch's ids are corpus ids now: re-accepting them
+      // would double every shingle/band/chunk row in probes' base ∪
+      // delta union — the accept guard fails fast instead
+      val ex = intercept[IllegalArgumentException] {
+        graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1_again",
+          Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      assert(ex.getMessage.contains("910001"))
+      assert(ex.getMessage.contains("StoreAdmin refresh"))
+      // a FRESH id is still accepted normally
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b2",
+        Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      graft.engine.CacheRegistry.releaseAll()
     } finally {
       // restore the pristine source-built base for the other specs/gates
       DurableStores.drop(s, sf, "sketch_accept")
@@ -389,6 +402,13 @@ class StoreSpec extends AnyFunSuite {
       assert(graft.queries.LlmOps.compactCosineStore(s, sf))
       assert(graft.queries.LlmOps.cosineAcceptStore(s, sf).count() === 0L)
       assert(probePairs() === before)
+      // folded vec id is a base member now — re-accept fails fast
+      // instead of silently doubling its member rows under probes
+      val ex = intercept[IllegalArgumentException] {
+        graft.queries.LlmOps.acceptCosineBatch(s, sf, "cpt_b1_again",
+          Seq((910001L, v)).toDF("vec_id", "embedding"))
+      }
+      assert(ex.getMessage.contains("910001"))
     } finally {
       DurableStores.drop(s, sf, "cosine_accept")
       DurableStores.drop(s, sf, "cosine_index")
@@ -419,6 +439,111 @@ class StoreSpec extends AnyFunSuite {
       DurableStores.drop(s, sf, "cluster_accept")
       DurableStores.drop(s, sf, "clusters")
       DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("merge accept lifecycle: write-back persists, replay idempotent, compact folds from the snapshot log") {
+    val s = spark
+    import graft.storage.DurableStores
+    import graft.queries.MergeScaleQ
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    try {
+      val full = rows(MergeScaleQ.queries("q55_merge_scale")(s, sf))
+      // the two-batch accept sequence lands on the full-merge answer
+      val eff1 = rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf))
+      assert(eff1 === full)
+      // deltas are batch-scoped (only mb1/mb2 partitions) and the
+      // merged delta holds touched entities, not the corpus
+      val (snapsD, mergedD) = MergeScaleQ.mergeAcceptStore(s, sf)
+      assert(mergedD.select("batch_id").distinct()
+        .collect().map(_.getString(0)).toSet === Set("mb1", "mb2"))
+      assert(mergedD.count() < full.size)
+      // replaying the whole sequence reproduces identical answers
+      assert(rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf)) === full)
+      // compact folds the merged deltas into the base: the merged
+      // delta table empties, the snapshot log SURVIVES (it is the
+      // permanent ingest log the id guard and later folds need), and
+      // base-only answers are unchanged
+      assert(MergeScaleQ.compactMergeStore(s, sf))
+      assert(MergeScaleQ.mergeAcceptStore(s, sf)._2.count() === 0L)
+      assert(MergeScaleQ.mergeAcceptStore(s, sf)._1.count() > 0L)
+      // base-only answers equal the full merge (entity key +
+      // snapshot count pin coverage; a doubled snapshot would double
+      // the count)
+      assert(rows(MergeScaleQ.effectiveMerged(s, sf)
+        .select(col("site_submission_id"), col("snapshot_count")))
+        === rows(graft.engine.Merge.mergeSubmissions(
+          MergeScaleQ.nestedAtScale(s, sf))
+          .select(col("site_submission_id"), col("snapshot_count"))))
+      // nothing left to fold: second compact is a no-op
+      assert(!MergeScaleQ.compactMergeStore(s, sf))
+      // the guard spans compaction: a NEW batch id re-presenting an
+      // already-accepted snapshot id is rejected via the log
+      val nested = MergeScaleQ.bucketedNested(s, sf)
+      val mb1Again = nested.filter(
+        col("scan_datetime") > lit("2001-06-01").cast("timestamp")
+          && col("scan_datetime") <= lit("2001-07-01").cast("timestamp"))
+      val ex = intercept[IllegalArgumentException] {
+        MergeScaleQ.acceptMergeBatch(s, sf, "zz_mb1_again", mb1Again)
+      }
+      assert(ex.getMessage.contains("merge accept precondition"))
+      // log-replay AFTER compaction still lands on the full answer
+      // (own-partition guard exemption + before-cut semantics)
+      assert(rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf)) === full)
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "merge_accept")
+      DurableStores.drop(s, sf, "merge_log")
+      DurableStores.drop(s, sf, "merged_base")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("cluster compaction under DIVERGENT lineages: union-of-evidence CC, no stranded labels") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    try {
+      // two component-min label nodes from the real base labeling
+      val mins = graft.queries.LlmOps.clusterStore(s, sf)
+        .filter(col("node") === col("cluster"))
+        .orderBy("node").limit(2)
+        .collect().map(_.getLong(0))
+      val Array(n1, n2) = mins
+      val f = 987654321L // a novel doc id, larger than every corpus id
+      graft.queries.LlmOps.clusterAcceptStore(s, sf)
+      val tbl = graft.storage.Storage.tableNameFor("graft_clusacc_labels", sf)
+      def putDelta(batch: String, rows: Seq[(Long, Long)]): Unit = {
+        DurableStores.withDynamicPartitionOverwrite(s) {
+          rows.toDF("node", "cluster").withColumn("batch_id", lit(batch))
+            .write.mode("overwrite").insertInto(tbl)
+        }
+        DurableStores.markBatchCommitted(s, sf, "cluster_accept", batch)
+      }
+      // lineage A merges n2's cluster into n1; lineage Z — computed
+      // blindly against the BASE labels — attaches novel doc f to n2.
+      // Per-node latest-wins would strand f in phantom cluster n2
+      // (n2 itself is labeled n1); the evidence fold must land all
+      // three in one component labeled by its min, n1.
+      putDelta("dv_a", Seq((n2, n1)))
+      putDelta("dv_z", Seq((f, n2)))
+      assert(graft.queries.LlmOps.compactClusterStore(s, sf))
+      val folded = graft.queries.LlmOps.clusterStore(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(folded(f) === n1)
+      assert(folded(n2) === n1)
+      assert(folded(n1) === n1)
+      // the component-min invariant every contraction remap leans on:
+      // each label used IS a node labeled by itself
+      val labels = folded.values.toSet
+      assert(labels.forall(l => folded.get(l).contains(l)),
+        s"stranded labels: ${labels.filterNot(l => folded.get(l).contains(l))}")
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "cluster_accept")
+      DurableStores.drop(s, sf, "clusters")
       graft.engine.CacheRegistry.releaseAll()
     }
   }
