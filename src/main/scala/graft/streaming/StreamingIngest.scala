@@ -91,6 +91,57 @@ object StreamingIngest {
       }
       .start()
 
+  /** T1 × the DURABLE accept lifecycle: each micro-batch of documents
+    * is ACCEPTED into the sketch store's batch_id-partitioned delta
+    * tables ([[graft.queries.LlmOps.acceptSketchBatch]] — partition-
+    * idempotent write, commit marker last), with batch_id = the
+    * zero-padded streaming batch id so accept order and the store's
+    * lexicographic batch-id contract coincide. A checkpoint-replayed
+    * micro-batch rewrites exactly its own partitions and re-marks
+    * them — exactly-once at the store level with no extra
+    * bookkeeping. Probes (the q121 shape: base ∪ committed deltas)
+    * see a streamed doc as soon as its trigger completes. At 100 TB:
+    * accept cost is batch-proportional (only the micro-batch is ever
+    * sketched) and `StoreAdmin compact` folds a long-running stream's
+    * accumulated deltas into the base between probe windows. */
+  def startSketchAccept(
+      docs: DataFrame,
+      dataDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      batchPrefix: String = "stream_",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          graft.queries.LlmOps.acceptSketchBatch(batch.sparkSession,
+            dataDir, f"$batchPrefix$bid%09d", batch, idCol, textCol)
+      }
+      .start()
+
+  /** [[startSketchAccept]] for the cosine index: each micro-batch of
+    * (vec_id, embedding) rows is cell-assigned under the STORED
+    * centroids and accepted into the delta member table — the
+    * streaming form of q122's ingest half. */
+  def startCosineAccept(
+      vectors: DataFrame,
+      dataDir: String,
+      checkpoint: String,
+      batchPrefix: String = "stream_",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    vectors.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          graft.queries.LlmOps.acceptCosineBatch(batch.sparkSession,
+            dataDir, f"$batchPrefix$bid%09d", batch)
+      }
+      .start()
+
   def startUserMergeMaintenance(
       source: DataFrame,
       storage: Storage,

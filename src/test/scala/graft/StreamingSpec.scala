@@ -20,6 +20,61 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("streamed micro-batches are accepted into the durable sketch store per trigger") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.storage.DurableStores
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_stream_accept").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val text1 = "streaming accept twin document alpha beta gamma delta epsilon zeta"
+    val text2 = "another streamed body eta theta iota kappa lambda mu nu xi omicron"
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    // the q121 probe shape: base ∪ COMMITTED deltas
+    def probe(text: String): Set[Long] = {
+      val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
+      val (ash, abands, achunks) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
+      def committed(df: org.apache.spark.sql.DataFrame) =
+        graft.queries.LlmOps.committedDelta(s, sf, "sketch_accept", df)
+          .drop("batch_id")
+      val out = graft.operators.Dedup.incrementalMinhashPairsFromStore(
+        sh.unionByName(committed(ash)), bands.unionByName(committed(abands)),
+        chunks.unionByName(committed(achunks)),
+        Seq((999999L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+        .collect().map(_.getLong(1)).toSet
+      graft.engine.CacheRegistry.releaseAll()
+      out
+    }
+    try {
+      writeBatch(Seq((950001L, text1)))
+      val schema = s.read.parquet(s"$dir/in").schema
+      val q = graft.streaming.StreamingIngest.startSketchAccept(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/in"),
+        sf, s"$dir/ckpt", trigger = Trigger.ProcessingTime(0L))
+      q.processAllAvailable()
+      // visible to a probe as soon as the trigger completes
+      assert(probe(text1) === Set(950001L))
+      writeBatch(Seq((950002L, text2)))
+      q.processAllAvailable(); q.stop()
+      assert(probe(text2) === Set(950002L))
+      assert(probe(text1) === Set(950001L))
+      // distinct commit-marked partitions, one per micro-batch
+      val batches = graft.queries.LlmOps.sketchAcceptStore(s, sf)._1
+        .select("batch_id").distinct().collect().map(_.getString(0)).toSet
+      assert(batches.count(_.startsWith("stream_")) === 2, s"batches: $batches")
+      assert(batches.forall(
+        DurableStores.committedBatches(s, sf, "sketch_accept").contains))
+    } finally {
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
   test("streaming exact-dedup: one emission per distinct body, watermark-bounded state") {
     val s = spark
     import s.implicits._
