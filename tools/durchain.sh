@@ -1,0 +1,30 @@
+#!/bin/bash
+# Four-JVM durability chain: build -> accept -> probe+gates -> compact.
+# Produces the inputs recorded in STORE_DURABILITY.json (snapshots of
+# the store root between phases, per-phase probe JSON, oracle checks).
+set -e
+export GRAFT_STORE_ROOT=/tmp/graft_dur_root
+export SPARK_GRAFT_CPUS=16
+D=/root/testdata/sf0.01
+OUT=/tmp/durchain; rm -rf $OUT $GRAFT_STORE_ROOT; mkdir -p $OUT
+cd /root/repo
+snap() { find $GRAFT_STORE_ROOT -type f -printf "%P %s %T@\n" | sort > $OUT/snap_$1.txt; wc -l < $OUT/snap_$1.txt > $OUT/count_$1.txt; }
+echo "=== JVM1 build"
+sbt -batch "runMain graft.StoreAdmin build $D" > $OUT/jvm1.log 2>&1
+snap 1
+echo "=== JVM2 accept"
+sbt -batch "runMain graft.StoreChain accept $D" > $OUT/jvm2.log 2>&1
+grep -h '{"phase"' $OUT/jvm2.log | tail -1 > $OUT/jvm2.json
+snap 2
+echo "=== JVM3 probe + gates"
+sbt -batch "runMain graft.StoreChain probe $D" > $OUT/jvm3.log 2>&1
+grep -h '{"phase"' $OUT/jvm3.log | tail -1 > $OUT/jvm3.json
+rm -rf /tmp/dur_verify
+SPARK_GRAFT_SF_DIR=$D SPARK_GRAFT_OUT_DIR=/tmp/dur_verify sbt -batch "runMain graft.VerifyOne q83_merge_scale_bucketed q91_incremental_dedup_stored q92_embedding_incremental_stored q112_batch_drift q115_sparse_topk_stored q117_incremental_merge_stored q119_curation_stored q120_semantic_dedup_stored q121_sketch_accept_probe q122_cosine_accept_probe q123_incremental_clusters q124_cluster_accept_probe q125_merge_accept_probe" > $OUT/jvm3b.log 2>&1
+python3 tools/selfcheck.py $D /tmp/dur_verify > $OUT/jvm3_selfcheck.txt 2>&1
+snap 3
+echo "=== JVM4 compact + probe"
+sbt -batch "runMain graft.StoreChain compact $D" > $OUT/jvm4.log 2>&1
+grep -h '{"phase"' $OUT/jvm4.log | tail -1 > $OUT/jvm4.json
+snap 4
+echo DONE
