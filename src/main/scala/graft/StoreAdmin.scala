@@ -40,15 +40,26 @@ import graft.storage.DurableStores
   * its write-once base (base rebuilt from base ∪ deltas under the
   * same manifest params, deltas + commit markers truncated) — probe
   * answers are unchanged (StoreSpec) and plans return to a single
-  * base scan. Retention contract, stated plainly: refresh/drop of an
-  * accept family DISCARDS its delta batches without folding, and a
+  * base scan. Commit markers SURVIVE compaction (a marker means "this
+  * batch is in the store", delta or folded), so a replayed accept of
+  * a folded batch — e.g. a streaming checkpoint replay racing a
+  * compact — is a no-op instead of a guard error. Retention
+  * contract, stated plainly: refresh/drop of an accept family
+  * DISCARDS its delta batches (and markers) without folding, and a
   * refresh of a BASE family rebuilds that base FROM SOURCE TABLES —
   * so batches previously folded in by `compact` are discarded too if
-  * their docs are not in the sources. Compact protects accepts from
-  * delta truncation only; nothing survives a base rebuild except
-  * what the sources contain. After any refresh, externally-ingested
-  * batches must be re-accepted (their ids are fresh again — the
-  * accept-path id guards allow it once the fold is gone).
+  * their docs are not in the sources. Recovery differs by family:
+  * the merge family re-folds from its permanent snapshot log (run
+  * `compact merge_accept` after a merged_base refresh — the coverage
+  * probe detects the un-fold); the sketch/cluster/cosine families
+  * have no log, so their folded batches must be re-accepted after
+  * first refreshing the ACCEPT store too (clearing the markers that
+  * would otherwise no-op the replay). One more caveat: compaction
+  * folds accepted batches into bases that the oracle gates
+  * (q117/q125 etc.) assume are source-derived — after compacting a
+  * root the gates share, refresh it before running Verify on it
+  * (the gate roots in tools/durchain.sh are isolated for exactly
+  * this reason).
   * `drop` removes catalog entries, files, and manifest. Root
   * selection: `spark.graft.store.root` conf, `GRAFT_STORE_ROOT` env,
   * else `<warehouse>/graft_stores`.

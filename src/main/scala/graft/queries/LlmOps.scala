@@ -470,7 +470,9 @@ object LlmOps {
       batchId: String, batch: DataFrame, idCol: String,
       textCol: String, lineage: Option[Set[String]] = None): Unit = {
     import graft.storage.{DurableStores, Storage}
-    clusterAcceptStore(s, d)
+    val accDelta = clusterAcceptStore(s, d)
+    // replay of a compact-folded batch: the labels are in the base
+    if (alreadyFolded(s, d, "cluster_accept", batchId, accDelta)) return
     val (sh, bands, chunks) = sketchStore(s, d)
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
     // prior batches in the SAME lineage under this id (lexicographic
@@ -795,19 +797,30 @@ object LlmOps {
     require(clash.isEmpty,
       s"$family accept precondition violated: batch ids " +
         clash.map(_.get(0)).mkString(", ") +
-        s" already exist in the $family base (corpus or previously " +
-        "compacted ids) — re-ingesting an existing doc is an upsert, " +
-        "not an accept; rebuild the store (StoreAdmin refresh) instead")
+        s" are already taken in the $family store (corpus ids, a " +
+        "previously compacted batch, or another accepted batch) — " +
+        "re-ingesting an existing doc is an upsert, not an accept; " +
+        "rebuild the store (StoreAdmin refresh) instead")
   }
 
   private[graft] def acceptSketchBatch(s: SparkSession, d: String,
       batchId: String, batch: DataFrame, idCol: String,
       textCol: String): Unit = {
     import graft.storage.Storage
-    sketchAcceptStore(s, d)
+    val (ash0, _, _) = sketchAcceptStore(s, d)
+    // replay of a batch compact already folded into the base: no-op
+    // (the rows answer from the base; re-writing them would double
+    // probes) — the path a streaming checkpoint replay takes after
+    // racing an admin compact
+    if (alreadyFolded(s, d, "sketch_accept", batchId, ash0)) return
     val (baseSh, _, _) = sketchStore(s, d)
-    requireFreshBatchIds(baseSh, "doc",
-      batch.select(col(idCol).as("id")).distinct(), "sketch")
+    // collision universe: the base AND every other committed delta
+    // batch — the same doc id under two batch ids would double
+    // probes' base ∪ delta rows just as silently as a base collision
+    val others = committedDelta(s, d, "sketch_accept", ash0)
+      .filter(col("batch_id") =!= batchId).select(col("doc"))
+    requireFreshBatchIds(baseSh.select(col("doc")).unionByName(others),
+      "doc", batch.select(col(idCol).as("id")).distinct(), "sketch")
     graft.engine.CacheRegistry.withRetained {
       val sk = graft.engine.CacheRegistry.retain(
         Dedup.corpusSketch(batch.select(col(idCol), col(textCol)),
@@ -896,10 +909,13 @@ object LlmOps {
       batchId: String, batch: DataFrame): Unit = {
     import graft.operators.EmbeddingDedup
     import graft.storage.Storage
-    cosineAcceptStore(s, d)
+    val delta0 = cosineAcceptStore(s, d)
+    if (alreadyFolded(s, d, "cosine_accept", batchId, delta0)) return
     val (cents, members) = cosineStore(s, d)
-    requireFreshBatchIds(members, "vid",
-      batch.select(col("vec_id").as("id")).distinct(), "cosine")
+    val others = committedDelta(s, d, "cosine_accept", delta0)
+      .filter(col("batch_id") =!= batchId).select(col("vid"))
+    requireFreshBatchIds(members.select(col("vid")).unionByName(others),
+      "vid", batch.select(col("vec_id").as("id")).distinct(), "cosine")
     withDynamicPartitionOverwrite(s) {
       EmbeddingDedup.assignToCells(cents, batch, "vec_id", "embedding")
         .withColumn("batch_id", lit(batchId))
@@ -941,36 +957,51 @@ object LlmOps {
   // read base ∪ N deltas. Compaction folds the COMMITTED deltas into
   // the write-once base (rebuild base from base ∪ deltas through a
   // temp location, re-manifest under the SAME params, truncate the
-  // deltas + their commit markers) so probe plans return to a single
-  // base scan. Probe answers are identical before and after
-  // (StoreSpec). Crash safety: a crash before the base rebuild leaves
-  // the pre-compact state intact (manifest-last semantics — the next
-  // opener rebuilds the base from source, deltas untouched); a crash
-  // AFTER the rebuild but before the delta truncate leaves batches in
-  // both places — re-running compact heals it (the fold dedups on
-  // each table's natural key), which is why compact, like every store
-  // write, is a single-writer admin action. Folding retires the
-  // batches' ids into the corpus: re-accepting one afterwards is an
-  // id collision, answered by the incremental-CC guard / duplicate
-  // rows, so production batch ids must be fresh per ingest.
+  // delta partitions) so probe plans return to a single base scan.
+  // Probe answers are identical before and after (StoreSpec). Crash
+  // safety: a crash before the base rebuild leaves the pre-compact
+  // state intact (manifest-last semantics — the next opener rebuilds
+  // the base from source, deltas untouched); a crash AFTER the
+  // rebuild but before the delta truncate leaves batches in both
+  // places — re-running compact heals it (the fold dedups on each
+  // table's natural key), which is why compact, like every store
+  // write, is a single-writer admin action.
+  //
+  // Commit markers SURVIVE compaction: a marker durably means "this
+  // batch is in the store" — in a delta partition before the fold,
+  // in the base after it. Re-accepting a marker-committed batch whose
+  // delta partition is gone is therefore a detectable REPLAY of a
+  // folded batch (a Structured Streaming checkpoint replay racing an
+  // admin compact is the canonical case) and each accept verb answers
+  // it with a no-op instead of wedging on the base id guard. A NEW
+  // batch id re-presenting folded doc ids is still an id collision,
+  // answered fail-fast by the guards.
 
-  private def compactTmp(s: SparkSession, family: String): String =
-    graft.storage.DurableStores.root(s) + s"/_compact/$family"
-
-  private def deleteDir(s: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-  }
+  /** True when `batchId` committed but its delta partition no longer
+    * exists — the batch was folded into the base by compact. A
+    * re-accept of such a batch is a no-op, not an id collision: its
+    * rows already answer from the base. The partition check is
+    * pruned (one batch partition, limit 1). */
+  private def alreadyFolded(s: SparkSession, d: String, store: String,
+      batchId: String, delta: DataFrame): Boolean =
+    graft.storage.DurableStores.committedBatches(s, d, store)
+      .contains(batchId) &&
+      delta.filter(col("batch_id") === batchId).limit(1).collect().isEmpty
 
   /** Fold committed sketch-accept batches into the sketch base.
-    * Returns false (no-op) when nothing is committed. */
+    * Returns false (no-op) when nothing unfolded is committed. */
   private[graft] def compactSketchStore(s: SparkSession, d: String): Boolean = {
     import graft.storage.{DurableStores, Storage}
     if (DurableStores.committedBatches(s, d, "sketch_accept").isEmpty)
       return false
     val (sh, bands, chunks) = sketchStore(s, d)
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
-    val tmp = compactTmp(s, "sketch")
+    // markers outlive compaction, so "committed" alone no longer
+    // means "unfolded": no-op when no committed DELTA rows remain
+    if (committedDelta(s, d, "sketch_accept", ash).limit(1)
+        .collect().isEmpty)
+      return false
+    val tmp = DurableStores.compactTmp(s, "sketch")
     def fold(base: DataFrame, delta: DataFrame, keys: Seq[String],
         name: String): Unit =
       base.unionByName(
@@ -998,9 +1029,15 @@ object LlmOps {
         DurableStores.TableMeta.bucketed(s, chunkT,
           Seq("chunk_idx", "chunk_value"), 16))
     }
-    DurableStores.drop(s, d, "sketch_accept") // truncate: deltas + markers
-    sketchAcceptStore(s, d)                   // recreate empty
-    deleteDir(s, tmp)
+    // truncate the delta partitions but PRESERVE the commit markers:
+    // a marker now records "folded into the base", the signal the
+    // accept verbs' replay no-op and a streaming checkpoint replay
+    // depend on
+    val folded = DurableStores.committedBatches(s, d, "sketch_accept")
+    DurableStores.drop(s, d, "sketch_accept")
+    sketchAcceptStore(s, d) // recreate empty
+    folded.foreach(DurableStores.markBatchCommitted(s, d, "sketch_accept", _))
+    DurableStores.deleteDir(s, tmp)
     true
   }
 
@@ -1013,7 +1050,10 @@ object LlmOps {
       return false
     val (cents, members) = cosineStore(s, d)
     val delta = cosineAcceptStore(s, d)
-    val tmp = compactTmp(s, "cosine_index")
+    if (committedDelta(s, d, "cosine_accept", delta).limit(1)
+        .collect().isEmpty)
+      return false
+    val tmp = DurableStores.compactTmp(s, "cosine_index")
     cents.write.mode("overwrite").parquet(s"$tmp/cents")
     members.unionByName(
         committedDelta(s, d, "cosine_accept", delta).drop("batch_id"))
@@ -1029,9 +1069,11 @@ object LlmOps {
       Seq(DurableStores.TableMeta.plain(s, centT),
         DurableStores.TableMeta.partitioned(s, memT, Seq("cell")))
     }
+    val folded = DurableStores.committedBatches(s, d, "cosine_accept")
     DurableStores.drop(s, d, "cosine_accept")
     cosineAcceptStore(s, d)
-    deleteDir(s, tmp)
+    folded.foreach(DurableStores.markBatchCommitted(s, d, "cosine_accept", _))
+    DurableStores.deleteDir(s, tmp)
     true
   }
 
@@ -1066,7 +1108,10 @@ object LlmOps {
     import graft.storage.{DurableStores, Storage}
     if (DurableStores.committedBatches(s, d, "cluster_accept").isEmpty)
       return false
-    val tmp = compactTmp(s, "clusters")
+    if (committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
+        .limit(1).collect().isEmpty)
+      return false
+    val tmp = DurableStores.compactTmp(s, "clusters")
     val evidence = clusterStore(s, d).unionByName(
       committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
         .select(col("node"), col("cluster")))
@@ -1086,9 +1131,11 @@ object LlmOps {
         Seq("node"), numBuckets = 16)
       Seq(DurableStores.TableMeta.bucketed(s, tbl, Seq("node"), 16))
     }
+    val folded = DurableStores.committedBatches(s, d, "cluster_accept")
     DurableStores.drop(s, d, "cluster_accept")
     clusterAcceptStore(s, d)
-    deleteDir(s, tmp)
+    folded.foreach(DurableStores.markBatchCommitted(s, d, "cluster_accept", _))
+    DurableStores.deleteDir(s, tmp)
     true
   }
 

@@ -362,17 +362,32 @@ object MergeScaleQ {
     import graft.storage.{DurableStores, Storage}
     if (DurableStores.committedBatches(s, d, "merge_log").isEmpty)
       return false
-    val tmp = DurableStores.root(s) + "/_compact/merge"
+    val tmp = DurableStores.compactTmp(s, "merge")
     val (snapsD, mergedD) = mergeAcceptStore(s, d)
-    // fold only when MERGED rows are still unfolded: after a previous
-    // compact the markers survive (they gate the snapshot log) while
-    // the merged partitions are gone — nothing left to fold
-    if (LlmOps.committedDelta(s, d, "merge_log", mergedD).limit(1)
-        .collect().isEmpty)
-      return false
     val acceptedSnaps =
       LlmOps.committedDelta(s, d, "merge_log", snapsD).drop("batch_id")
     val foldedNested = baseHistory(s, d).unionByName(acceptedSnaps)
+    // no-op ONLY when the base genuinely covers the log. Merged
+    // deltas being empty is not enough: a `StoreAdmin refresh
+    // merged_base` after a fold rebuilds the base from source (the
+    // documented retention contract), silently un-folding every
+    // accepted batch — the snapshot-count coverage probe detects that
+    // and lets this verb RE-FOLD from the log, which stays the ground
+    // truth precisely so folds are recomputable. Snapshot ids are
+    // guard-unique, so per-touched-entity snapshot-count equality is
+    // exact coverage equality, one narrow agg per side.
+    if (LlmOps.committedDelta(s, d, "merge_log", mergedD).limit(1)
+        .collect().isEmpty) {
+      val touched = acceptedSnaps
+        .select(entityKeys.head, entityKeys.tail: _*).distinct()
+      val baseCovered = mergedBaseStore(s, d, incrementalCutoff)
+        .join(touched, entityKeys, "left_semi")
+        .agg(coalesce(sum(col("snapshot_count")), lit(0L)))
+        .head.getLong(0)
+      val histCount = foldedNested
+        .join(touched, entityKeys, "left_semi").count()
+      if (baseCovered == histCount) return false
+    }
     Merge.incrementalMergeSubmissions(
         mergedBaseStore(s, d, incrementalCutoff), foldedNested, acceptedSnaps)
       .write.mode("overwrite").parquet(s"$tmp/merged")
@@ -390,8 +405,7 @@ object MergeScaleQ {
     // ground truth of every later fold
     DurableStores.drop(s, d, "merge_accept")
     mergeAcceptStore(s, d)
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    DurableStores.deleteDir(s, tmp)
     true
   }
 

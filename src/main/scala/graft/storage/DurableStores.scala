@@ -345,6 +345,19 @@ object DurableStores {
     f.create(new Path(dir, batchId + ".ok"), true).close()
   }
 
+  /** Scratch dir for a compact fold — shared by all four accept
+    * families so tmp-path and crash-cleanup policy can never drift
+    * between them. */
+  def compactTmp(s: SparkSession, family: String): String =
+    root(s) + s"/_compact/$family"
+
+  /** Recursive delete of a fold's scratch dir (Hadoop FS API — works
+    * on HDFS/S3A roots like every other store path). */
+  def deleteDir(s: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Batch ids whose accept fully committed — one marker-dir listing. */
   def committedBatches(s: SparkSession, dataDir: String,
       store: String): Set[String] = {

@@ -261,16 +261,18 @@ class StoreSpec extends AnyFunSuite {
       // sorting before AND after the gate's own) must not leak into
       // the gate's lineage-scoped label universe
       import s.implicits._
-      for (foreign <- Seq("a_foreign", "zz_foreign")) {
+      // distinct ids per foreign batch: the cross-delta id guard
+      // (correctly) rejects the same doc id under two batch ids
+      for ((foreign, base) <- Seq(("a_foreign", 920001L),
+          ("zz_foreign", 920003L))) {
+        val fdocs = Seq(
+          (base, "an island document shared with nobody else at all"),
+          (base + 1, "an island document shared with nobody else at all"))
+          .toDF("doc_id", "text")
         graft.queries.LlmOps.acceptSketchBatch(s, sf, foreign,
-          Seq((920001L, "an island document shared with nobody else at all"),
-            (920002L, "an island document shared with nobody else at all"))
-            .toDF("doc_id", "text"), "doc_id", "text")
+          fdocs, "doc_id", "text")
         graft.queries.LlmOps.acceptClusterRelabel(s, sf, foreign,
-          Seq((920001L, "an island document shared with nobody else at all"),
-            (920002L, "an island document shared with nobody else at all"))
-            .toDF("doc_id", "text"), "doc_id", "text",
-          lineage = Some(Set(foreign)))
+          fdocs, "doc_id", "text", lineage = Some(Set(foreign)))
         graft.engine.CacheRegistry.releaseAll()
       }
       val labels3 = graft.queries.LlmOps
@@ -347,27 +349,44 @@ class StoreSpec extends AnyFunSuite {
       val before = probePairs()
       assert(before.contains((910100L, 910001L, 1.0)))
       assert(graft.queries.LlmOps.compactSketchStore(s, sf))
-      // deltas truncated: empty partitions, commit markers cleared
+      // deltas truncated to empty partitions; commit markers SURVIVE
+      // (a marker means "in the store, delta or folded" — the replay
+      // no-op depends on it)
       assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === 0L)
-      assert(DurableStores.committedBatches(s, sf, "sketch_accept").isEmpty)
+      assert(DurableStores.committedBatches(s, sf, "sketch_accept")
+        .contains("cpt_b1"))
       // identical probe answers from the base alone
       assert(probePairs() === before)
       val (sh2, _, _) = graft.queries.LlmOps.sketchStore(s, sf)
       assert(sh2.filter(col("doc") === 910001L).count() === 1L)
       // idempotent: nothing left to fold
       assert(!graft.queries.LlmOps.compactSketchStore(s, sf))
-      // the folded batch's ids are corpus ids now: re-accepting them
-      // would double every shingle/band/chunk row in probes' base ∪
-      // delta union — the accept guard fails fast instead
+      // REPLAYING the folded batch under its own id (a streaming
+      // checkpoint replay racing the compact) is a NO-OP: the delta
+      // stays empty, probes unchanged — the stream does not wedge
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1",
+        Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === 0L)
+      assert(probePairs() === before)
+      // a NEW batch id re-presenting the folded doc id is a real
+      // collision — it would double every shingle/band/chunk row in
+      // probes' base ∪ delta union — and fails fast
       val ex = intercept[IllegalArgumentException] {
         graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1_again",
           Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
       }
       assert(ex.getMessage.contains("910001"))
       assert(ex.getMessage.contains("StoreAdmin refresh"))
-      // a FRESH id is still accepted normally
+      // a FRESH id is still accepted normally...
       graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b2",
         Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      // ...and the same id under ANOTHER batch id is caught by the
+      // cross-delta guard (not just the base guard)
+      val ex2 = intercept[IllegalArgumentException] {
+        graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b3",
+          Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      }
+      assert(ex2.getMessage.contains("910002"))
       graft.engine.CacheRegistry.releaseAll()
     } finally {
       // restore the pristine source-built base for the other specs/gates
@@ -479,6 +498,17 @@ class StoreSpec extends AnyFunSuite {
           .select(col("site_submission_id"), col("snapshot_count"))))
       // nothing left to fold: second compact is a no-op
       assert(!MergeScaleQ.compactMergeStore(s, sf))
+      // a merged_base refresh UN-FOLDS the accepted batches (base
+      // rebuilt from source, pre-cutoff only); the coverage probe
+      // detects base ≠ log and compact RE-FOLDS from the permanent
+      // log — accepted data is never stranded
+      DurableStores.drop(s, sf, "merged_base")
+      assert(MergeScaleQ.compactMergeStore(s, sf))
+      assert(rows(MergeScaleQ.effectiveMerged(s, sf)
+        .select(col("site_submission_id"), col("snapshot_count")))
+        === rows(graft.engine.Merge.mergeSubmissions(
+          MergeScaleQ.nestedAtScale(s, sf))
+          .select(col("site_submission_id"), col("snapshot_count"))))
       // the guard spans compaction: a NEW batch id re-presenting an
       // already-accepted snapshot id is rejected via the log
       val nested = MergeScaleQ.bucketedNested(s, sf)
