@@ -122,6 +122,43 @@ object StreamingIngest {
       }
       .start()
 
+  /** The FULL streaming cluster-maintenance loop — q124's write-back
+    * lifecycle running continuously: each micro-batch is
+    * sketch-accepted and then relabel-accepted under the SAME batch
+    * id (sketches first, because the relabel's cross-edges probe the
+    * sketch base ∪ prior committed sketch deltas). The zero-padded
+    * streaming batch id keeps both stores' accept order aligned with
+    * the checkpoint order, so a replayed micro-batch re-derives
+    * exactly its original delta (the log-replay contract) and a
+    * replay racing an admin compact is a no-op in both families. The
+    * materialized corpus cluster labels then stay current with the
+    * stream — effectiveClusterLabels answers at any moment without a
+    * whole-corpus recompute. */
+  def startClusterMaintenance(
+      docs: DataFrame,
+      dataDir: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      batchPrefix: String = "stream_",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = f"$batchPrefix$bid%09d"
+          graft.engine.CacheRegistry.withRetained {
+            graft.queries.LlmOps.acceptSketchBatch(s, dataDir, b,
+              batch, idCol, textCol)
+            graft.queries.LlmOps.acceptClusterRelabel(s, dataDir, b,
+              batch, idCol, textCol)
+          }
+        }
+      }
+      .start()
+
   /** [[startSketchAccept]] for the cosine index: each micro-batch of
     * (vec_id, embedding) rows is cell-assigned under the STORED
     * centroids and accepted into the delta member table — the

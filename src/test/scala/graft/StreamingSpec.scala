@@ -75,6 +75,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming cluster maintenance: labels stay current across micro-batches, bridges included") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.storage.DurableStores
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft_stream_clusters").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    val shared = "a streamed near duplicate pair body unique to this cluster test"
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    def labels(ids: Long*): Map[Long, Long] = {
+      val out = graft.queries.LlmOps.effectiveClusterLabels(s, sf)
+        .filter(col("node").isin(ids.map(Long.box): _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.engine.CacheRegistry.releaseAll()
+      out
+    }
+    try {
+      writeBatch(Seq((960001L, shared)))
+      val schema = s.read.parquet(s"$dir/in").schema
+      val q = graft.streaming.StreamingIngest.startClusterMaintenance(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/in"),
+        sf, s"$dir/ckpt", trigger = Trigger.ProcessingTime(0L))
+      q.processAllAvailable()
+      // batch 1's doc has no near-dup yet: like the base store, the
+      // label table carries only CLUSTERED docs — no row yet
+      assert(labels(960001L) === Map.empty[Long, Long])
+      // batch 2 near-dups batch 1's doc: the cross-batch bridge rides
+      // the accepted sketch delta, and the relabel lands both in one
+      // cluster keyed by the component min
+      writeBatch(Seq((960002L, shared)))
+      q.processAllAvailable(); q.stop()
+      assert(labels(960001L, 960002L)
+        === Map(960001L -> 960001L, 960002L -> 960001L))
+    } finally {
+      DurableStores.drop(s, sf, "sketch_accept")
+      DurableStores.drop(s, sf, "cluster_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
   test("streaming exact-dedup: one emission per distinct body, watermark-bounded state") {
     val s = spark
     import s.implicits._
