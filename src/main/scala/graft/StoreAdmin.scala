@@ -36,16 +36,22 @@ import graft.storage.DurableStores
   * their current upstreams, and is for parameter changes local to one
   * family, not for source regeneration.
   *
-  * `compact` FOLDS each accept family's committed delta batches into
-  * its write-once base (base rebuilt from base ∪ deltas under the
-  * same manifest params, deltas + commit markers truncated) — probe
-  * answers are unchanged (StoreSpec) and plans return to a single
-  * base scan. Commit markers SURVIVE compaction (a marker means "this
-  * batch is in the store", delta or folded), so a replayed accept of
-  * a folded batch — e.g. a streaming checkpoint replay racing a
-  * compact — is a no-op instead of a guard error. Retention
-  * contract, stated plainly: refresh/drop of an accept family
-  * DISCARDS its delta batches (and markers) without folding, and a
+  * `compact` FOLDS a snapshot of each accept family's committed
+  * delta batches into its write-once base (base rebuilt from base ∪
+  * snapshot deltas under the same manifest params; the snapshot's
+  * markers RETIRE into the store's folded LEDGER; exactly the
+  * snapshot's delta partitions are dropped) — probe answers are
+  * unchanged (StoreSpec) and plans return to a single base scan. A
+  * batch whose accept commits while the fold runs is outside the
+  * snapshot and survives untouched, so a live ingest stream and an
+  * admin compact can overlap. The ledger durably records "folded
+  * into the base": a replayed accept of a ledgered batch — e.g. a
+  * streaming checkpoint replay racing a compact — is a no-op instead
+  * of a guard error, while live markers (and the isin predicates
+  * probes build from them) stay bounded by unfolded traffic.
+  * Retention contract, stated plainly: refresh/drop of an accept
+  * family DISCARDS its delta batches (markers and ledger) without
+  * folding, and a
   * refresh of a BASE family rebuilds that base FROM SOURCE TABLES —
   * so batches previously folded in by `compact` are discarded too if
   * their docs are not in the sources. Recovery differs by family:
@@ -53,8 +59,8 @@ import graft.storage.DurableStores
   * `compact merge_accept` after a merged_base refresh — the coverage
   * probe detects the un-fold); the sketch/cluster/cosine families
   * have no log, so their folded batches must be re-accepted after
-  * first refreshing the ACCEPT store too (clearing the markers that
-  * would otherwise no-op the replay). One more caveat: compaction
+  * first refreshing the ACCEPT store too (clearing the folded ledger
+  * that would otherwise no-op the replay). One more caveat: compaction
   * folds accepted batches into bases that the oracle gates
   * (q117/q125 etc.) assume are source-derived — after compacting a
   * root the gates share, refresh it before running Verify on it

@@ -470,9 +470,9 @@ object LlmOps {
       batchId: String, batch: DataFrame, idCol: String,
       textCol: String, lineage: Option[Set[String]] = None): Unit = {
     import graft.storage.{DurableStores, Storage}
-    val accDelta = clusterAcceptStore(s, d)
+    clusterAcceptStore(s, d)
     // replay of a compact-folded batch: the labels are in the base
-    if (alreadyFolded(s, d, "cluster_accept", batchId, accDelta)) return
+    if (alreadyFolded(s, d, "cluster_accept", batchId)) return
     val (sh, bands, chunks) = sketchStore(s, d)
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
     // prior batches in the SAME lineage under this id (lexicographic
@@ -812,7 +812,7 @@ object LlmOps {
     // (the rows answer from the base; re-writing them would double
     // probes) — the path a streaming checkpoint replay takes after
     // racing an admin compact
-    if (alreadyFolded(s, d, "sketch_accept", batchId, ash0)) return
+    if (alreadyFolded(s, d, "sketch_accept", batchId)) return
     val (baseSh, _, _) = sketchStore(s, d)
     // collision universe: the base AND every other committed delta
     // batch — the same doc id under two batch ids would double
@@ -910,7 +910,7 @@ object LlmOps {
     import graft.operators.EmbeddingDedup
     import graft.storage.Storage
     val delta0 = cosineAcceptStore(s, d)
-    if (alreadyFolded(s, d, "cosine_accept", batchId, delta0)) return
+    if (alreadyFolded(s, d, "cosine_accept", batchId)) return
     val (cents, members) = cosineStore(s, d)
     val others = committedDelta(s, d, "cosine_accept", delta0)
       .filter(col("batch_id") =!= batchId).select(col("vid"))
@@ -954,58 +954,72 @@ object LlmOps {
   // ---- delta COMPACTION (StoreAdmin compact) ----------------------
   //
   // Accept deltas accumulate one partition per batch forever; probes
-  // read base ∪ N deltas. Compaction folds the COMMITTED deltas into
-  // the write-once base (rebuild base from base ∪ deltas through a
-  // temp location, re-manifest under the SAME params, truncate the
-  // delta partitions) so probe plans return to a single base scan.
+  // read base ∪ N deltas. Compaction folds the deltas of a SNAPSHOT
+  // of the committed batch ids — taken once, up front — into the
+  // write-once base (rebuild base from base ∪ snapshot deltas through
+  // a temp location, re-manifest under the SAME params), RETIRES the
+  // snapshot's commit markers into the store's folded ledger
+  // (DurableStores.retireFoldedBatches), and drops exactly the
+  // snapshot's delta partitions. A batch whose accept commits while
+  // the fold runs is outside the snapshot: its partition and marker
+  // survive untouched and it folds next time — a live ingest stream
+  // and an admin compact can overlap without silent truncation.
   // Probe answers are identical before and after (StoreSpec). Crash
   // safety: a crash before the base rebuild leaves the pre-compact
-  // state intact (manifest-last semantics — the next opener rebuilds
-  // the base from source, deltas untouched); a crash AFTER the
-  // rebuild but before the delta truncate leaves batches in both
-  // places — re-running compact heals it (the fold dedups on each
-  // table's natural key), which is why compact, like every store
-  // write, is a single-writer admin action.
+  // state intact (manifest-last semantics); a crash after the rebuild
+  // but before retirement leaves the snapshot batches in both places
+  // — re-running compact heals it (the fold dedups on each table's
+  // natural key); a crash after retirement but before the partition
+  // drop leaves orphaned partitions that are invisible to probes (no
+  // live marker) and are garbage-collected by the next compact
+  // (DurableStores.dropFoldedPartitions). Compact, like every store
+  // write, remains a single-writer admin action.
   //
-  // Commit markers SURVIVE compaction: a marker durably means "this
-  // batch is in the store" — in a delta partition before the fold,
-  // in the base after it. Re-accepting a marker-committed batch whose
-  // delta partition is gone is therefore a detectable REPLAY of a
-  // folded batch (a Structured Streaming checkpoint replay racing an
-  // admin compact is the canonical case) and each accept verb answers
-  // it with a no-op instead of wedging on the base id guard. A NEW
-  // batch id re-presenting folded doc ids is still an id collision,
-  // answered fail-fast by the guards.
+  // The folded LEDGER is the durable record that a batch's rows
+  // answer from the base: re-accepting a ledgered batch id is a
+  // detectable REPLAY of a folded batch (a Structured Streaming
+  // checkpoint replay racing an admin compact is the canonical case)
+  // and each accept verb answers it with a no-op instead of wedging
+  // on the base id guard. A NEW batch id re-presenting folded doc ids
+  // is still an id collision, answered fail-fast by the guards.
+  // Retiring markers (rather than keeping one per batch forever)
+  // keeps committedBatches — and every isin predicate probes and
+  // guards build from it — bounded by the traffic since the last
+  // fold, not by the store's lifetime.
 
-  /** True when `batchId` committed but its delta partition no longer
-    * exists — the batch was folded into the base by compact. A
-    * re-accept of such a batch is a no-op, not an id collision: its
-    * rows already answer from the base. The partition check is
-    * pruned (one batch partition, limit 1). */
+  /** True when a compact folded `batchId` into the base (the folded
+    * ledger lists it). A re-accept of such a batch is a no-op, not an
+    * id collision: its rows already answer from the base. One ledger
+    * read, no Spark job. */
   private def alreadyFolded(s: SparkSession, d: String, store: String,
-      batchId: String, delta: DataFrame): Boolean =
-    graft.storage.DurableStores.committedBatches(s, d, store)
-      .contains(batchId) &&
-      delta.filter(col("batch_id") === batchId).limit(1).collect().isEmpty
+      batchId: String): Boolean =
+    graft.storage.DurableStores.foldedBatches(s, d, store).contains(batchId)
 
   /** Fold committed sketch-accept batches into the sketch base.
     * Returns false (no-op) when nothing unfolded is committed. */
   private[graft] def compactSketchStore(s: SparkSession, d: String): Boolean = {
     import graft.storage.{DurableStores, Storage}
-    if (DurableStores.committedBatches(s, d, "sketch_accept").isEmpty)
-      return false
-    val (sh, bands, chunks) = sketchStore(s, d)
+    val accT = Seq(
+      Storage.tableNameFor("graft_sketchacc_shingles", d),
+      Storage.tableNameFor("graft_sketchacc_bands", d),
+      Storage.tableNameFor("graft_sketchacc_chunks", d))
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
-    // markers outlive compaction, so "committed" alone no longer
-    // means "unfolded": no-op when no committed DELTA rows remain
-    if (committedDelta(s, d, "sketch_accept", ash).limit(1)
-        .collect().isEmpty)
+    // the snapshot: every later read folds exactly this set — a batch
+    // committing mid-fold keeps its delta and marker for next time
+    val foldIds = DurableStores.committedBatches(s, d, "sketch_accept")
+    if (foldIds.isEmpty) {
+      // GC partitions orphaned by a crash after a previous fold's
+      // marker retirement (invisible to probes, dead bytes on disk)
+      DurableStores.dropFoldedPartitions(s, d, "sketch_accept", accT)
       return false
+    }
+    val (sh, bands, chunks) = sketchStore(s, d)
     val tmp = DurableStores.compactTmp(s, "sketch")
     def fold(base: DataFrame, delta: DataFrame, keys: Seq[String],
         name: String): Unit =
       base.unionByName(
-          committedDelta(s, d, "sketch_accept", delta).drop("batch_id"))
+          delta.filter(col("batch_id").isin(foldIds.toSeq: _*))
+            .drop("batch_id"))
         .dropDuplicates(keys)
         .write.mode("overwrite").parquet(s"$tmp/$name")
     fold(sh, ash, Seq("doc"), "shingles")
@@ -1029,14 +1043,12 @@ object LlmOps {
         DurableStores.TableMeta.bucketed(s, chunkT,
           Seq("chunk_idx", "chunk_value"), 16))
     }
-    // truncate the delta partitions but PRESERVE the commit markers:
-    // a marker now records "folded into the base", the signal the
-    // accept verbs' replay no-op and a streaming checkpoint replay
-    // depend on
-    val folded = DurableStores.committedBatches(s, d, "sketch_accept")
-    DurableStores.drop(s, d, "sketch_accept")
-    sketchAcceptStore(s, d) // recreate empty
-    folded.foreach(DurableStores.markBatchCommitted(s, d, "sketch_accept", _))
+    // retire the snapshot's markers into the folded ledger (ledger
+    // first — the replay no-op can never miss a folded batch), then
+    // drop exactly the folded partitions; later-committed batches
+    // keep theirs
+    DurableStores.retireFoldedBatches(s, d, "sketch_accept", foldIds)
+    DurableStores.dropFoldedPartitions(s, d, "sketch_accept", accT)
     DurableStores.deleteDir(s, tmp)
     true
   }
@@ -1046,17 +1058,19 @@ object LlmOps {
     * them, so fold is a pure member union). */
   private[graft] def compactCosineStore(s: SparkSession, d: String): Boolean = {
     import graft.storage.{DurableStores, Storage}
-    if (DurableStores.committedBatches(s, d, "cosine_accept").isEmpty)
-      return false
-    val (cents, members) = cosineStore(s, d)
+    val accT = Seq(Storage.tableNameFor("graft_cosacc_members", d))
     val delta = cosineAcceptStore(s, d)
-    if (committedDelta(s, d, "cosine_accept", delta).limit(1)
-        .collect().isEmpty)
+    val foldIds = DurableStores.committedBatches(s, d, "cosine_accept")
+    if (foldIds.isEmpty) {
+      DurableStores.dropFoldedPartitions(s, d, "cosine_accept", accT)
       return false
+    }
+    val (cents, members) = cosineStore(s, d)
     val tmp = DurableStores.compactTmp(s, "cosine_index")
     cents.write.mode("overwrite").parquet(s"$tmp/cents")
     members.unionByName(
-        committedDelta(s, d, "cosine_accept", delta).drop("batch_id"))
+        delta.filter(col("batch_id").isin(foldIds.toSeq: _*))
+          .drop("batch_id"))
       .dropDuplicates(Seq("vid"))
       .write.mode("overwrite").parquet(s"$tmp/members")
     val centT = Storage.tableNameFor("graft_cosidx_cents", d)
@@ -1069,10 +1083,8 @@ object LlmOps {
       Seq(DurableStores.TableMeta.plain(s, centT),
         DurableStores.TableMeta.partitioned(s, memT, Seq("cell")))
     }
-    val folded = DurableStores.committedBatches(s, d, "cosine_accept")
-    DurableStores.drop(s, d, "cosine_accept")
-    cosineAcceptStore(s, d)
-    folded.foreach(DurableStores.markBatchCommitted(s, d, "cosine_accept", _))
+    DurableStores.retireFoldedBatches(s, d, "cosine_accept", foldIds)
+    DurableStores.dropFoldedPartitions(s, d, "cosine_accept", accT)
     DurableStores.deleteDir(s, tmp)
     true
   }
@@ -1106,14 +1118,16 @@ object LlmOps {
     * the same population. */
   private[graft] def compactClusterStore(s: SparkSession, d: String): Boolean = {
     import graft.storage.{DurableStores, Storage}
-    if (DurableStores.committedBatches(s, d, "cluster_accept").isEmpty)
+    val accT = Seq(Storage.tableNameFor("graft_clusacc_labels", d))
+    val accDelta = clusterAcceptStore(s, d)
+    val foldIds = DurableStores.committedBatches(s, d, "cluster_accept")
+    if (foldIds.isEmpty) {
+      DurableStores.dropFoldedPartitions(s, d, "cluster_accept", accT)
       return false
-    if (committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
-        .limit(1).collect().isEmpty)
-      return false
+    }
     val tmp = DurableStores.compactTmp(s, "clusters")
     val evidence = clusterStore(s, d).unionByName(
-      committedDelta(s, d, "cluster_accept", clusterAcceptStore(s, d))
+      accDelta.filter(col("batch_id").isin(foldIds.toSeq: _*))
         .select(col("node"), col("cluster")))
     val cc = Dedup.connectedComponents(evidence, "node", "cluster")
     // CC drops self-edges, so singleton nodes (node == cluster, no
@@ -1131,10 +1145,8 @@ object LlmOps {
         Seq("node"), numBuckets = 16)
       Seq(DurableStores.TableMeta.bucketed(s, tbl, Seq("node"), 16))
     }
-    val folded = DurableStores.committedBatches(s, d, "cluster_accept")
-    DurableStores.drop(s, d, "cluster_accept")
-    clusterAcceptStore(s, d)
-    folded.foreach(DurableStores.markBatchCommitted(s, d, "cluster_accept", _))
+    DurableStores.retireFoldedBatches(s, d, "cluster_accept", foldIds)
+    DurableStores.dropFoldedPartitions(s, d, "cluster_accept", accT)
     DurableStores.deleteDir(s, tmp)
     true
   }

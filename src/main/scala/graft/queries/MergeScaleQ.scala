@@ -307,6 +307,15 @@ object MergeScaleQ {
       lineage: Option[Set[String]] = None): Unit = {
     import graft.storage.{DurableStores, Storage}
     val (snapsD, _) = mergeAcceptStore(s, d)
+    // replay of a batch whose merged delta was compact-folded into
+    // the base: NO-OP. Recomputing it as-of its own cut and letting
+    // effectiveMerged's latest-wins override the (complete) folded
+    // base row would silently regress every entity a LATER folded
+    // batch also touched back to pre-that-batch state. The rows
+    // already answer from the base; the snapshot log still holds the
+    // batch's snapshots for future folds.
+    if (DurableStores.foldedBatches(s, d, "merge_log").contains(batchId))
+      return
     val hist = baseHistory(s, d)
     val prior = scopedMergeDelta(s, d, snapsD, Some(batchId), lineage)
       .drop("batch_id")
@@ -341,12 +350,16 @@ object MergeScaleQ {
     * scan. The fold is NOT per-entity latest-wins: divergent lineages
     * each re-merged a shared entity blind to the other's snapshots,
     * so no accepted row need equal the global answer. Snapshots ARE
-    * the ground truth, so the fold recomputes: every entity present
-    * in any committed delta is re-merged over base history ∪ ALL
-    * committed snapshot deltas ([[Merge.incrementalMergeSubmissions]]
-    * shape — base carve-out plus touched-entity re-merge), which
-    * equals a full merge over that history whatever the lineage mix
-    * (StoreSpec).
+    * the ground truth, so the fold recomputes: on the common path,
+    * every entity present in an UNFOLDED merged delta is re-merged
+    * over base history ∪ ALL committed snapshot deltas
+    * ([[Merge.incrementalMergeSubmissions]] shape — base carve-out
+    * plus touched-entity re-merge), which equals a full merge over
+    * that history whatever the lineage mix (StoreSpec) while keeping
+    * fold cost proportional to the work accepted since the last
+    * fold, not to total log history. The coverage probe widens the
+    * fold to the whole log when the base no longer covers the
+    * previously-folded entities (a merged_base refresh).
     *
     * Only the MERGED delta table is truncated. The snapshot deltas
     * and their commit markers are a PERMANENT append-only ingest log
@@ -360,51 +373,72 @@ object MergeScaleQ {
     * plans nothing. */
   private[graft] def compactMergeStore(s: SparkSession, d: String): Boolean = {
     import graft.storage.{DurableStores, Storage}
-    if (DurableStores.committedBatches(s, d, "merge_log").isEmpty)
-      return false
-    val tmp = DurableStores.compactTmp(s, "merge")
+    val mergedT = Storage.tableNameFor("graft_mrgacc_merged", d)
     val (snapsD, mergedD) = mergeAcceptStore(s, d)
-    val acceptedSnaps =
-      LlmOps.committedDelta(s, d, "merge_log", snapsD).drop("batch_id")
+    // the snapshot: all committed log batches as of NOW — an accept
+    // committing while the fold runs keeps its merged delta partition
+    // and marker and folds next time (no silent truncation under a
+    // live ingest stream)
+    val foldIds = DurableStores.committedBatches(s, d, "merge_log")
+    if (foldIds.isEmpty) return false
+    def inFold(df: DataFrame): DataFrame =
+      df.filter(col("batch_id").isin(foldIds.toSeq: _*))
+    val acceptedSnaps = inFold(snapsD).drop("batch_id")
     val foldedNested = baseHistory(s, d).unionByName(acceptedSnaps)
-    // no-op ONLY when the base genuinely covers the log. Merged
-    // deltas being empty is not enough: a `StoreAdmin refresh
-    // merged_base` after a fold rebuilds the base from source (the
-    // documented retention contract), silently un-folding every
-    // accepted batch — the snapshot-count coverage probe detects that
-    // and lets this verb RE-FOLD from the log, which stays the ground
-    // truth precisely so folds are recomputable. Snapshot ids are
-    // guard-unique, so per-touched-entity snapshot-count equality is
-    // exact coverage equality, one narrow agg per side.
-    if (LlmOps.committedDelta(s, d, "merge_log", mergedD).limit(1)
-        .collect().isEmpty) {
-      val touched = acceptedSnaps
-        .select(entityKeys.head, entityKeys.tail: _*).distinct()
-      val baseCovered = mergedBaseStore(s, d, incrementalCutoff)
-        .join(touched, entityKeys, "left_semi")
-        .agg(coalesce(sum(col("snapshot_count")), lit(0L)))
-        .head.getLong(0)
-      val histCount = foldedNested
-        .join(touched, entityKeys, "left_semi").count()
-      if (baseCovered == histCount) return false
+    // entities carried by UNFOLDED merged deltas (folded batches'
+    // partitions are dropped at fold time, so rows present = accepted
+    // since the last fold): the common path re-merges ONLY these —
+    // fold cost tracks new work, not total log history...
+    val unfoldedEnts = inFold(mergedD)
+      .select(entityKeys.head, entityKeys.tail: _*).distinct()
+    // ...but a `StoreAdmin refresh merged_base` rebuilds the base
+    // from source (the documented retention contract), silently
+    // un-folding every previously-folded batch. The coverage probe
+    // over the REST of the accepted entities detects that (snapshot
+    // ids are guard-unique, so per-entity snapshot-count equality is
+    // exact coverage equality, one narrow agg per side) and widens
+    // the fold to the whole log — which stays the ground truth
+    // precisely so folds are recomputable.
+    val rest = acceptedSnaps
+      .select(entityKeys.head, entityKeys.tail: _*).distinct()
+      .join(unfoldedEnts, entityKeys, "left_anti")
+    val baseCovered = mergedBaseStore(s, d, incrementalCutoff)
+      .join(rest, entityKeys, "left_semi")
+      .agg(coalesce(sum(col("snapshot_count")), lit(0L)))
+      .head.getLong(0)
+    val histCount = foldedNested.join(rest, entityKeys, "left_semi").count()
+    val needFull = baseCovered != histCount
+    val hasUnfolded = inFold(mergedD).limit(1).collect().nonEmpty
+    if (!needFull && !hasUnfolded) {
+      // GC merged-delta partitions orphaned by a crash between a
+      // previous fold's ledger write and its partition drop
+      DurableStores.dropFoldedPartitions(s, d, "merge_log", Seq(mergedT))
+      return false
     }
+    val newBatch =
+      if (needFull) acceptedSnaps
+      else acceptedSnaps.join(unfoldedEnts, entityKeys, "left_semi")
+    val tmp = DurableStores.compactTmp(s, "merge")
     Merge.incrementalMergeSubmissions(
-        mergedBaseStore(s, d, incrementalCutoff), foldedNested, acceptedSnaps)
+        mergedBaseStore(s, d, incrementalCutoff), foldedNested, newBatch)
       .write.mode("overwrite").parquet(s"$tmp/merged")
-    val mergedT = Storage.tableNameFor("graft_merged_base", d)
+    val baseT = Storage.tableNameFor("graft_merged_base", d)
     DurableStores.drop(s, d, "merged_base")
-    DurableStores.openOrBuild(s, d, "merged_base", Seq(mergedT),
+    DurableStores.openOrBuild(s, d, "merged_base", Seq(baseT),
         params = s"cutoff=$incrementalCutoff,buckets=32") { st =>
-      st.appendBucketed(mergedT, s.read.parquet(s"$tmp/merged"),
+      st.appendBucketed(baseT, s.read.parquet(s"$tmp/merged"),
         entityKeys, numBuckets = 32)
-      Seq(DurableStores.TableMeta.bucketed(s, mergedT, entityKeys, 32))
+      Seq(DurableStores.TableMeta.bucketed(s, baseT, entityKeys, 32))
     }
-    // the merged deltas are folded: drop + recreate their store empty.
-    // The snapshot log and its commit markers live in `merge_log` and
-    // are untouched — they remain the id-guard universe and the
-    // ground truth of every later fold
-    DurableStores.drop(s, d, "merge_accept")
-    mergeAcceptStore(s, d)
+    // the fold is complete: LEDGER the folded batch ids (the replay
+    // no-op in acceptMergeBatch keys off it) and drop exactly their
+    // merged-delta partitions. The snapshot log, its commit markers,
+    // and any batch that committed mid-fold are untouched — the log
+    // remains the id-guard universe and the ground truth of every
+    // later fold.
+    DurableStores.retireFoldedBatches(s, d, "merge_log", foldIds,
+      deleteMarkers = false)
+    DurableStores.dropFoldedPartitions(s, d, "merge_log", Seq(mergedT))
     DurableStores.deleteDir(s, tmp)
     true
   }

@@ -298,8 +298,11 @@ object DurableStores {
       val f = fs(s, st.path(t.name))
       f.delete(new Path(st.path(t.name)), true)
     }
-    // commit markers live and die with the store's manifest
+    // commit markers and the folded-batch ledger live and die with
+    // the store's manifest
     fs(s, mp.toString).delete(markerDir(mp), true)
+    fs(s, mp.toString).delete(foldedLedger(mp), false)
+    fs(s, mp.toString).delete(ledgerTmp(mp), false)
     fs(s, mp.toString).delete(mp, false)
   }
 
@@ -358,7 +361,12 @@ object DurableStores {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
-  /** Batch ids whose accept fully committed — one marker-dir listing. */
+  /** Batch ids whose accept fully committed AND whose rows still live
+    * in delta partitions — one marker-dir listing. Batches a compact
+    * has folded into the base are NOT listed (their markers retire
+    * into the folded ledger), so the isin predicates probes and
+    * guards build from this set stay bounded by the accept traffic
+    * since the last fold, not by the store's lifetime. */
   def committedBatches(s: SparkSession, dataDir: String,
       store: String): Set[String] = {
     val dir = markerDir(manifestPath(s, store, dataDir))
@@ -367,6 +375,112 @@ object DurableStores {
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName).filter(_.endsWith(".ok"))
       .map(_.stripSuffix(".ok")).toSet
+  }
+
+  // ---- folded-batch ledger (compaction's commit record) -------------
+
+  private def foldedLedger(mp: Path): Path =
+    new Path(mp.getParent, mp.getName.stripSuffix(".meta") + ".folded")
+  private def ledgerTmp(mp: Path): Path = {
+    val l = foldedLedger(mp)
+    new Path(l.getParent, l.getName + ".tmp")
+  }
+
+  /** Batch ids a compact has folded into the store's base. A replayed
+    * accept of such a batch (a Structured Streaming checkpoint replay
+    * racing an admin compact is the canonical case) must be a NO-OP:
+    * its rows already answer from the base, and re-writing a delta
+    * for it would double probe rows or — for the merge family — let
+    * latest-wins override the folded base with a stale as-of-replay
+    * row. Falls back to the ledger's tmp file when the main file is
+    * missing (the one crash window in [[retireFoldedBatches]]'s
+    * write-tmp / delete / rename sequence leaves a COMPLETE tmp). */
+  def foldedBatches(s: SparkSession, dataDir: String,
+      store: String): Set[String] = {
+    val mp = manifestPath(s, store, dataDir)
+    val f = fs(s, mp.toString)
+    val src = Seq(foldedLedger(mp), ledgerTmp(mp)).find(f.exists)
+    src.fold(Set.empty[String]) { p =>
+      val in = new BufferedReader(
+        new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Record that a compact folded `ids` into the base: append them to
+    * the folded ledger (write-tmp, delete, rename — a crash between
+    * delete and rename is healed by [[foldedBatches]] reading the
+    * complete tmp), then — unless the family keeps its markers as a
+    * permanent ingest log (`deleteMarkers = false`, the merge_log
+    * contract) — delete the per-batch `.ok` markers so
+    * [[committedBatches]] stays bounded by unfolded traffic. Ledger
+    * FIRST: at every crash point a folded batch is flagged in at
+    * least one of ledger/marker, so a replay can never slip past
+    * both the no-op check and the id guard. */
+  def retireFoldedBatches(s: SparkSession, dataDir: String, store: String,
+      ids: Set[String], deleteMarkers: Boolean = true): Unit = {
+    if (ids.isEmpty) return
+    val mp = manifestPath(s, store, dataDir)
+    val f = fs(s, mp.toString)
+    val merged = (foldedBatches(s, dataDir, store) ++ ids).toSeq.sorted
+    val tmp = ledgerTmp(mp)
+    val w = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
+    try w.write(merged.mkString("\n")) finally w.close()
+    f.delete(foldedLedger(mp), false)
+    if (!f.rename(tmp, foldedLedger(mp)))
+      sys.error(s"could not publish folded ledger for $store")
+    if (deleteMarkers) {
+      val dir = markerDir(mp)
+      ids.foreach(id => f.delete(new Path(dir, id + ".ok"), false))
+    }
+  }
+
+  /** Batch ids with a physical `batch_id=` partition directory on
+    * disk — one FS listing of the table root. */
+  def presentBatchPartitions(s: SparkSession, table: String): Set[String] = {
+    val st = new Storage(s, root(s))
+    val p = new Path(st.path(table))
+    val f = fs(s, st.path(table))
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=")).toSet
+  }
+
+  /** Drop specific `batch_id` partitions of a delta table — catalog
+    * entry AND files (the tables are external, so ALTER TABLE alone
+    * keeps the data). This is compaction's truncate: only the batches
+    * the fold actually covered are removed; a batch whose accept
+    * committed while the fold ran keeps its partition and marker and
+    * folds next time. */
+  def dropBatchPartitions(s: SparkSession, table: String,
+      ids: Set[String]): Unit = {
+    if (ids.isEmpty) return
+    val st = new Storage(s, root(s))
+    ids.foreach { id =>
+      require(!id.contains("'") && !id.contains("/"),
+        s"unsafe batch id for partition drop: $id")
+      s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (batch_id='$id')")
+      fs(s, st.path(table))
+        .delete(new Path(st.path(table), s"batch_id=$id"), true)
+    }
+    s.catalog.refreshTable(table)
+  }
+
+  /** Remove every on-disk delta partition the ledger says is folded —
+    * compaction's truncate plus garbage collection of partitions
+    * orphaned by a crash between marker retirement and partition
+    * drop (such partitions are invisible to probes — no live marker —
+    * but hold dead bytes). */
+  def dropFoldedPartitions(s: SparkSession, dataDir: String, store: String,
+      tables: Seq[String]): Unit = {
+    val folded = foldedBatches(s, dataDir, store)
+    if (folded.isEmpty) return
+    tables.foreach { t =>
+      dropBatchPartitions(s, t, presentBatchPartitions(s, t).intersect(folded))
+    }
   }
 
 }

@@ -21,6 +21,23 @@ import graft.storage.Storage
   */
 object StreamingIngest {
 
+  /** Default batch-id prefix for the accept verbs, derived from the
+    * stream's CHECKPOINT location. Two independent streams (distinct
+    * checkpoints) writing the same store must never share batch ids:
+    * the accept verbs' own-id replay exemption and the folded-ledger
+    * no-op both assume id identity means content identity, so a
+    * shared literal prefix would let stream B's micro-batch 0
+    * silently overwrite stream A's committed partition. Hashing the
+    * checkpoint makes the prefix unique per stream while a RESTART of
+    * the same stream (same checkpoint) keeps its ids stable —
+    * exactly what the checkpoint-replay contract needs. */
+  private[graft] def batchPrefixFor(checkpoint: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    s"stream_${h}_"
+  }
+
   /** Start a submission-format ingest stream: `source` is any
     * readStream DataFrame (file drop dir, socket, …); `convert` is one
     * of ingest.Formats. Defaults mirror the reference's 60 s flush.
@@ -110,17 +127,20 @@ object StreamingIngest {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      batchPrefix: String = "stream_",
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+      batchPrefix: String = "",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val prefix =
+      if (batchPrefix.nonEmpty) batchPrefix else batchPrefixFor(checkpoint)
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty)
           graft.queries.LlmOps.acceptSketchBatch(batch.sparkSession,
-            dataDir, f"$batchPrefix$bid%09d", batch, idCol, textCol)
+            dataDir, f"$prefix$bid%09d", batch, idCol, textCol)
       }
       .start()
+  }
 
   /** The FULL streaming cluster-maintenance loop — q124's write-back
     * lifecycle running continuously: each micro-batch is
@@ -140,15 +160,17 @@ object StreamingIngest {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
-      batchPrefix: String = "stream_",
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+      batchPrefix: String = "",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val prefix =
+      if (batchPrefix.nonEmpty) batchPrefix else batchPrefixFor(checkpoint)
     docs.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val b = f"$batchPrefix$bid%09d"
+          val b = f"$prefix$bid%09d"
           graft.engine.CacheRegistry.withRetained {
             graft.queries.LlmOps.acceptSketchBatch(s, dataDir, b,
               batch, idCol, textCol)
@@ -158,6 +180,7 @@ object StreamingIngest {
         }
       }
       .start()
+  }
 
   /** [[startSketchAccept]] for the cosine index: each micro-batch of
     * (vec_id, embedding) rows is cell-assigned under the STORED
@@ -167,17 +190,20 @@ object StreamingIngest {
       vectors: DataFrame,
       dataDir: String,
       checkpoint: String,
-      batchPrefix: String = "stream_",
-      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery =
+      batchPrefix: String = "",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val prefix =
+      if (batchPrefix.nonEmpty) batchPrefix else batchPrefixFor(checkpoint)
     vectors.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty)
           graft.queries.LlmOps.acceptCosineBatch(batch.sparkSession,
-            dataDir, f"$batchPrefix$bid%09d", batch)
+            dataDir, f"$prefix$bid%09d", batch)
       }
       .start()
+  }
 
   def startUserMergeMaintenance(
       source: DataFrame,

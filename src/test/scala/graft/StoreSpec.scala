@@ -349,11 +349,14 @@ class StoreSpec extends AnyFunSuite {
       val before = probePairs()
       assert(before.contains((910100L, 910001L, 1.0)))
       assert(graft.queries.LlmOps.compactSketchStore(s, sf))
-      // deltas truncated to empty partitions; commit markers SURVIVE
-      // (a marker means "in the store, delta or folded" — the replay
-      // no-op depends on it)
+      // deltas truncated; the marker RETIRES into the folded ledger
+      // (the replay no-op keys off the ledger) so committedBatches —
+      // and every isin predicate built from it — stays bounded by
+      // unfolded traffic, not store lifetime
       assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === 0L)
-      assert(DurableStores.committedBatches(s, sf, "sketch_accept")
+      assert(DurableStores.foldedBatches(s, sf, "sketch_accept")
+        .contains("cpt_b1"))
+      assert(!DurableStores.committedBatches(s, sf, "sketch_accept")
         .contains("cpt_b1"))
       // identical probe answers from the base alone
       assert(probePairs() === before)
@@ -387,6 +390,15 @@ class StoreSpec extends AnyFunSuite {
           Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text")
       }
       assert(ex2.getMessage.contains("910002"))
+      // a second compact folds the batch accepted since the first
+      // one; the ledger accumulates, markers stay bounded (empty)
+      assert(graft.queries.LlmOps.compactSketchStore(s, sf))
+      assert(DurableStores.foldedBatches(s, sf, "sketch_accept")
+        .intersect(Set("cpt_b1", "cpt_b2")) === Set("cpt_b1", "cpt_b2"))
+      assert(!DurableStores.committedBatches(s, sf, "sketch_accept")
+        .contains("cpt_b2"))
+      assert(graft.queries.LlmOps.sketchStore(s, sf)._1
+        .filter(col("doc") === 910002L).count() === 1L)
       graft.engine.CacheRegistry.releaseAll()
     } finally {
       // restore the pristine source-built base for the other specs/gates
@@ -519,8 +531,21 @@ class StoreSpec extends AnyFunSuite {
         MergeScaleQ.acceptMergeBatch(s, sf, "zz_mb1_again", mb1Again)
       }
       assert(ex.getMessage.contains("merge accept precondition"))
+      // replaying ONLY the folded, NON-latest batch is a NO-OP: a
+      // recompute as-of mb1 would re-create mb1's merged delta and
+      // effectiveMerged's latest-wins would override the complete
+      // folded base row with it, silently regressing every entity
+      // mb2 also touched
+      MergeScaleQ.acceptMergeBatch(s, sf, "mb1", mb1Again,
+        lineage = Some(Set("mb1", "mb2")))
+      assert(MergeScaleQ.mergeAcceptStore(s, sf)._2.count() === 0L)
+      assert(rows(MergeScaleQ.effectiveMerged(s, sf)
+        .select(col("site_submission_id"), col("snapshot_count")))
+        === rows(graft.engine.Merge.mergeSubmissions(
+          MergeScaleQ.nestedAtScale(s, sf))
+          .select(col("site_submission_id"), col("snapshot_count"))))
       // log-replay AFTER compaction still lands on the full answer
-      // (own-partition guard exemption + before-cut semantics)
+      // (folded-ledger no-ops + the intact folded base)
       assert(rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf)) === full)
       graft.engine.CacheRegistry.releaseAll()
     } finally {
