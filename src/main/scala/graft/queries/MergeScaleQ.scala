@@ -246,13 +246,36 @@ object MergeScaleQ {
     * optionally lineage-scoped and replayed as of just before a batch
     * id — the same scoping contract as
     * [[LlmOps.effectiveClusterLabels]]. */
-  private def scopedMergeDelta(s: SparkSession, d: String, delta: DataFrame,
-      before: Option[String], lineage: Option[Set[String]]): DataFrame = {
-    val committed = LlmOps.committedDelta(s, d, "merge_log", delta)
+  private def scopedMergeDelta(s: SparkSession, d: String, table: String,
+      delta: DataFrame, before: Option[String],
+      lineage: Option[Set[String]]): DataFrame = {
+    val committed = committedLogDelta(s, d, table, delta)
     val scoped = lineage
       .map(ls => committed.filter(col("batch_id").isin(ls.toSeq: _*)))
       .getOrElse(committed)
     before.map(b => scoped.filter(col("batch_id") < b)).getOrElse(scoped)
+  }
+
+  /** Committed view of a delta table whose markers live in the
+    * PERMANENT `merge_log`. The accept families' committed filter
+    * ([[LlmOps.committedDelta]] — isin over live markers) is bounded
+    * there because compaction retires markers; the log keeps one
+    * marker per batch FOREVER, so the same include-list would grow an
+    * unbounded isin literal (plan size and driver memory scale with
+    * log lifetime, not traffic). Invert it: list the batch partitions
+    * present on disk, subtract the marked ones, and EXCLUDE the
+    * difference — the predicate is sized by crashed (uncommitted)
+    * accepts, which is ~zero. Equivalent because log partitions are
+    * permanent and a marker without a partition (a folded merged
+    * delta) contributes no rows either way. */
+  private def committedLogDelta(s: SparkSession, d: String,
+      table: String, delta: DataFrame): DataFrame = {
+    import graft.storage.DurableStores
+    val uncommitted = DurableStores.presentBatchPartitions(s, table) --
+      DurableStores.committedBatches(s, d, "merge_log")
+    if (uncommitted.isEmpty) delta
+    else delta.filter(col("batch_id").isNotNull &&
+      !col("batch_id").isin(uncommitted.toSeq: _*))
   }
 
   private val entityKeys = Seq("website_id", "site_submission_id")
@@ -268,9 +291,12 @@ object MergeScaleQ {
       before: Option[String] = None,
       lineage: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.storage.Storage
     val base = mergedBaseStore(s, d, incrementalCutoff)
     val (_, mergedD) = mergeAcceptStore(s, d)
-    val latest = scopedMergeDelta(s, d, mergedD, before, lineage)
+    val latest = scopedMergeDelta(s, d,
+        Storage.tableNameFor("graft_mrgacc_merged", d), mergedD,
+        before, lineage)
       .withColumn("rk", row_number().over(
         Window.partitionBy(entityKeys.map(col): _*)
           .orderBy(col("batch_id").desc)))
@@ -317,14 +343,15 @@ object MergeScaleQ {
     if (DurableStores.foldedBatches(s, d, "merge_log").contains(batchId))
       return
     val hist = baseHistory(s, d)
-    val prior = scopedMergeDelta(s, d, snapsD, Some(batchId), lineage)
+    val snapsT = Storage.tableNameFor("graft_mrgacc_snaps", d)
+    val prior = scopedMergeDelta(s, d, snapsT, snapsD, Some(batchId), lineage)
       .drop("batch_id")
     val cols = hist.columns.map(col).toIndexedSeq
     val batch = batchSnaps.select(cols: _*)
     // collision universe: base history plus ALL committed accepts of
     // every lineage except this batch's own partition (whose presence
     // just means a replay) — an id accepted by ANY batch is taken
-    val others = LlmOps.committedDelta(s, d, "merge_log", snapsD)
+    val others = committedLogDelta(s, d, snapsT, snapsD)
       .filter(col("batch_id") =!= batchId).drop("batch_id")
     LlmOps.requireFreshBatchIds(
       hist.unionByName(others), "submission_snapshot_id",
@@ -375,21 +402,29 @@ object MergeScaleQ {
     import graft.storage.{DurableStores, Storage}
     val mergedT = Storage.tableNameFor("graft_mrgacc_merged", d)
     val (snapsD, mergedD) = mergeAcceptStore(s, d)
-    // the snapshot: all committed log batches as of NOW — an accept
+    // the snapshot: all committed log batches as of NOW. Retirement
+    // and partition drops cover exactly this set, so an accept
     // committing while the fold runs keeps its merged delta partition
     // and marker and folds next time (no silent truncation under a
-    // live ingest stream)
+    // live ingest stream). The fold READS through committedLogDelta
+    // (bounded exclude-uncommitted predicate, not an isin over the
+    // whole log) — a mid-fold commit may therefore contribute rows to
+    // this fold's recompute, which is safe: merge folds recompute
+    // from the ground-truth log, so extra snapshots only move a
+    // touched entity CLOSER to the final answer, and the unretired
+    // batch still folds (idempotently) next time.
     val foldIds = DurableStores.committedBatches(s, d, "merge_log")
     if (foldIds.isEmpty) return false
-    def inFold(df: DataFrame): DataFrame =
-      df.filter(col("batch_id").isin(foldIds.toSeq: _*))
-    val acceptedSnaps = inFold(snapsD).drop("batch_id")
+    val snapsT = Storage.tableNameFor("graft_mrgacc_snaps", d)
+    val acceptedSnaps = committedLogDelta(s, d, snapsT, snapsD)
+      .drop("batch_id")
     val foldedNested = baseHistory(s, d).unionByName(acceptedSnaps)
     // entities carried by UNFOLDED merged deltas (folded batches'
     // partitions are dropped at fold time, so rows present = accepted
     // since the last fold): the common path re-merges ONLY these —
     // fold cost tracks new work, not total log history...
-    val unfoldedEnts = inFold(mergedD)
+    val unfoldedMerged = committedLogDelta(s, d, mergedT, mergedD)
+    val unfoldedEnts = unfoldedMerged
       .select(entityKeys.head, entityKeys.tail: _*).distinct()
     // ...but a `StoreAdmin refresh merged_base` rebuilds the base
     // from source (the documented retention contract), silently
@@ -408,7 +443,7 @@ object MergeScaleQ {
       .head.getLong(0)
     val histCount = foldedNested.join(rest, entityKeys, "left_semi").count()
     val needFull = baseCovered != histCount
-    val hasUnfolded = inFold(mergedD).limit(1).collect().nonEmpty
+    val hasUnfolded = unfoldedMerged.limit(1).collect().nonEmpty
     if (!needFull && !hasUnfolded) {
       // GC merged-delta partitions orphaned by a crash between a
       // previous fold's ledger write and its partition drop
