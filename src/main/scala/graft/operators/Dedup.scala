@@ -296,6 +296,59 @@ object Dedup {
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
   }
 
+  /** [[incrementalMinhashPairsFromStore]] with the BATCH side ALSO in
+    * sketch-table form: both ends of the probe are (shingles, bands,
+    * chunks) frames, so the operation hashes no text at all. This is
+    * the accept-lifecycle shape — acceptSketchBatch persists the
+    * batch's sketch before the cluster write-back runs, so
+    * [[graft.queries.LlmOps.acceptClusterRelabel]] probes with the
+    * partitions just written instead of re-shingling the batch text
+    * (which the inline variants do once per call — three sketch
+    * passes per accepted batch before this existed). The batch-side
+    * frames also come cheap from a single in-memory [[corpusSketch]]
+    * via [[explodedBands]]/[[explodedChunks]] (the q123 shape).
+    * Candidate generation broadcasts the batch-side key tables while
+    * the batch holds at most `maxBroadcastBatchDocs` docs — the same
+    * backfill guard, decided by one batch-sized count; verification
+    * joins the two shingle tables. Recall contract identical to the
+    * inline variant: the union of both sketch families' collisions,
+    * each pair verified once by exact Jaccard. Batch and corpus doc
+    * ids must be disjoint (the accept id guard enforces it). Returns
+    * (batch_doc, corpus_doc, jaccard >= threshold). */
+  def incrementalPairsBetweenStores(
+      corpusShingles: DataFrame, corpusBands: DataFrame,
+      corpusChunks: DataFrame, batchShingles: DataFrame,
+      batchBands: DataFrame, batchChunks: DataFrame,
+      chunks: Int = 8, threshold: Double = 0.8,
+      maxBroadcastBatchDocs: Long = 1000000L): DataFrame = {
+    val hintBatch: DataFrame => DataFrame =
+      if (batchShingles.count() <= maxBroadcastBatchDocs) broadcast
+      else identity
+    val mhCands = corpusBands
+      .join(hintBatch(batchBands.select(col("doc").as("batch_doc"),
+          col("band_id"), col("band_hash"))),
+        Seq("band_id", "band_hash"))
+      .select(col("batch_doc"), col("doc").as("corpus_doc"))
+    // pigeonhole: any pair within Hamming < chunks shares a chunk
+    val shCands = corpusChunks
+      .join(hintBatch(batchChunks.select(col("doc").as("batch_doc"),
+          col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
+        Seq("chunk_idx", "chunk_value"))
+      .filter(hamming(col("sim_a"), col("simhash")) <= chunks - 1)
+      .select(col("batch_doc"), col("doc").as("corpus_doc"))
+    mhCands.unionByName(shCands)
+      .distinct() // a pair may collide in several buckets/sketches
+      .join(hintBatch(batchShingles
+          .select(col("doc").as("batch_doc"), col("sh").as("sh_a"))),
+        Seq("batch_doc"))
+      .join(corpusShingles.select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
+        Seq("corpus_doc"))
+      .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
   /** [[multiSketchPairs]] against the AT-REST corpus layout: WITHIN-
     * corpus near-dup pairs computed entirely from the persisted sketch
     * tables — `corpusShingles` (doc, sh), `corpusBands`

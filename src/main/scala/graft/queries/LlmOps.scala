@@ -464,8 +464,10 @@ object LlmOps {
     * relabel. Idempotent under replay: re-accepting batch X recomputes
     * exactly X's original delta (the `before` cut), then re-accepting
     * later batches rebuilds theirs. Accept cost is batch-proportional:
-    * batch-side sketching only, a batch-sized contracted CC, and a
-    * broadcast-join scan of the label store. */
+    * on the common path NO text is hashed at all (the batch's sketch
+    * is read back from the partitions [[acceptSketchBatch]] just
+    * wrote), plus a batch-sized contracted CC and a broadcast-join
+    * scan of the label store. */
   private[graft] def acceptClusterRelabel(s: SparkSession, d: String,
       batchId: String, batch: DataFrame, idCol: String,
       textCol: String, lineage: Option[Set[String]] = None): Unit = {
@@ -484,14 +486,39 @@ object LlmOps {
         .getOrElse(committed)
         .filter(col("batch_id") < batchId).drop("batch_id")
     }
+    // the accept contract sketches the batch FIRST (acceptSketchBatch,
+    // same id), so on the common path the batch's sketch is already AT
+    // REST in its sketch_accept partitions — probe with those and hash
+    // no text in this verb at all (the inline variants would sketch
+    // the batch twice more). Fall back to inline sketching only when
+    // that accept is missing, or already folded into the base (where
+    // its rows are indistinguishable from corpus rows).
+    val sketchAtRest =
+      !alreadyFolded(s, d, "sketch_accept", batchId) &&
+        graft.storage.DurableStores
+          .committedBatches(s, d, "sketch_accept").contains(batchId)
     graft.engine.CacheRegistry.withRetained {
-      val bc = Dedup.incrementalMinhashPairsFromStore(
-        sh.unionByName(prior(ash)), bands.unionByName(prior(abands)),
-        chunks.unionByName(prior(achunks)),
-        batch, idCol, textCol, k = 32, bands = 4, threshold = 0.8)
-        .select(col("batch_doc"), col("corpus_doc"))
-      val bb = Dedup.multiSketchPairs(batch, idCol, textCol, threshold = 0.8)
-        .select(col("doc_a"), col("doc_b"))
+      val (bc, bb) = if (sketchAtRest) {
+        def ownP(delta: DataFrame): DataFrame =
+          delta.filter(col("batch_id") === batchId).drop("batch_id")
+        val (bsh, bbands, bchunks) = (ownP(ash), ownP(abands), ownP(achunks))
+        (Dedup.incrementalPairsBetweenStores(
+            sh.unionByName(prior(ash)), bands.unionByName(prior(abands)),
+            chunks.unionByName(prior(achunks)),
+            bsh, bbands, bchunks, threshold = 0.8)
+          .select(col("batch_doc"), col("corpus_doc")),
+         Dedup.multiSketchPairsFromStore(bsh, bbands, bchunks,
+            threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")))
+      } else {
+        (Dedup.incrementalMinhashPairsFromStore(
+            sh.unionByName(prior(ash)), bands.unionByName(prior(abands)),
+            chunks.unionByName(prior(achunks)),
+            batch, idCol, textCol, k = 32, bands = 4, threshold = 0.8)
+          .select(col("batch_doc"), col("corpus_doc")),
+         Dedup.multiSketchPairs(batch, idCol, textCol, threshold = 0.8)
+          .select(col("doc_a"), col("doc_b")))
+      }
       val delta = Dedup.incrementalConnectedComponentsDelta(
         effectiveClusterLabels(s, d, before = Some(batchId),
           lineage = lineage), bc, bb)
@@ -520,10 +547,19 @@ object LlmOps {
     val (sh, bands, chunks) = sketchStore(s, d)
     val stored = clusterStore(s, d)
     val batch = t(s, d, "documents").filter($"doc_id" % 10 === 0)
-    val bc = Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks, batch,
-      "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+    // sketch the batch ONCE, derive both candidate families from the
+    // cached frame (the naive shape — incrementalMinhashPairsFromStore
+    // for cross-edges plus multiSketchPairs for internal edges —
+    // shingles and hashes the same batch text twice)
+    val bsk = graft.engine.CacheRegistry.retain(
+      Dedup.corpusSketch(batch, "doc_id", "text"))
+    val (bsh, bbands, bchunks) = (bsk.select($"doc", $"sh"),
+      Dedup.explodedBands(bsk, 32, 4), Dedup.explodedChunks(bsk, 8))
+    val bc = Dedup.incrementalPairsBetweenStores(sh, bands, chunks,
+      bsh, bbands, bchunks, threshold = 0.8)
       .select($"batch_doc", $"corpus_doc")
-    val bb = Dedup.multiSketchPairs(batch, "doc_id", "text", threshold = 0.8)
+    val bb = Dedup.multiSketchPairsFromStore(bsh, bbands, bchunks,
+      threshold = 0.8)
       .select($"doc_a", $"doc_b")
     Dedup.incrementalConnectedComponents(stored, bc, bb)
       .select($"node".as("doc_id"), $"cluster".as("cluster_id"))
