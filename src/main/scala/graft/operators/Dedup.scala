@@ -270,30 +270,130 @@ object Dedup {
         .withColumn("sig", minhashSignature(col("sh"), k)))
     val hintBatch: DataFrame => DataFrame =
       if (batchSk.count() <= maxBroadcastBatchDocs) broadcast else identity
-    val mhCands = corpusBands
-      .join(hintBatch(explodedBands(batchSk, k, bands)
-          .select(col("doc").as("batch_doc"), col("band_id"), col("band_hash"))),
-        Seq("band_id", "band_hash"))
+    val batchBands = explodedBands(batchSk, k, bands)
+      .select(col("doc").as("batch_doc"), col("band_id"), col("band_hash"))
+    val batchChunks = explodedChunks(batchSk, chunks)
+      .select(col("doc").as("batch_doc"),
+        col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))
+    val mhCands = pruneToProbeKeys(corpusBands, "band_hash",
+        batchBands, "band_hash")
+      .join(hintBatch(batchBands), Seq("band_id", "band_hash"))
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
     // pigeonhole: any pair within Hamming < chunks shares a chunk
-    val shCands = corpusChunks
-      .join(hintBatch(explodedChunks(batchSk, chunks)
-          .select(col("doc").as("batch_doc"),
-            col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
-        Seq("chunk_idx", "chunk_value"))
+    val shCands = pruneToProbeKeys(corpusChunks, "chunk_value",
+        batchChunks, "chunk_value")
+      .join(hintBatch(batchChunks), Seq("chunk_idx", "chunk_value"))
       .filter(hamming(col("sim_a"), col("simhash")) <= chunks - 1)
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
-    val cands = mhCands.unionByName(shCands)
-      .distinct() // a pair may collide in several buckets/sketches
+    val cands = graft.engine.CacheRegistry.retain(
+      mhCands.unionByName(shCands)
+        .distinct()) // a pair may collide in several buckets/sketches
     cands
       .join(batchSk.select(col("doc").as("batch_doc"), col("sh").as("sh_a")),
         Seq("batch_doc"))
-      .join(corpusShingles.select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
+      .join(pruneToCandidateDocs(corpusShingles, cands, "corpus_doc")
+          .select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
         Seq("corpus_doc"))
       .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_doc"), col("corpus_doc"), col("jaccard"))
+  }
+
+  /** The corpus-side shingle frame restricted to a probe's candidate
+    * doc ids, pushed into the SCAN: the verification join of the
+    * incremental probes is batch-proportional in rows matched but was
+    * corpus-proportional in bytes read — it streamed every corpus
+    * shingle array to verify a candidate set that names a fraction of
+    * a percent of the docs (measured 2.8 s of a 4.4 s probe at 262k
+    * docs × 300 tokens). The candidate ids are batch-bounded (batch
+    * docs × collisions per sketch family), so collect them — a
+    * bounded coordinator read of the same class as the union-find
+    * edge collect — and filter the at-rest table with an exact-values
+    * IN predicate. [[graft.storage.Storage.appendBucketed]] sorts the
+    * shingle store by `doc` inside each bucket, so parquet row-group
+    * stats and page indexes skip the non-candidate bulk; the skip
+    * fraction grows with corpus size (at gate scale the table is a
+    * handful of row groups, at 100 TB it is millions, of which a
+    * batch touches thousands). Above `maxIds` — a backfill-sized
+    * probe — the prune is skipped and the join reverts to the full
+    * stream (AT that batch size the scan amortizes; an unbounded
+    * collect would not). */
+  private def pruneToCandidateDocs(corpusShingles: DataFrame,
+      cands: DataFrame, idCol: String,
+      maxIds: Int = 100000): DataFrame =
+    pruneToProbeKeys(corpusShingles, "doc", cands, idCol, maxIds)
+
+  /** General form of [[pruneToCandidateDocs]]: restrict an at-rest
+    * sorted table to the key values a batch-bounded probe frame
+    * actually names. Also applied to the candidate-generation scans
+    * (bands on `band_hash`, chunks on `chunk_value` — a SUPERSET of
+    * the composite join key, which the following equi-join
+    * re-tightens, so semantics are unchanged).
+    *
+    * Predicate shape matters: a plain large `isin` is NOT a usable
+    * pushdown — above `spark.sql.parquet.pushdown.inFilterThreshold`
+    * Spark degrades it to one min/max range (prunes nothing for
+    * scattered keys), and raising that threshold makes ParquetFilters
+    * build a LEFT-DEEP OR chain, which overflows the task stack at a
+    * few thousand values (measured: StackOverflowError in the scan
+    * task at 8k chunk keys). So the filter is split into the two
+    * roles: row-level exactness stays an `isInCollection` (compiled
+    * to a hash-set InSet, evaluated post-decode, never pushed), and
+    * I/O pruning is a RANGE COVER — the sorted key set split at its
+    * `maxRanges`-1 largest gaps into BETWEEN predicates, OR'd as a
+    * balanced tree (stack-safe in parquet's recursive evaluator).
+    * Ranges are a superset of the keys, so correctness never depends
+    * on them; row groups and pages whose [min,max] miss every range
+    * are skipped without decoding. Non-integral key types skip the
+    * range predicate and keep only the InSet row filter. */
+  private def pruneToProbeKeys(table: DataFrame, tableCol: String,
+      probe: DataFrame, probeCol: String, maxIds: Int = 100000,
+      maxRanges: Int = 256): DataFrame = {
+    val ids = probe.select(col(probeCol)).distinct().limit(maxIds + 1)
+      .collect().map(_.get(0))
+    if (ids.length > maxIds) table
+    else if (ids.isEmpty) table.limit(0)
+    else {
+      val exact = table.filter(col(tableCol).isInCollection(ids))
+      rangeCover(ids, maxRanges) match {
+        case Some(ranges) =>
+          def orTree(cs: IndexedSeq[org.apache.spark.sql.Column])
+              : org.apache.spark.sql.Column =
+            if (cs.length == 1) cs.head
+            else {
+              val (a, b) = cs.splitAt(cs.length / 2)
+              orTree(a) || orTree(b)
+            }
+          exact.filter(orTree(ranges.map { case (lo, hi) =>
+            if (lo == hi) col(tableCol) === lit(lo)
+            else col(tableCol) >= lit(lo) && col(tableCol) <= lit(hi)
+          }))
+        case None => exact
+      }
+    }
+  }
+
+  /** Cover a (integral-typed) key set with at most `maxRanges`
+    * inclusive ranges: sort, then split at the largest gaps — the
+    * cover is tight where keys cluster and cheap where they scatter.
+    * None for non-integral keys. */
+  private def rangeCover(ids: Array[Any],
+      maxRanges: Int): Option[IndexedSeq[(Long, Long)]] = {
+    val longs = ids.collect {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+    }
+    if (longs.length != ids.length) return None
+    val sorted = longs.distinct.sorted.toIndexedSeq
+    val splits =
+      if (sorted.length <= maxRanges) (1 until sorted.length).toIndexedSeq
+      else (1 until sorted.length)
+        .sortBy(i => -(sorted(i) - sorted(i - 1))).take(maxRanges - 1).sorted
+    val starts = 0 +: splits
+    val ends = splits.map(_ - 1) :+ (sorted.length - 1)
+    Some(starts.zip(ends).map { case (a, b) => (sorted(a), sorted(b)) })
   }
 
   /** [[incrementalMinhashPairsFromStore]] with the BATCH side ALSO in
@@ -324,24 +424,29 @@ object Dedup {
     val hintBatch: DataFrame => DataFrame =
       if (batchShingles.count() <= maxBroadcastBatchDocs) broadcast
       else identity
-    val mhCands = corpusBands
+    val mhCands = pruneToProbeKeys(corpusBands, "band_hash",
+        batchBands, "band_hash")
       .join(hintBatch(batchBands.select(col("doc").as("batch_doc"),
           col("band_id"), col("band_hash"))),
         Seq("band_id", "band_hash"))
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
     // pigeonhole: any pair within Hamming < chunks shares a chunk
-    val shCands = corpusChunks
+    val shCands = pruneToProbeKeys(corpusChunks, "chunk_value",
+        batchChunks, "chunk_value")
       .join(hintBatch(batchChunks.select(col("doc").as("batch_doc"),
           col("simhash").as("sim_a"), col("chunk_idx"), col("chunk_value"))),
         Seq("chunk_idx", "chunk_value"))
       .filter(hamming(col("sim_a"), col("simhash")) <= chunks - 1)
       .select(col("batch_doc"), col("doc").as("corpus_doc"))
-    mhCands.unionByName(shCands)
-      .distinct() // a pair may collide in several buckets/sketches
+    val cands = graft.engine.CacheRegistry.retain(
+      mhCands.unionByName(shCands)
+        .distinct()) // a pair may collide in several buckets/sketches
+    cands
       .join(hintBatch(batchShingles
           .select(col("doc").as("batch_doc"), col("sh").as("sh_a"))),
         Seq("batch_doc"))
-      .join(corpusShingles.select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
+      .join(pruneToCandidateDocs(corpusShingles, cands, "corpus_doc")
+          .select(col("doc").as("corpus_doc"), col("sh").as("sh_b")),
         Seq("corpus_doc"))
       .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))

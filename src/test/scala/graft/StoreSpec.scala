@@ -101,6 +101,43 @@ class StoreSpec extends AnyFunSuite {
       "single-cell probe read more than one hive partition")
   }
 
+  test("incremental probes push bounded candidate-key predicates into the store scans") {
+    val s = spark
+    import s.implicits._
+    // a batch-bounded probe must not STREAM the corpus-scale sketch
+    // tables: the candidate doc ids (verification) and the batch's
+    // band/chunk keys (candidate generation) are collected — bounded,
+    // batch-proportional — and pushed into the parquet scans as an
+    // exact InSet row filter plus a range-cover pushdown, so sorted
+    // row groups/pages outside the candidate set never decode. The
+    // pin: every corpus-side sketch scan in the probe plan carries
+    // PushedFilters on its sorted key column.
+    val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
+    val corpusText = Tables.t(s, sf, "documents")
+      .filter($"doc_id" % 10 =!= 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val batch = Seq((1000000L, corpusText.head._2),
+      (1000001L, "a fresh never seen sentence about nothing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashPairsFromStore(sh, bands, chunks,
+      batch, "doc_id", "text", k = 32, bands = 4, threshold = 0.8)
+    val plan = executedPlan(out)
+    for ((tbl, key) <- Seq("graft_sketch_shingles" -> "doc",
+        "graft_sketch_bands" -> "band_hash",
+        "graft_sketch_chunks" -> "chunk_value")) {
+      val scanLine = plan.linesIterator
+        .find(l => l.contains(tbl) && l.contains("PushedFilters"))
+      assert(scanLine.exists(l => l.contains(s"($key,")),
+        s"no candidate-key pushdown on $tbl's scan:\n$plan")
+    }
+    // and the probe's answer is unchanged by the pruning (the dup of
+    // a corpus doc is found; the novel doc pairs with nothing)
+    val found = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1000000L, corpusText.head._1)))
+    assert(!found.exists(_._1 == 1000001L))
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("q119's near-dup stage reads the persisted sketch tables and no corpus text") {
     val s = spark
     // the connected-components step may run eagerly (driver union-find
