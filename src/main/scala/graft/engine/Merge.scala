@@ -168,9 +168,18 @@ object Merge {
       previousMerged: DataFrame,
       allNested: DataFrame,
       newBatch: DataFrame): DataFrame = {
-    val touched = newBatch.select("website_id", "site_submission_id").distinct()
+    val touched = graft.engine.CacheRegistry.retain(
+      newBatch.select("website_id", "site_submission_id").distinct())
+    // the touched-entity re-merge is batch-proportional in entities
+    // but the semi join would STREAM the whole nested store to find
+    // them; the store is sorted by the entity key
+    // (Storage.appendBucketed), so push the batch's submission-id set
+    // into the scan (ProbePrune: bounded collect, range-cover
+    // pushdown; the semi join re-tightens to exact entity pairs)
     val refreshed = mergeSubmissions(
-      allNested.join(touched, Seq("website_id", "site_submission_id"), "left_semi"))
+      graft.engine.ProbePrune.pruneToProbeKeys(allNested,
+          "site_submission_id", touched, "site_submission_id")
+        .join(touched, Seq("website_id", "site_submission_id"), "left_semi"))
     previousMerged
       .join(touched, Seq("website_id", "site_submission_id"), "left_anti")
       .unionByName(refreshed)
@@ -184,9 +193,13 @@ object Merge {
       previousMerged: DataFrame,
       allSnapshots: DataFrame,
       newBatch: DataFrame): DataFrame = {
-    val touched = newBatch.select("website_id", "site_user_id").distinct()
+    val touched = graft.engine.CacheRegistry.retain(
+      newBatch.select("website_id", "site_user_id").distinct())
+    // same scan-prune as [[incrementalMergeSubmissions]], on the user key
     val refreshed = mergeUsers(
-      allSnapshots.join(touched, Seq("website_id", "site_user_id"), "left_semi"))
+      graft.engine.ProbePrune.pruneToProbeKeys(allSnapshots,
+          "site_user_id", touched, "site_user_id")
+        .join(touched, Seq("website_id", "site_user_id"), "left_semi"))
     previousMerged
       .join(touched, Seq("website_id", "site_user_id"), "left_anti")
       .unionByName(refreshed)

@@ -320,81 +320,19 @@ object Dedup {
     * stream (AT that batch size the scan amortizes; an unbounded
     * collect would not). */
   private def pruneToCandidateDocs(corpusShingles: DataFrame,
-      cands: DataFrame, idCol: String,
-      maxIds: Int = 100000): DataFrame =
-    pruneToProbeKeys(corpusShingles, "doc", cands, idCol, maxIds)
+      cands: DataFrame, idCol: String): DataFrame =
+    pruneToProbeKeys(corpusShingles, "doc", cands, idCol)
 
-  /** General form of [[pruneToCandidateDocs]]: restrict an at-rest
-    * sorted table to the key values a batch-bounded probe frame
-    * actually names. Also applied to the candidate-generation scans
-    * (bands on `band_hash`, chunks on `chunk_value` — a SUPERSET of
-    * the composite join key, which the following equi-join
-    * re-tightens, so semantics are unchanged).
-    *
-    * Predicate shape matters: a plain large `isin` is NOT a usable
-    * pushdown — above `spark.sql.parquet.pushdown.inFilterThreshold`
-    * Spark degrades it to one min/max range (prunes nothing for
-    * scattered keys), and raising that threshold makes ParquetFilters
-    * build a LEFT-DEEP OR chain, which overflows the task stack at a
-    * few thousand values (measured: StackOverflowError in the scan
-    * task at 8k chunk keys). So the filter is split into the two
-    * roles: row-level exactness stays an `isInCollection` (compiled
-    * to a hash-set InSet, evaluated post-decode, never pushed), and
-    * I/O pruning is a RANGE COVER — the sorted key set split at its
-    * `maxRanges`-1 largest gaps into BETWEEN predicates, OR'd as a
-    * balanced tree (stack-safe in parquet's recursive evaluator).
-    * Ranges are a superset of the keys, so correctness never depends
-    * on them; row groups and pages whose [min,max] miss every range
-    * are skipped without decoding. Non-integral key types skip the
-    * range predicate and keep only the InSet row filter. */
+  /** Restrict an at-rest sorted table to the key values a
+    * batch-bounded probe frame actually names — the
+    * [[graft.engine.ProbePrune]] contract (bounded collect, InSet row
+    * filter, range-cover pushdown). Also applied to the
+    * candidate-generation scans (bands on `band_hash`, chunks on
+    * `chunk_value` — a SUPERSET of the composite join key, which the
+    * following equi-join re-tightens, so semantics are unchanged). */
   private def pruneToProbeKeys(table: DataFrame, tableCol: String,
-      probe: DataFrame, probeCol: String, maxIds: Int = 100000,
-      maxRanges: Int = 256): DataFrame = {
-    val ids = probe.select(col(probeCol)).distinct().limit(maxIds + 1)
-      .collect().map(_.get(0))
-    if (ids.length > maxIds) table
-    else if (ids.isEmpty) table.limit(0)
-    else {
-      val exact = table.filter(col(tableCol).isInCollection(ids))
-      rangeCover(ids, maxRanges) match {
-        case Some(ranges) =>
-          def orTree(cs: IndexedSeq[org.apache.spark.sql.Column])
-              : org.apache.spark.sql.Column =
-            if (cs.length == 1) cs.head
-            else {
-              val (a, b) = cs.splitAt(cs.length / 2)
-              orTree(a) || orTree(b)
-            }
-          exact.filter(orTree(ranges.map { case (lo, hi) =>
-            if (lo == hi) col(tableCol) === lit(lo)
-            else col(tableCol) >= lit(lo) && col(tableCol) <= lit(hi)
-          }))
-        case None => exact
-      }
-    }
-  }
-
-  /** Cover a (integral-typed) key set with at most `maxRanges`
-    * inclusive ranges: sort, then split at the largest gaps — the
-    * cover is tight where keys cluster and cheap where they scatter.
-    * None for non-integral keys. */
-  private def rangeCover(ids: Array[Any],
-      maxRanges: Int): Option[IndexedSeq[(Long, Long)]] = {
-    val longs = ids.collect {
-      case l: java.lang.Long => l.longValue
-      case i: java.lang.Integer => i.longValue
-      case s: java.lang.Short => s.longValue
-    }
-    if (longs.length != ids.length) return None
-    val sorted = longs.distinct.sorted.toIndexedSeq
-    val splits =
-      if (sorted.length <= maxRanges) (1 until sorted.length).toIndexedSeq
-      else (1 until sorted.length)
-        .sortBy(i => -(sorted(i) - sorted(i - 1))).take(maxRanges - 1).sorted
-    val starts = 0 +: splits
-    val ends = splits.map(_ - 1) :+ (sorted.length - 1)
-    Some(starts.zip(ends).map { case (a, b) => (sorted(a), sorted(b)) })
-  }
+      probe: DataFrame, probeCol: String): DataFrame =
+    graft.engine.ProbePrune.pruneToProbeKeys(table, tableCol, probe, probeCol)
 
   /** [[incrementalMinhashPairsFromStore]] with the BATCH side ALSO in
     * sketch-table form: both ends of the probe are (shingles, bands,

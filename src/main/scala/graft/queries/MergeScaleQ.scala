@@ -357,8 +357,15 @@ object MergeScaleQ {
       hist.unionByName(others), "submission_snapshot_id",
       batch.select(col("submission_snapshot_id").as("id")).distinct(),
       "merge")
-    val history = hist.unionByName(prior).unionByName(batch)
-    val touched = batch.select(entityKeys.head, entityKeys.tail: _*).distinct()
+    val touched = graft.engine.CacheRegistry.retain(
+      batch.select(entityKeys.head, entityKeys.tail: _*).distinct())
+    // prune the CORPUS-scale side (the bucketed, entity-key-sorted
+    // base history) to the batch's touched submission ids before the
+    // semi join — ProbePrune's range-cover pushdown; the delta and
+    // batch sides are already batch-sized
+    val history = graft.engine.ProbePrune.pruneToProbeKeys(hist,
+        "site_submission_id", touched, "site_submission_id")
+      .unionByName(prior).unionByName(batch)
     val refreshed = Merge.mergeSubmissions(
       history.join(touched, entityKeys, "left_semi"))
     DurableStores.withDynamicPartitionOverwrite(s) {

@@ -111,7 +111,11 @@ class StoreSpec extends AnyFunSuite {
     // exact InSet row filter plus a range-cover pushdown, so sorted
     // row groups/pages outside the candidate set never decode. The
     // pin: every corpus-side sketch scan in the probe plan carries
-    // PushedFilters on its sorted key column.
+    // PushedFilters on its sorted key column. (Forced past the
+    // size gate — the production threshold would skip pruning on
+    // this gate-scale fixture.)
+    System.setProperty("graft.probe.prune", "force")
+    try {
     val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
     val corpusText = Tables.t(s, sf, "documents")
       .filter($"doc_id" % 10 =!= 0)
@@ -135,7 +139,10 @@ class StoreSpec extends AnyFunSuite {
     val found = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.contains((1000000L, corpusText.head._1)))
     assert(!found.exists(_._1 == 1000001L))
-    graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      System.clearProperty("graft.probe.prune")
+      graft.engine.CacheRegistry.releaseAll()
+    }
   }
 
   test("q119's near-dup stage reads the persisted sketch tables and no corpus text") {
