@@ -88,9 +88,11 @@ object Bench {
     // heaviest composite I/O path
     "q85_dump_roundtrip",
     // cheap per-family representatives: agg, join chain, merge,
-    // window, as-of join
+    // window — and the as-of twins (composed vs the custom Catalyst
+    // operator, q126's ordering is a judged signal like the store
+    // twins')
     "q01_agg", "q04_join_chain", "q30_submission_merge",
-    "q14_running_window", "q73_asof_join")
+    "q14_running_window", "q73_asof_join", "q126_asof_join_native")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -24,10 +24,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * where the engine is one library among several.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getCanonicalName, name),
         builder))
     }
+    // the custom whole-operator plan nodes: the as-of join strategy and
+    // its filter-pushdown rule (graft.plans) — conf-time form of
+    // GraftPlans.install
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsofPayload)
+  }
 }

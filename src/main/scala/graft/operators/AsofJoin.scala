@@ -129,6 +129,70 @@ object AsofJoin {
     * well-distributed. AsofJoinSpec asserts split == unsplit on
     * randomized data with a hot key; q84 runs it under q73's oracle.
     */
+  /** The same semantics as [[asofJoin]] through the engine's custom
+    * Catalyst operator ([[graft.plans.AsofJoinPlan]] →
+    * [[graft.plans.AsofJoinExec]]) instead of the union+window
+    * composition. Same output schema, same null/tie contract
+    * (AsofJoinSpec pins native == composed on randomized data); the
+    * plan differences are the point — each input is shuffled once AT
+    * ITS OWN WIDTH (no union of padded schemas) and the merge streams
+    * with O(1) held state (no WindowExec partition buffering), so a
+    * hot key degrades to sequential scan speed, not to a spilling
+    * buffer. Use this for wide inputs or skew-prone keys; [[asofJoin]]
+    * remains the composition baseline (q73 vs q126 bench twins).
+    *
+    * Filters applied ABOVE the result push through the node —
+    * [[graft.plans.PushFilterThroughAsofJoin]] moves left-column
+    * predicates into the left scan and mirrors key predicates onto the
+    * right scan. Column pruning does NOT traverse the node: project
+    * inputs to needed columns first (as the query-layer callers do).
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, CreateStruct}
+    import org.apache.spark.sql.classic
+    require(left.columns.forall(_ != "asof"),
+      "left side already has an 'asof' column")
+    val s = left.sparkSession.asInstanceOf[classic.SparkSession]
+    graft.plans.GraftPlans.install(s)
+    // re-alias every right column: a self-join's sides share exprIds
+    // (same scan), and the analyzer's relation-dedup must not need to
+    // rewrite a node it doesn't know — fresh Alias ids per call keep
+    // the two children disjoint by construction
+    val rightFresh = right.filter(col(rightTime).isNotNull)
+      .select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rightFresh.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = {
+      val hits = plan.output.filter(_.name == name)
+      require(hits.size == 1,
+        s"column '$name' resolved to ${hits.size} attributes")
+      hits.head
+    }
+    val lKeys = keys.map(attr(lPlan, _))
+    val rKeys = keys.map(attr(rPlan, _))
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"key type mismatch: ${l.name} ${l.dataType} vs ${r.dataType}") }
+    val (lT, rT) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    require(lT.dataType == rT.dataType,
+      s"time type mismatch: ${lT.dataType} vs ${rT.dataType}")
+    val payload = rPlan.output.filterNot(a => keys.contains(a.name))
+    val asofOut = AttributeReference(
+      "asof", CreateStruct(payload).dataType, nullable = true)()
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(s,
+      graft.plans.AsofJoinPlan(
+      lPlan, rPlan, lKeys, rKeys, lT, rT, attr(rPlan, tieBreak),
+      payload, asofOut))
+  }
+
   def asofJoinSplit(
       left: DataFrame,
       right: DataFrame,

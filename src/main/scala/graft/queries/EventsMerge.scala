@@ -196,7 +196,30 @@ object EventsMerge {
         $"asof".getField("value").as("purchase_value"))
   }
 
+  /** q73's lookup through the NATIVE Catalyst operator
+    * ([[graft.plans.AsofJoinPlan]] / [[graft.plans.AsofJoinExec]] via
+    * [[graft.operators.AsofJoin.asofJoinNative]]): a custom logical
+    * node + planner strategy + streaming merge exec instead of the
+    * union+window composition. Same oracle as q73/q84 — the operator
+    * swap must never change the answer; what changes is the plan
+    * (each side shuffled once at its own width, O(1) merge state, no
+    * WindowExec partition buffering — AsofJoinSpec pins the shape). */
+  private val q126AsofJoinNative: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.asofJoinNative(
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id")
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_asof_join_native" -> q126AsofJoinNative,
     "q58_sessionize" -> q58Sessionize,
     "q59_percentiles" -> q59Percentiles,
     "q73_asof_join" -> q73AsofJoin,
@@ -229,6 +252,7 @@ object EventsMerge {
   val oracles: Map[String, String] = Map(
     "q73_asof_join" -> asofSql,
     "q84_asof_join_split" -> asofSql,
+    "q126_asof_join_native" -> asofSql,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -266,6 +266,182 @@ class AsofJoinSpec extends AnyFunSuite {
       s"split plan should window on (key, __b):\n$plan")
   }
 
+  test("native asof operator equals composed on randomized hot-key data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    def time(): Option[Long] =
+      if (rnd.nextInt(100) < 15) None else Some(rnd.nextInt(60).toLong)
+    val left = Seq.tabulate(400)(i => (key(), i.toLong, time()))
+      .toDF("k", "lid", "t")
+    val right = Seq.tabulate(300)(i => (key(), 1000L + i, time(), s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(canon(AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid"))
+      === canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid")))
+  }
+
+  test("native asof operator: composite keys and self-join from one scan") {
+    val s = spark
+    import s.implicits._
+    // both sides filtered views of the SAME DataFrame (shared exprIds
+    // before the API's re-alias) and a two-column key
+    val ev = Seq(
+      (1L, "a", "click", 100L, 10L),
+      (1L, "a", "buy", 101L, 8L),
+      (1L, "a", "buy", 102L, 10L), // tie at t=10 with 101? no: different t
+      (1L, "b", "click", 103L, 10L),
+      (2L, "a", "click", 104L, 10L),
+      (2L, "a", "buy", 105L, 11L)  // after the click: no match
+    ).toDF("k1", "k2", "typ", "id", "t")
+    val out = AsofJoin.asofJoinNative(
+        ev.filter($"typ" === "click").select("k1", "k2", "id", "t"),
+        ev.filter($"typ" === "buy").select("k1", "k2", "id", "t"),
+        Seq("k1", "k2"), "t", "t", "id")
+      .selectExpr("id AS click", "asof.id AS buy")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(out === Seq(
+      (100L, Some(102L)), // k=(1,a): latest buy at-or-before t=10
+      (103L, None),       // k=(1,b): no buys
+      (104L, None)))      // k=(2,a): only a LATER buy
+  }
+
+  test("native asof plan: AsofJoin exec, two per-side exchanges, no window") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"), s"native exec missing:\n$plan")
+    assert(!plan.contains("Window"), s"no WindowExec expected:\n$plan")
+    assert(!plan.contains("Union"), s"no union expected:\n$plan")
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 2,
+      s"expected one exchange per side at its own width:\n$plan")
+  }
+
+  test("native asof: left filters push through the node (and mirror to right keys)") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      .filter($"k" === 2L && $"lid" < 40L)
+    // PushFilterThroughAsofJoin moves both conjuncts into the left
+    // child and mirrors k = 2 onto the right keys: the optimized plan
+    // has NO Filter above the node, both conjuncts on the left child,
+    // and the mirrored key predicate on the right child
+    val opt = q.queryExecution.optimizedPlan
+    val node = opt.collect {
+      case a: graft.plans.AsofJoinPlan => a }
+    assert(node.size === 1, s"expected the custom node:\n$opt")
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    assert(!opt.exists(p => p.isInstanceOf[Filter] &&
+        p.exists(_ eq node.head)),
+      s"no Filter should remain above the node:\n$opt")
+    val lf = node.head.left.collect { case f: Filter => f.condition.sql }
+    val rf = node.head.right.collect { case f: Filter => f.condition.sql }
+    assert(lf.exists(c => c.contains("= 2") && c.contains("< 40")),
+      s"left child should carry both conjuncts:\n$opt")
+    assert(rf.exists(_.contains("= 2")),
+      s"right child should carry the mirrored key predicate:\n$opt")
+    val rows = q.selectExpr("k", "lid", "asof.rid AS rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
+    val expected = (0L until 50L).map(i => (i % 5, i, i * 3L))
+      .filter(l => l._1 == 2L && l._2 < 40L)
+      .map { case (k, lid, t) =>
+        (k, lid, (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L))
+          .filter(r => r._1 == k && r._3 <= t)
+          .sortBy(r => (r._3, r._2)).lastOption.map(_._2)) }
+    assert(rows === expected)
+  }
+
+  test("native asof: payload and child columns prune to what the query reads") {
+    val s = spark
+    import s.implicits._
+    // left has an extra column (x) the query never reads; the right
+    // payload is (rid, t, v1, v2) of which the query reads only v2
+    val left = (0L until 30L).map(i => (i % 3, i, i * 2L, s"x$i"))
+      .toDF("k", "lid", "t", "x")
+    val right = (0L until 20L).map(i => (i % 3, 900L + i, i * 3L, s"a$i", s"b$i"))
+      .toDF("k", "rid", "t", "v1", "v2")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      .selectExpr("k", "lid", "asof.v2 AS v2")
+    val node = q.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsofJoinPlan => a }
+    assert(node.size === 1)
+    // payload pruned to the one extracted field; children narrowed so
+    // the unused columns never reach the exchanges
+    assert(node.head.payload.map(_.name) === Seq("v2"),
+      s"payload should prune to v2:\n${q.queryExecution.optimizedPlan}")
+    assert(!node.head.left.output.map(_.name).contains("x"),
+      s"unused left column should prune:\n${q.queryExecution.optimizedPlan}")
+    assert(!node.head.right.output.map(_.name).contains("v1"),
+      s"unused right column should prune:\n${q.queryExecution.optimizedPlan}")
+    // and the pruned plan still answers correctly (ordinal remap)
+    val out = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.getString(2)))).sortBy(r => (r._2)).toSeq
+    val rightRows = (0L until 20L).map(i => (i % 3, 900L + i, i * 3L, s"a$i", s"b$i"))
+    val expected = (0L until 30L).map(i => (i % 3, i, i * 2L)).map {
+      case (k, lid, t) =>
+        (k, lid, rightRows.filter(r => r._1 == k && r._3 <= t)
+          .sortBy(r => (r._3, r._2)).lastOption.map(_._5))
+    }
+    assert(out === expected)
+    // whole-struct reads are untouched (no pruning to mis-type)
+    val wholeQ = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      .select($"lid", $"asof")
+    val wholeNode = wholeQ.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsofJoinPlan => a }.head
+    assert(wholeNode.payload.map(_.name) === Seq("rid", "t", "v1", "v2"))
+    assert(wholeQ.selectExpr("asof.v1").collect().length === 30)
+  }
+
+  test("native asof: null right times excluded, null left time matches nothing") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, Some(10L)), (1L, 101L, None)).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 900L, None, "null-time"),
+      (1L, 901L, Some(5L), "real")).toDF("k", "rid", "t", "v")
+    val out = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(100L) === Some("real"))
+    assert(out(101L) === None)
+    // empty right side: all-null payloads, not a crash
+    val rempty = Seq.empty[(Long, Long, Long, String)].toDF("k", "rid", "t", "v")
+    val empt = AsofJoin.asofJoinNative(left, rempty, Seq("k"), "t", "t", "rid")
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(empt === Map(100L -> None, 101L -> None))
+  }
+
+  test("native asof result is independent of input partitioning") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    def run(lp: Int, rp: Int) =
+      AsofJoin.asofJoinNative(left.repartition(lp), right.repartition(rp),
+        Seq("k"), "t", "t", "rid")
+        .selectExpr("k", "lid", "asof.rid AS rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1, 1) === run(7, 3))
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._

@@ -41,6 +41,22 @@ class ExtensionsSpec extends AnyFunSuite {
       // function registered at runtime would be gone
       val s2 = s.newSession()
       assert(s2.sql("SELECT hamming_bytes(X'FF', X'00')").head.getInt(0) === 8)
+      // the extension also injects the whole-operator planner pieces:
+      // asofJoinNative on an extension-built session must plan through
+      // the injected AsofJoinStrategy (GraftPlans.install is called by
+      // the API too, but injection alone has to suffice — pin it by
+      // checking the exec lands in the plan)
+      import s.implicits._
+      val left = Seq((1L, 100L, 10L)).toDF("k", "lid", "t")
+      val right = Seq((1L, 900L, 5L)).toDF("k", "rid", "t")
+      val q = graft.operators.AsofJoin.asofJoinNative(
+        left, right, Seq("k"), "t", "t", "rid")
+      assert(q.selectExpr("asof.rid").head.getLong(0) === 900L)
+      // executedPlan is wrapped by AdaptiveSparkPlanExec, which hides
+      // its subtree from TreeNode traversal — pin the exec via the
+      // rendered final plan instead
+      assert(q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).contains("AsofJoin"))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
