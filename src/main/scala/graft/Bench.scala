@@ -92,7 +92,8 @@ object Bench {
     // operator, q126's ordering is a judged signal like the store
     // twins')
     "q01_agg", "q04_join_chain", "q30_submission_merge",
-    "q14_running_window", "q73_asof_join", "q126_asof_join_native")
+    "q14_running_window", "q73_asof_join", "q126_asof_join_native",
+    "q127_asof_join_broadcast")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -146,6 +146,16 @@ object AsofJoin {
     * predicates into the left scan and mirrors key predicates onto the
     * right scan. Column pruning does NOT traverse the node: project
     * inputs to needed columns first (as the query-layer callers do).
+    *
+    * @param broadcast physical-path override. None (default) picks by
+    *                the right side's size estimate vs
+    *                autoBroadcastJoinThreshold: a dimension-sized right
+    *                plans as [[graft.plans.BroadcastAsofJoinExec]] —
+    *                the fact side is never shuffled OR sorted, the
+    *                scale win for the 100 TB-facts-vs-small-state shape.
+    *                Some(true)/Some(false) force broadcast/merge (the
+    *                gate queries force each path so both execs stay
+    *                oracle-checked regardless of stats).
     */
   def asofJoinNative(
       left: DataFrame,
@@ -153,7 +163,8 @@ object AsofJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      tieBreak: String): DataFrame = {
+      tieBreak: String,
+      broadcast: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{
       AttributeReference, CreateStruct}
     import org.apache.spark.sql.classic
@@ -190,7 +201,7 @@ object AsofJoin {
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(s,
       graft.plans.AsofJoinPlan(
       lPlan, rPlan, lKeys, rKeys, lT, rT, attr(rPlan, tieBreak),
-      payload, asofOut))
+      payload, asofOut, broadcast))
   }
 
   def asofJoinSplit(

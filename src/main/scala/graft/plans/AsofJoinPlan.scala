@@ -48,6 +48,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *                cover everything the exec reads.
   * @param asofOut the output struct attribute; its type is fixed at
   *                construction to CreateStruct(payload).dataType.
+  * @param broadcast physical-path override: Some(true) forces the
+  *                broadcast exec, Some(false) the shuffle merge, None
+  *                lets the strategy pick by the right side's size
+  *                estimate vs autoBroadcastJoinThreshold — the same
+  *                auto-selection contract as Spark's own join
+  *                strategies.
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -58,7 +64,8 @@ case class AsofJoinPlan(
     rightTime: Attribute,
     tieBreak: Attribute,
     payload: Seq[Attribute],
-    asofOut: AttributeReference) extends BinaryNode {
+    asofOut: AttributeReference,
+    broadcast: Option[Boolean] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
 
@@ -69,16 +76,31 @@ case class AsofJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. Injected via
-  * [[graft.GraftExtensions]] (conf-only deployments) or
-  * [[GraftPlans.install]] (library use, `experimental.extraStrategies`).
+/** Plans [[AsofJoinPlan]] as [[BroadcastAsofJoinExec]] when the right
+  * side is dimension-sized — forced by the node's `broadcast` flag, or
+  * chosen automatically when the right side's size estimate fits
+  * `spark.sql.autoBroadcastJoinThreshold` (the same stats + threshold
+  * contract as Spark's own JoinSelection, so a tuned threshold governs
+  * both) — and as the shuffle streaming-merge [[AsofJoinExec]]
+  * otherwise. Injected via [[graft.GraftExtensions]] (conf-only
+  * deployments) or [[GraftPlans.install]] (library use,
+  * `experimental.extraStrategies`).
   */
 class AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsofJoinPlan =>
-      AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
-        p.tieBreak, p.payload, p.asofOut,
-        planLater(p.left), planLater(p.right)) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val useBroadcast = p.broadcast.getOrElse(
+        threshold > 0 && p.right.stats.sizeInBytes <= threshold)
+      if (useBroadcast)
+        BroadcastAsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime,
+          p.rightTime, p.tieBreak, p.payload, p.asofOut,
+          planLater(p.left), planLater(p.right)) :: Nil
+      else
+        AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
+          p.tieBreak, p.payload, p.asofOut,
+          planLater(p.left), planLater(p.right)) :: Nil
     case _ => Nil
   }
 }

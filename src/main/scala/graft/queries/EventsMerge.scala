@@ -211,8 +211,33 @@ object EventsMerge {
       .select($"user_id", $"event_id", $"ts")
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts", $"value")
+    // broadcast = Some(false): this gate pins the shuffle streaming-
+    // merge exec — at gate scale the auto path would pick broadcast
+    // (q127 gates that) and the merge exec would go oracle-unchecked
     graft.operators.AsofJoin.asofJoinNative(
-      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id")
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id",
+      broadcast = Some(false))
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
+  /** q73's lookup through the BROADCAST native exec
+    * ([[graft.plans.BroadcastAsofJoinExec]]): the dimension-sized-right
+    * physical path — the fact (left) side is never shuffled or sorted,
+    * the right side broadcasts once and answers per-row with a hash
+    * probe + binary search. Same oracle as q73/q84/q126: four plans,
+    * one contract. */
+  private val q127AsofJoinBroadcast: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.asofJoinNative(
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id",
+      broadcast = Some(true))
       .select($"user_id", $"event_id".as("click_id"),
         $"asof".getField("event_id").as("purchase_id"),
         $"asof".getField("value").as("purchase_value"))
@@ -220,6 +245,7 @@ object EventsMerge {
 
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
+    "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
     "q58_sessionize" -> q58Sessionize,
     "q59_percentiles" -> q59Percentiles,
     "q73_asof_join" -> q73AsofJoin,
@@ -253,6 +279,7 @@ object EventsMerge {
     "q73_asof_join" -> asofSql,
     "q84_asof_join_split" -> asofSql,
     "q126_asof_join_native" -> asofSql,
+    "q127_asof_join_broadcast" -> asofSql,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

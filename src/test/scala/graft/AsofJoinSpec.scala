@@ -316,7 +316,8 @@ class AsofJoinSpec extends AnyFunSuite {
     import s.implicits._
     val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
     val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
-    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+      broadcast = Some(false))
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
@@ -440,6 +441,95 @@ class AsofJoinSpec extends AnyFunSuite {
           Option(r.get(2)).map(_.asInstanceOf[Long])))
         .sortBy(r => (r._1, r._2)).toSeq
     assert(run(1, 1) === run(7, 3))
+  }
+
+  test("broadcast asof exec equals merge exec and composed on hot-key data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(22)
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    def time(): Option[Long] =
+      if (rnd.nextInt(100) < 15) None else Some(rnd.nextInt(60).toLong)
+    val left = Seq.tabulate(400)(i => (key(), i.toLong, time()))
+      .toDF("k", "lid", "t")
+    val right = Seq.tabulate(300)(i => (key(), 1000L + i, time(), s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val bcast = canon(AsofJoin.asofJoinNative(
+      left, right, Seq("k"), "t", "t", "rid", broadcast = Some(true)))
+    assert(bcast === canon(AsofJoin.asofJoinNative(
+      left, right, Seq("k"), "t", "t", "rid", broadcast = Some(false))))
+    assert(bcast === canon(AsofJoin.asofJoin(
+      left, right, Seq("k"), "t", "t", "rid")))
+  }
+
+  test("broadcast asof plan: no exchange or sort on the fact side") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+      broadcast = Some(true))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastAsofJoin"), s"broadcast exec missing:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"broadcast exchange missing:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle:\n$plan")
+    assert(!plan.contains("Sort "), s"fact side must not sort:\n$plan")
+  }
+
+  test("asof strategy auto-selects broadcast by right-side size vs threshold") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 50L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    def execName(): String = {
+      val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      if (plan.contains("BroadcastAsofJoin")) "broadcast"
+      else if (plan.contains("AsofJoin")) "merge" else "?"
+    }
+    // tiny right side under the default 10MB threshold -> broadcast
+    assert(execName() === "broadcast")
+    // threshold off -> the shuffle merge path (Spark's own contract:
+    // -1 disables all stats-driven broadcasting)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      assert(execName() === "merge")
+    } finally s.conf.set(key, prev)
+  }
+
+  test("broadcast asof: null times, empty right, ties resolve to max tieBreak") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, Some(10L)), (1L, 101L, None)).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 900L, None, "null-time"),
+      (1L, 901L, Some(5L), "early"),
+      (1L, 903L, Some(5L), "tie-winner"),
+      (1L, 902L, Some(5L), "mid")).toDF("k", "rid", "t", "v")
+    val out = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+        broadcast = Some(true))
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // ties at t=5 resolve to rid=903 (max tieBreak); null left time -> None
+    assert(out === Map(100L -> Some("tie-winner"), 101L -> None))
+    val rempty = Seq.empty[(Long, Long, Long, String)].toDF("k", "rid", "t", "v")
+    val empt = AsofJoin.asofJoinNative(left, rempty, Seq("k"), "t", "t", "rid",
+        broadcast = Some(true))
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(empt === Map(100L -> None, 101L -> None))
   }
 
   test("asof join result is independent of input partitioning") {
