@@ -79,6 +79,46 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("fingerprint")
 
+  /** Streaming as-of enrichment — the online feature-store shape: every
+    * event in an unbounded stream picks up the latest state row
+    * at-or-before ITS OWN event time from a static temporal dimension
+    * (price history, account-status history, config versions), through
+    * the engine's native as-of operator
+    * ([[graft.operators.AsofJoin.asofJoinNative]]).
+    *
+    * Stateless by construction: the lookup is a pure per-row function
+    * of the micro-batch against the dimension, so there is no streaming
+    * state, no watermark, and Append mode works — each batch plans
+    * exactly like the batch operator (the custom strategy and rules are
+    * installed on the session, which Structured Streaming's cloned
+    * per-query session inherits along with `experimental` extensions).
+    * `broadcast` defaults to Some(true) because per-micro-batch stats
+    * would re-decide the physical path every trigger; the broadcast
+    * exec never exchanges or sorts the stream side, which is the plan
+    * you want for a trigger-latency path. Pass Some(false)/None to
+    * override for a huge dimension.
+    *
+    * Output: the stream's columns plus the `asof` struct of the
+    * dimension's non-key columns (null until the first dimension row
+    * at-or-before the event's time — left-outer, same contract as the
+    * batch operator; StreamingSpec pins batch/stream parity across
+    * micro-batch boundaries). */
+  def enrichAsof(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      eventTime: String,
+      dimTime: String,
+      tieBreak: String,
+      broadcast: Option[Boolean] = Some(true)): DataFrame = {
+    require(stream.isStreaming, "stream side must be a streaming DataFrame")
+    require(!dim.isStreaming,
+      "dim must be static: stream-stream as-of needs state/watermark " +
+        "semantics this operator deliberately does not have")
+    graft.operators.AsofJoin.asofJoinNative(
+      stream, dim, keys, eventTime, dimTime, tieBreak, broadcast)
+  }
+
   case class SketchedDoc(kind_key: Int, bucket: Long, doc_id: Long,
       sig: Seq[Long], simhash: Long)
   case class NearDupHit(doc_id: Long, dup_of: Long, est_jaccard: Double)

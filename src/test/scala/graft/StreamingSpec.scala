@@ -540,4 +540,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(2L) === ((50L, "view", 1L)))
     assert(state(3L) === ((10L, "signup", 1L)))
   }
+
+  test("streaming as-of enrichment equals the batch operator across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_asof_stream").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    // static temporal dimension: per-key state history with a tie at
+    // t=20 for key 1 (tieBreak must pick rid=913)
+    val dim = Seq(
+      (1L, 910L, 10L, "a10"), (1L, 912L, 20L, "a20-lo"),
+      (1L, 913L, 20L, "a20-hi"), (1L, 911L, 40L, "a40"),
+      (2L, 920L, 15L, "b15")).toDF("k", "rid", "t", "v")
+    def writeBatch(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("k", "lid", "t").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    writeBatch("b1", Seq((1L, 100L, 5L), (1L, 101L, 20L), (2L, 102L, 14L)))
+    val schema = s.read.parquet(s"$dir/in").schema
+    val q = EventStreams.enrichAsof(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in"),
+      dim, Seq("k"), "t", "t", "rid")
+      .selectExpr("lid", "asof.rid AS rid", "asof.v AS v")
+      .writeStream.format("memory").queryName("asof_enriched")
+      .outputMode("append").option("checkpointLocation", s"$dir/ckpt").start()
+    q.processAllAvailable()
+    def got() = s.table("asof_enriched").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2)))))
+      .toMap
+    assert(got() === Map(
+      100L -> ((None, None)),               // before any dim row for k=1
+      101L -> ((Some(913L), Some("a20-hi"))), // tie at t=20 -> max tieBreak
+      102L -> ((None, None))))              // k=2 first state is at t=15
+    // second micro-batch: enrichment continues statelessly
+    writeBatch("b2", Seq((1L, 103L, 45L), (2L, 104L, 15L), (3L, 105L, 99L)))
+    q.processAllAvailable(); q.stop()
+    assert(got() === Map(
+      100L -> ((None, None)),
+      101L -> ((Some(913L), Some("a20-hi"))),
+      102L -> ((None, None)),
+      103L -> ((Some(911L), Some("a40"))),
+      104L -> ((Some(920L), Some("b15"))),
+      105L -> ((None, None))))              // unseen key: left-outer null
+    // parity: the same rows through the BATCH operator
+    val allEvents = s.read.parquet(s"$dir/in")
+    val batchOut = graft.operators.AsofJoin.asofJoinNative(
+      allEvents, dim, Seq("k"), "t", "t", "rid", broadcast = Some(true))
+      .selectExpr("lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2)))))
+      .toMap
+    assert(got() === batchOut)
+  }
 }
