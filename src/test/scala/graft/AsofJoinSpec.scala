@@ -509,6 +509,23 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally s.conf.set(key, prev)
   }
 
+  test("broadcast asof builds the probe index once per broadcast, not per task") {
+    val s = spark
+    import s.implicits._
+    // many fact partitions against one broadcast: every task probes,
+    // exactly one builds (the executor-shared weak cache) — the
+    // property that keeps per-task work independent of dim size
+    val left = (0L until 2000L).map(i => (i % 7, i, i * 3L))
+      .toDF("k", "lid", "t").repartition(16)
+    val right = (0L until 50L).map(i => (i % 7, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+      broadcast = Some(true))
+    val before = graft.plans.AsofIndex.buildCount.get()
+    assert(q.selectExpr("asof.rid").count() === 2000L)
+    val builds = graft.plans.AsofIndex.buildCount.get() - before
+    assert(builds === 1L, s"expected one index build across 16 tasks, got $builds")
+  }
+
   test("broadcast asof: null times, empty right, ties resolve to max tieBreak") {
     val s = spark
     import s.implicits._
