@@ -26,14 +26,58 @@ import org.apache.spark.sql.catalyst.expressions.{
   * sorts the dimension once, not per task.
   */
 final class AsofIndex(
-    private val index: java.util.HashMap[UnsafeRow, AsofIndex.Entry]) {
+    private val index: java.util.HashMap[UnsafeRow, AsofIndex.Entry],
+    private val timeOrd: Ordering[InternalRow]) {
   /** The key's candidates, or null when the key was never seen. */
   def entry(key: UnsafeRow): AsofIndex.Entry = index.get(key)
+
+  /** The as-of probe, shared by the iterator and generated-code paths:
+    * the latest candidate with time <= `time` for `key` — as the
+    * 1-field payload-struct row held by the index — or null (unseen
+    * key, no prior candidate, or a null left time: the ascending-
+    * nulls-first comparator puts a null probe time before every real
+    * candidate time, so nothing matches). Binary search for the upper
+    * bound; equal times sort by tieBreak, so the last match IS the
+    * max-tieBreak winner. Returned rows are stable index-owned copies,
+    * safe to hand to downstream consume without re-copying. */
+  def probe(key: UnsafeRow, time: UnsafeRow): InternalRow = {
+    val e = index.get(key)
+    if (e == null) null
+    else {
+      var lo = 0
+      var hi = e.times.length - 1
+      var hit = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (timeOrd.compare(e.times(mid), time) <= 0) {
+          hit = mid; lo = mid + 1
+        } else hi = mid - 1
+      }
+      if (hit >= 0) e.payloads(hit) else null
+    }
+  }
 }
 
 object AsofIndex {
   /** Candidates of one key, ascending by (time, tieBreak). */
   final case class Entry(times: Array[UnsafeRow], payloads: Array[UnsafeRow])
+
+  /** The serializable recipe for an executor-side index fetch/build —
+    * what ships to tasks (closure capture on the iterator path, a
+    * codegen reference object on the whole-stage path) instead of the
+    * plan node itself. */
+  final case class BuildSpec(
+      rightOutput: Seq[Attribute],
+      rightKeys: Seq[Attribute],
+      rightTime: Attribute,
+      tieBreak: Attribute,
+      payload: Seq[Attribute]) extends Serializable {
+    def indexFor(
+        b: org.apache.spark.broadcast.Broadcast[Array[InternalRow]])
+        : AsofIndex =
+      forBroadcast(b.id, b.value, rightOutput, rightKeys, rightTime,
+        tieBreak, payload)
+  }
 
   /** Executor-local share: one built index per live broadcast, keyed
     * by broadcast id. Values are weak — the cache never pins memory
@@ -100,6 +144,10 @@ object AsofIndex {
       val sorted = buf.sortWith((a, b) => sortOrd.compare(a._1, b._1) < 0)
       index.put(k, Entry(sorted.map(_._2).toArray, sorted.map(_._3).toArray))
     }
-    new AsofIndex(index)
+    // the probe comparator: right-time type == left-time type by the
+    // node's construction contract, so candidates and probe times
+    // compare under one natural ascending (nulls-first) order
+    new AsofIndex(index,
+      RowOrdering.createNaturalAscendingOrdering(Seq(rightTime.dataType)))
   }
 }

@@ -1,14 +1,18 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder,
-  UnsafeProjection}
+  Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode, GenerateUnsafeProjection, JavaCode}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, Distribution, IdentityBroadcastMode,
   Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{
+  BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Broadcast as-of join: the dimension-sized-right twin of
@@ -34,13 +38,20 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * of tasks never repeats the dimension group-and-sort (see AsofIndex's
   * scaladoc for why the build cannot live inside the exchange itself).
   * Each left row then answers with one hash probe plus a binary search
-  * for the last rightTime <= leftTime (ties land on the max tieBreak
-  * because equal times sort by tieBreak and upper-bound takes the
-  * last). Null right times are dropped at build (cannot satisfy <=);
-  * a null left time matches nothing (ascending-null-first comparator
-  * puts it before every real time).
+  * ([[AsofIndex.probe]]). Null right times are dropped at build
+  * (cannot satisfy <=); a null left time matches nothing.
   *
-  * AsofJoinSpec pins broadcast == merge == composed on randomized
+  * The operator participates in WHOLE-STAGE CODEGEN on the fact side
+  * (the brief's "widen the WholeStageCodegen spans"): doProduce
+  * delegates to the left child and doConsume emits one probe call +
+  * struct extraction per row, so scan → as-of → downstream projection
+  * compile into a single generated loop with no iterator boundary at
+  * the operator — the exact shape BroadcastHashJoin has. The
+  * iterator `doExecute` remains as the codegen-off fallback; both ride
+  * AsofIndex.probe, so semantics cannot diverge (AsofJoinSpec pins
+  * codegen == no-codegen anyway).
+  *
+  * AsofJoinSpec also pins broadcast == merge == composed on randomized
   * hot-key data, the zero-left-exchange plan shape, and the
   * once-per-broadcast index build; q127 runs it under q73's DuckDB
   * oracle.
@@ -54,7 +65,7 @@ case class BroadcastAsofJoinExec(
     payload: Seq[Attribute],
     asofOut: Attribute,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
 
@@ -71,43 +82,84 @@ case class BroadcastAsofJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  /** Executor-side index access shared by both execution paths; kept
+    * in a small serializable spec so generated code never references
+    * the plan node itself (plan trees don't ship to executors). */
+  private def buildSpec =
+    AsofIndex.BuildSpec(right.output, rightKeys, rightTime, tieBreak, payload)
+
+  // ---- iterator path (codegen off) ---------------------------------
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val lOut = left.output
-    val rOut = right.output
-    val (lk_, rk_, lt_, rt_, tie_, pay_, asof_) =
-      (leftKeys, rightKeys, leftTime, rightTime, tieBreak, payload, asofOut)
+    val spec = buildSpec
+    val (lk_, lt_, asof_) = (leftKeys, leftTime, asofOut)
     left.execute().mapPartitions { lIter =>
-      val index = AsofIndex.forBroadcast(broadcastRows.id,
-        broadcastRows.value, rOut, rk_, rt_, tie_, pay_)
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(
-        Seq(lt_.dataType))
+      val index = spec.indexFor(broadcastRows)
       val lKeyProj = UnsafeProjection.create(lk_, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt_), lOut)
       val outProj = UnsafeProjection.create(lOut :+ asof_, lOut :+ asof_)
       val nullPayload = new GenericInternalRow(1)
       val joined = new JoinedRow
       lIter.map { l =>
-        val e = index.entry(lKeyProj(l))
-        val p = if (e == null) nullPayload else {
-          val lt = lTimeProj(l)
-          // upper bound: last index with times(i) <= lt
-          var lo = 0
-          var hi = e.times.length - 1
-          var hit = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (timeOrd.compare(e.times(mid), lt) <= 0) {
-              hit = mid; lo = mid + 1
-            } else hi = mid - 1
-          }
-          if (hit >= 0) e.payloads(hit) else nullPayload
-        }
+        val p = index.probe(lKeyProj(l), lTimeProj(l))
         numOutputRows += 1
-        outProj(joined(l, p))
+        outProj(joined(l, if (p == null) nullPayload else p))
       }
     }
+  }
+
+  // ---- whole-stage codegen path -------------------------------------
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def needCopyResult: Boolean =
+    left.asInstanceOf[CodegenSupport].needCopyResult
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+      row: ExprCode): String = {
+    // per-partition init: fetch (or build) the executor-shared index
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    val bcastTerm = ctx.addReferenceObj("asofBroadcast", broadcastRows,
+      classOf[Broadcast[Array[InternalRow]]].getName)
+    val specTerm = ctx.addReferenceObj("asofBuildSpec", buildSpec,
+      classOf[AsofIndex.BuildSpec].getName)
+    val indexTerm = ctx.addMutableState("graft.plans.AsofIndex",
+      "asofIndex", v => s"$v = $specTerm.indexFor($bcastTerm);")
+    // probe key + time from the incoming (already evaluated) left vars
+    ctx.INPUT_ROW = null
+    ctx.currentVars = input
+    // bind as Expression: bindReference casts its result back to the
+    // argument's static type, and binding an Attribute yields a
+    // BoundReference
+    val keyEv = GenerateUnsafeProjection.createCode(ctx,
+      leftKeys.map(k => BindReferences.bindReference(k: Expression, left.output)))
+    val timeEv = GenerateUnsafeProjection.createCode(ctx,
+      Seq(BindReferences.bindReference(leftTime: Expression, left.output)))
+    val matched = ctx.freshName("asofPayloadRow")
+    val asofIsNull = ctx.freshName("asofIsNull")
+    val asofValue = ctx.freshName("asofValue")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val asofEv = ExprCode(
+      JavaCode.isNullVariable(asofIsNull),
+      JavaCode.variable(asofValue, asofOut.dataType))
+    s"""
+       |${keyEv.code}
+       |${timeEv.code}
+       |$rowCls $matched = $indexTerm.probe(${keyEv.value}, ${timeEv.value});
+       |boolean $asofIsNull = ($matched == null);
+       |$rowCls $asofValue =
+       |  $asofIsNull ? null : $matched.getStruct(0, ${payload.size});
+       |$numOutputRows.add(1);
+       |${consume(ctx, input :+ asofEv)}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

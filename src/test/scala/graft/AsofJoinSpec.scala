@@ -509,6 +509,37 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally s.conf.set(key, prev)
   }
 
+  test("broadcast asof runs inside whole-stage codegen; codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 300L).map(i => (i % 9, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 80L).map(i => (i % 9, 1000L + i, i * 4L, s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def run() = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+        broadcast = Some(true))
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val q = run()
+    val withCodegen = canon(q)
+    // the op line carries a codegen stage id — scan -> as-of ->
+    // projection compile into one generated loop, no iterator boundary
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val opLine = plan.split("\n").find(_.contains("BroadcastAsofJoin")).get
+    assert(opLine.contains("*("),
+      s"as-of exec should be inside a WholeStageCodegen span:\n$plan")
+    // and the interpreted path (codegen off) answers identically
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "false")
+      assert(canon(run()) === withCodegen)
+    } finally s.conf.set(key, prev)
+  }
+
   test("broadcast asof builds the probe index once per broadcast, not per task") {
     val s = spark
     import s.implicits._

@@ -253,4 +253,37 @@ class PlanAuditSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(mixedRows("sm2") === exactRows("sm2"))
     assert(mixedRows.keySet === Set("big", "sm1", "sm2")) // no group lost
   }
+
+  test("as-of node: a key predicate reaches BOTH parquet scans' PushedFilters") {
+    val s = spark
+    import s.implicits._
+    // the end-to-end claim behind PushFilterThroughAsofJoin: Catalyst
+    // stops at an opaque node, so without the rule a filtered as-of
+    // over parquet scans both inputs in full — with it, the left
+    // predicate lands in the left scan's PushedFilters and the
+    // key-mirrored copy in the RIGHT scan's
+    val dir = tempDir("graft_asof_pushdown")
+    (0L until 200L).map(i => (i % 10, i, i * 3L))
+      .toDF("k", "lid", "t").write.parquet(s"$dir/l")
+    (0L until 100L).map(i => (i % 10, 1000L + i, i * 5L, s"v$i"))
+      .toDF("k", "rid", "t", "v").write.parquet(s"$dir/r")
+    val q = graft.operators.AsofJoin.asofJoinNative(
+      s.read.parquet(s"$dir/l"), s.read.parquet(s"$dir/r"),
+      Seq("k"), "t", "t", "rid", broadcast = Some(false))
+      .filter($"k" === 3L)
+      .selectExpr("lid", "asof.v AS v")
+    val plan = executed(q)
+    val scans = plan.split("\n").filter(_.contains("PushedFilters"))
+    // robust to path rendering: both scans must push EqualTo(k,3)
+    val pushed = scans.count(_.contains("EqualTo(k,3)"))
+    assert(pushed === 2,
+      s"key predicate should reach both scans' PushedFilters ($pushed):\n$plan")
+    // and the answer is still the filtered as-of: k=3's left rows are
+    // lid 3,13,…,193 at t=3·lid; the earliest k=3 right row sits at
+    // t=15, so only lid=3 (t=9) precedes all candidates
+    val rows = q.collect()
+    assert(rows.length === 20)
+    assert(rows.count(_.get(1) == null) === 1)
+    assert(rows.filter(_.get(1) == null).map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }
