@@ -93,7 +93,7 @@ object Bench {
     // twins')
     "q01_agg", "q04_join_chain", "q30_submission_merge",
     "q14_running_window", "q73_asof_join", "q126_asof_join_native",
-    "q127_asof_join_broadcast")
+    "q127_asof_join_broadcast", "q128_asof_join_stored")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -22,5 +22,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // let bucketed scans report their at-rest SORT order (off by
+      // default since Spark 3.1 for listing-cost predictability, not
+      // correctness — the one-file-per-bucket safety check still runs
+      // per scan, so multi-file buckets simply report no order). The
+      // engine's sorted stores (asof_dim) write exactly one file per
+      // bucket so a merge-ordered reader skips its Sort entirely
+      // (AsofJoinSpec pins the plan).
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -17,8 +17,9 @@ import graft.storage.DurableStores
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
-  * With no store names, all twelve families are addressed: seven
-  * write-once bases — nested_bucketed, merged_base, sketch,
+  * With no store names, all thirteen families are addressed: eight
+  * write-once bases — nested_bucketed, merged_base, asof_dim (the
+  * time-sorted bucketed dimension q128 reads merge-ready), sketch,
   * cosine_index, kcenter_landmarks, sparse, clusters (the
   * materialized near-dup labels q123/q124 maintain) — plus the four
   * mutable ACCEPT-delta companions merge_accept (q125's write-back
@@ -89,6 +90,8 @@ object StoreAdmin {
           graft.queries.MergeScaleQ.incrementalCutoff); () }),
       "merge_log" ->
         (() => { graft.queries.MergeScaleQ.mergeAcceptStore(s, d); () }),
+      "asof_dim" ->
+        (() => { graft.queries.EventsMerge.asofDimStore(s, d); () }),
       "merge_accept" ->
         (() => { graft.queries.MergeScaleQ.mergeAcceptStore(s, d); () }),
       "sketch" -> (() => { graft.queries.LlmOps.sketchStore(s, d); () }),

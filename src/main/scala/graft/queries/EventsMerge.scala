@@ -243,9 +243,55 @@ object EventsMerge {
         $"asof".getField("value").as("purchase_value"))
   }
 
+  /** q128's backing store: the purchase history AT REST, bucketed by
+    * the entity key and SORTED by (user_id, ts, event_id) — the merge
+    * order [[graft.plans.AsofJoinExec]] requires. Built once per data
+    * dir (one file per bucket — the condition under which the scan
+    * reports its sort order), durable via
+    * [[graft.storage.DurableStores]] (the re-registration DDL carries
+    * the finer SORTED BY). Every as-of lookup against this layout pays
+    * NO exchange and NO sort on the dimension side: the write-once
+    * layout bought them, the q83/q117 pattern carried to the as-of
+    * family. At 100 TB this is the feature-store state table kept
+    * merge-ready at rest: each query shuffles only its (usually much
+    * smaller or already co-located) probe side. */
+  private[graft] def asofDimStore(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.DurableStores
+    val tbl = graft.storage.Storage.tableNameFor("graft_asof_dim", d)
+    DurableStores.openOrBuild(s, d, "asof_dim", Seq(tbl),
+        params = "buckets=16,sort=user_id.ts.event_id") { st =>
+      st.appendBucketedSorted(tbl,
+        eventsTsMicros(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+        Seq("user_id"), Seq("user_id", "ts", "event_id"), numBuckets = 16)
+      Seq(DurableStores.TableMeta.bucketedSorted(s, tbl, Seq("user_id"),
+        Seq("user_id", "ts", "event_id"), 16))
+    }
+    s.table(tbl)
+  }
+
+  /** q73's lookup with the DIMENSION AT REST ([[asofDimStore]]): the
+    * native merge exec's right-side requirements (clustered on the
+    * key, sorted by (key, time, tieBreak)) are satisfied by the
+    * bucketed sorted layout, so the plan carries exactly ONE exchange
+    * and ONE sort — both on the probe side (AsofJoinSpec pins it).
+    * Same oracle as q73/q84/q126/q127: five plans, one contract. */
+  private val q128AsofJoinStored: Q = (s, d) => {
+    import s.implicits._
+    val clicks = eventsTsMicros(s, d).filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    graft.operators.AsofJoin.asofJoinNative(
+      clicks, asofDimStore(s, d), Seq("user_id"), "ts", "ts", "event_id",
+      broadcast = Some(false))
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
+    "q128_asof_join_stored" -> q128AsofJoinStored,
     "q58_sessionize" -> q58Sessionize,
     "q59_percentiles" -> q59Percentiles,
     "q73_asof_join" -> q73AsofJoin,
@@ -280,6 +326,7 @@ object EventsMerge {
     "q84_asof_join_split" -> asofSql,
     "q126_asof_join_native" -> asofSql,
     "q127_asof_join_broadcast" -> asofSql,
+    "q128_asof_join_stored" -> asofSql,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

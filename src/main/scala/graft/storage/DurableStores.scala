@@ -47,9 +47,15 @@ import org.apache.spark.sql.SparkSession
   */
 object DurableStores {
 
-  /** How one physical table re-registers in a cold catalog. */
+  /** How one physical table re-registers in a cold catalog.
+    * `sortCols` (empty = sorted by the bucket columns, the historical
+    * default) lets a bucketed layout declare a FINER at-rest sort than
+    * its bucket key — e.g. bucket by entity, sort by (entity, time) —
+    * which the re-registration DDL must preserve or a cold catalog
+    * would lose the scan's sort order and re-Sort on every read. */
   final case class TableMeta(name: String, layout: String,
-      layoutCols: Seq[String], numBuckets: Int, schemaDdl: String)
+      layoutCols: Seq[String], numBuckets: Int, schemaDdl: String,
+      sortCols: Seq[String] = Nil)
 
   object TableMeta {
     /** Metadata captured AFTER the build (the catalog schema is the
@@ -59,6 +65,10 @@ object DurableStores {
     def bucketed(s: SparkSession, name: String, cols: Seq[String],
         numBuckets: Int): TableMeta =
       TableMeta(name, "bucketed", cols, numBuckets, s.table(name).schema.toDDL)
+    def bucketedSorted(s: SparkSession, name: String, cols: Seq[String],
+        sortCols: Seq[String], numBuckets: Int): TableMeta =
+      TableMeta(name, "bucketed", cols, numBuckets,
+        s.table(name).schema.toDDL, sortCols)
     def partitioned(s: SparkSession, name: String,
         cols: Seq[String]): TableMeta =
       TableMeta(name, "partitioned", cols, 0, s.table(name).schema.toDDL)
@@ -106,11 +116,14 @@ object DurableStores {
   /** Line format (newline-free fields only — schema DDL and paths
     * contain no newlines): line 1 = fingerprint "|" build-params; then
     * one line per table: name TAB layout TAB numBuckets TAB
-    * cols(comma) TAB ddl. Manifests written before the params field
-    * existed parse with params "" and are invalidated once by any
-    * accessor that now declares params — the migration cost of closing
-    * the parameter-staleness hole (a store built with old k/bands/
-    * cutoff silently serving a caller whose code changed them). */
+    * cols(comma) TAB ddl [TAB sortCols(comma)]. The sort-cols field is
+    * optional: manifests written before it existed parse with sortCols
+    * empty (= sorted by the bucket columns, the historical behavior),
+    * exactly like params-less manifests parse with params "" and are
+    * invalidated once by any accessor that now declares params — the
+    * migration cost of closing the parameter-staleness hole (a store
+    * built with old k/bands/cutoff silently serving a caller whose
+    * code changed them). */
   private def writeManifest(s: SparkSession, p: Path, fp: String,
       params: String, tables: Seq[TableMeta]): Unit = {
     require(!params.contains("\n") && !params.contains("|"),
@@ -121,8 +134,10 @@ object DurableStores {
     try {
       out.write(fp + "|" + params + "\n")
       tables.foreach { t =>
-        out.write(Seq(t.name, t.layout, t.numBuckets.toString,
-          t.layoutCols.mkString(","), t.schemaDdl).mkString("\t") + "\n")
+        out.write((Seq(t.name, t.layout, t.numBuckets.toString,
+          t.layoutCols.mkString(","), t.schemaDdl) ++
+          (if (t.sortCols.isEmpty) Nil else Seq(t.sortCols.mkString(","))))
+          .mkString("\t") + "\n")
       }
     } finally out.close()
     f.delete(p, false)
@@ -144,10 +159,11 @@ object DurableStores {
       }
       val tables = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).map { line =>
-          val a = line.split("\t", 5)
+          val a = line.split("\t", 6)
           TableMeta(a(0), a(1),
             if (a(3).isEmpty) Nil else a(3).split(",").toSeq,
-            a(2).toInt, a(4))
+            a(2).toInt, a(4),
+            if (a.length < 6 || a(5).isEmpty) Nil else a(5).split(",").toSeq)
         }.toVector
       Some((fp, params, tables))
     } finally in.close()
@@ -164,7 +180,9 @@ object DurableStores {
     val clause = t.layout match {
       case "bucketed" =>
         val bc = t.layoutCols.map(c => s"`$c`").mkString(", ")
-        s"CLUSTERED BY ($bc) SORTED BY ($bc) INTO ${t.numBuckets} BUCKETS"
+        val sc = (if (t.sortCols.isEmpty) t.layoutCols else t.sortCols)
+          .map(c => s"`$c`").mkString(", ")
+        s"CLUSTERED BY ($bc) SORTED BY ($sc) INTO ${t.numBuckets} BUCKETS"
       case "partitioned" =>
         s"PARTITIONED BY (${t.layoutCols.map(c => s"`$c`").mkString(", ")})"
       case _ => ""

@@ -73,6 +73,26 @@ class Storage(spark: SparkSession, root: String) {
       .saveAsTable(table)
   }
 
+  /** Bucketed write with a sort order FINER than the bucket key (e.g.
+    * bucket by entity, sort by (entity, time, tieBreak) — the at-rest
+    * layout a merge-ordered reader needs). The input is repartitioned
+    * onto the bucket key with numBuckets partitions first: Spark's
+    * bucket-id function IS HashPartitioning's, so each write task then
+    * holds exactly one bucket and writes exactly one file — the
+    * one-file-per-bucket condition under which the scan reports its
+    * sort order and downstream operators skip their Sort entirely. */
+  def appendBucketedSorted(table: String, df: DataFrame,
+      bucketCols: Seq[String], sortCols: Seq[String],
+      numBuckets: Int = 64): Unit = {
+    df.repartition(numBuckets, bucketCols.map(df.col): _*)
+      .write.mode(SaveMode.Append)
+      .format("parquet")
+      .option("path", path(table))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** Read a bucketed table through the catalog (bucket metadata only
     * lives there; a bare parquet read would lose it). */
   def readBucketed(table: String): DataFrame = spark.table(table)

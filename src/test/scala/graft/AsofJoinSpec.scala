@@ -580,6 +580,46 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(empt === Map(100L -> None, 101L -> None))
   }
 
+  test("q128: as-of against the bucketed time-sorted store pays no dim-side exchange or sort") {
+    val s = spark
+    val sf = "/root/testdata/sf0.001"
+    // the engine session (GraftSession.configure — what Verify/Bench
+    // run under) lets bucketed scans report their at-rest sort; this
+    // suite builds a bare session, so mirror the conf here
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    def planOf(): (String, org.apache.spark.sql.DataFrame) = {
+      val q = graft.queries.EventsMerge.queries("q128_asof_join_stored")(s, sf)
+      q.collect()
+      (q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0), q)
+    }
+    val (plan, q) = planOf()
+    // exactly ONE hash exchange and ONE sort — the probe (clicks)
+    // side; the stored dimension's bucketed sorted layout satisfies
+    // both exec requirements from its at-rest files
+    val exchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "(?<!\\w)Sort \\[".r.findAllIn(plan).size
+    assert(exchanges === 1, s"dim side must not shuffle:\n$plan")
+    assert(sorts === 1, s"dim side must not sort:\n$plan")
+    assert(plan.contains("AsofJoin"), s"native exec missing:\n$plan")
+    // same answer as the in-query native path (q126 under one oracle)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.toString)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(canon(q) ===
+      canon(graft.queries.EventsMerge.queries("q126_asof_join_native")(s, sf)))
+    // cold catalog: re-registration DDL must carry the FINER SORTED BY
+    // (user_id, ts, event_id) or the re-opened store re-sorts on read
+    graft.storage.DurableStores.resetVerifiedForTest()
+    val tbl = graft.storage.Storage.tableNameFor("graft_asof_dim", sf)
+    s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val (plan2, _) = planOf()
+    val sorts2 = "(?<!\\w)Sort \\[".r.findAllIn(plan2).size
+    assert(sorts2 === 1,
+      s"cold-catalog re-registration lost the at-rest sort:\n$plan2")
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._
