@@ -17,16 +17,16 @@ import graft.storage.DurableStores
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
-  * With no store names, all thirteen families are addressed: eight
+  * With no store names, all fourteen families are addressed: eight
   * write-once bases — nested_bucketed, merged_base, asof_dim (the
   * time-sorted bucketed dimension q128 reads merge-ready), sketch,
   * cosine_index, kcenter_landmarks, sparse, clusters (the
-  * materialized near-dup labels q123/q124 maintain) — plus the four
+  * materialized near-dup labels q123/q124 maintain) — plus the five
   * mutable ACCEPT-delta companions merge_accept (q125's write-back
-  * half), sketch_accept, cluster_accept and cosine_accept, and the
-  * merge family's permanent snapshot ingest log merge_log (owns the
-  * merge accepts' commit markers; survives merge_accept compaction
-  * by design). `build` is build-if-absent (a no-op when the
+  * half), asof_accept (q129's), sketch_accept, cluster_accept and
+  * cosine_accept, and the merge family's permanent snapshot ingest
+  * log merge_log (owns the merge accepts' commit markers; survives
+  * merge_accept compaction by design). `build` is build-if-absent (a no-op when the
   * at-rest store is fingerprint-current); `refresh` drops and
   * rebuilds unconditionally — run it after intentionally regenerating
   * source data in place with unchanged file sizes AND mtimes (the one
@@ -92,6 +92,8 @@ object StoreAdmin {
         (() => { graft.queries.MergeScaleQ.mergeAcceptStore(s, d); () }),
       "asof_dim" ->
         (() => { graft.queries.EventsMerge.asofDimStore(s, d); () }),
+      "asof_accept" ->
+        (() => { graft.queries.EventsMerge.asofAcceptStore(s, d); () }),
       "merge_accept" ->
         (() => { graft.queries.MergeScaleQ.mergeAcceptStore(s, d); () }),
       "sketch" -> (() => { graft.queries.LlmOps.sketchStore(s, d); () }),
@@ -149,6 +151,8 @@ object StoreAdmin {
         val folders: Seq[(String, () => Boolean)] = Seq(
           "merge_accept" ->
             (() => graft.queries.MergeScaleQ.compactMergeStore(spark, dataDir)),
+          "asof_accept" ->
+            (() => graft.queries.EventsMerge.compactAsofDimStore(spark, dataDir)),
           "sketch_accept" ->
             (() => graft.queries.LlmOps.compactSketchStore(spark, dataDir)),
           "cluster_accept" ->

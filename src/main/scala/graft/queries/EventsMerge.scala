@@ -259,7 +259,7 @@ object EventsMerge {
     import graft.storage.DurableStores
     val tbl = graft.storage.Storage.tableNameFor("graft_asof_dim", d)
     DurableStores.openOrBuild(s, d, "asof_dim", Seq(tbl),
-        params = "buckets=16,sort=user_id.ts.event_id") { st =>
+        params = asofDimParams) { st =>
       st.appendBucketedSorted(tbl,
         eventsTsMicros(s, d).filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")),
@@ -288,10 +288,169 @@ object EventsMerge {
         $"asof".getField("value").as("purchase_value"))
   }
 
+  // build-params shared by the base accessor, the accept companion,
+  // and the compact fold — the two writers MUST stamp identical params
+  // or a reopened store would see a mismatch and silently rebuild from
+  // source, dropping folds (the same contract as LlmOps.sketchParams)
+  private val asofDimParams = "buckets=16,sort=user_id.ts.event_id"
+
+  /** The asof_dim family's mutable ACCEPT companion: new state rows
+    * (purchases) land as batch_id partitions, commit-marked last —
+    * the same delta lifecycle as the sketch/cosine/merge families.
+    * The base stays write-once and time-sorted at rest; deltas stay
+    * batch-sized. */
+  private[graft] def asofAcceptStore(s: SparkSession, d: String): DataFrame = {
+    import graft.storage.{DurableStores, Storage}
+    val tbl = Storage.tableNameFor("graft_asofacc", d)
+    DurableStores.openOrBuild(s, d, "asof_accept", Seq(tbl),
+        params = asofDimParams) { st =>
+      st.appendPartitioned(tbl,
+        eventsTsMicros(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .limit(0).withColumn("batch_id", lit("")),
+        Seq("batch_id"))
+      Seq(DurableStores.TableMeta.partitioned(s, tbl, Seq("batch_id")))
+    }
+    s.table(tbl)
+  }
+
+  /** ACCEPT a batch of new dimension rows (user_id, event_id, ts,
+    * value): id-guard against the base and every other committed
+    * batch (a doubled event_id would double-count in any downstream
+    * read and silently skew tie resolution), write the batch's
+    * partition with dynamic overwrite (idempotent re-accept), marker
+    * last. A batch a compact already folded into the base replays as
+    * a no-op. Accept cost is batch-proportional — the base is only
+    * touched by the pruned single-column id-guard scan. */
+  private[graft] def acceptAsofDimBatch(s: SparkSession, d: String,
+      batchId: String, rows: DataFrame): Unit = {
+    import graft.storage.{DurableStores, Storage}
+    val delta0 = asofAcceptStore(s, d)
+    if (DurableStores.foldedBatches(s, d, "asof_accept").contains(batchId))
+      return
+    val others = LlmOps.committedDelta(s, d, "asof_accept", delta0)
+      .filter(col("batch_id") =!= batchId).select(col("event_id"))
+    LlmOps.requireFreshBatchIds(
+      asofDimStore(s, d).select(col("event_id")).unionByName(others),
+      "event_id", rows.select(col("event_id").as("id")).distinct(),
+      "asof_dim")
+    DurableStores.withDynamicPartitionOverwrite(s) {
+      rows.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .insertInto(Storage.tableNameFor("graft_asofacc", d))
+    }
+    DurableStores.markBatchCommitted(s, d, "asof_accept", batchId)
+  }
+
+  /** As-of lookup against the EFFECTIVE dimension (base ⊕ committed
+    * accept deltas) — without ever re-sorting the base or unioning it
+    * with the deltas. As-of distributes over a union of the right
+    * side: latest-at-or-before over (base ∪ delta) = the later of
+    * (latest from base, latest from delta), compared by (ts,
+    * tieBreak). So the probe runs TWO native as-of joins — the sorted
+    * store leg (one exchange + one sort, probe side only, q128's
+    * plan) and the delta leg THROUGH THE BROADCAST EXEC over the
+    * batch-sized committed deltas, which asks nothing of its left
+    * child and therefore rides the first leg's output with zero
+    * additional exchange or sort — and a per-row struct max picks the
+    * winner. At 100 TB: the fact side is shuffled once (for the base
+    * merge), the at-rest base is never re-sorted, and accepted state
+    * is visible to probes immediately without compaction. */
+  private[graft] def asofJoinEffective(s: SparkSession, d: String,
+      probe: DataFrame, lineage: Option[Set[String]] = None): DataFrame = {
+    import s.implicits._
+    val committed = LlmOps.committedDelta(s, d, "asof_accept",
+      asofAcceptStore(s, d))
+    val scoped = lineage
+      .map(ls => committed.filter(col("batch_id").isin(ls.toSeq: _*)))
+      .getOrElse(committed)
+    val baseLeg = graft.operators.AsofJoin.asofJoinNative(
+        probe, asofDimStore(s, d), Seq("user_id"), "ts", "ts", "event_id",
+        broadcast = Some(false))
+      .withColumnRenamed("asof", "asof_base")
+    val both = graft.operators.AsofJoin.asofJoinNative(
+      baseLeg, scoped.drop("batch_id"), Seq("user_id"), "ts", "ts",
+      "event_id", broadcast = Some(true))
+    // the winner: whichever leg's candidate is later by (ts, tieBreak)
+    val winner = when($"asof".isNull, $"asof_base")
+      .when($"asof_base".isNull, $"asof")
+      .when(struct($"asof.ts", $"asof.event_id") >
+        struct($"asof_base.ts", $"asof_base.event_id"), $"asof")
+      .otherwise($"asof_base")
+    both.withColumn("asof_eff", winner).drop("asof", "asof_base")
+  }
+
+  /** q129 — the asof_dim WRITE-BACK lifecycle under the hard gate: two
+    * batches of NEW dimension rows (deterministic transforms of the
+    * source purchases, so DuckDB can reproduce them) are ACCEPTED into
+    * the delta store, then every click probes the effective dimension
+    * (base ⊕ both deltas) — the answer must equal DuckDB's as-of over
+    * purchases ∪ batch1 ∪ batch2. Lineage-scoped to its own batches so
+    * foreign accepts (StoreSpec, streams) can't leak into the oracle
+    * compare. */
+  private val q129AsofAcceptProbe: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val b1 = purchases.filter($"event_id" % 10 === 3)
+      .select($"user_id", ($"event_id" + 100000000L).as("event_id"),
+        ($"ts" + 1000000L).as("ts"), ($"value" * 2).as("value"))
+    val b2 = purchases.filter($"event_id" % 10 === 7)
+      .select($"user_id", ($"event_id" + 200000000L).as("event_id"),
+        ($"ts" + 2000000L).as("ts"), ($"value" * 3).as("value"))
+    acceptAsofDimBatch(s, d, "a1", b1)
+    acceptAsofDimBatch(s, d, "a2", b2)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    asofJoinEffective(s, d, clicks, lineage = Some(Set("a1", "a2")))
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof_eff".getField("event_id").as("purchase_id"),
+        $"asof_eff".getField("value").as("purchase_value"))
+  }
+
+  /** Fold committed asof-accept batches into the time-sorted base
+    * (rebuild base ∪ deltas under the same params, markers retire into
+    * the folded ledger, exactly the folded partitions drop) — probe
+    * answers unchanged, plans return to the single sorted-scan leg.
+    * Same retention caveat as the sketch family: a later base refresh
+    * rebuilds from source and discards folds. */
+  private[graft] def compactAsofDimStore(s: SparkSession, d: String): Boolean = {
+    import graft.storage.{DurableStores, Storage}
+    val accT = Seq(Storage.tableNameFor("graft_asofacc", d))
+    val delta = asofAcceptStore(s, d)
+    val foldIds = DurableStores.committedBatches(s, d, "asof_accept")
+    if (foldIds.isEmpty) {
+      DurableStores.dropFoldedPartitions(s, d, "asof_accept", accT)
+      return false
+    }
+    val tmp = DurableStores.compactTmp(s, "asofdim")
+    asofDimStore(s, d)
+      .unionByName(delta.filter(col("batch_id").isin(foldIds.toSeq: _*))
+        .drop("batch_id"))
+      .dropDuplicates(Seq("event_id"))
+      .write.mode("overwrite").parquet(s"$tmp/dim")
+    val tbl = Storage.tableNameFor("graft_asof_dim", d)
+    DurableStores.drop(s, d, "asof_dim")
+    DurableStores.openOrBuild(s, d, "asof_dim", Seq(tbl),
+        params = asofDimParams) { st =>
+      st.appendBucketedSorted(tbl, s.read.parquet(s"$tmp/dim"),
+        Seq("user_id"), Seq("user_id", "ts", "event_id"), numBuckets = 16)
+      Seq(DurableStores.TableMeta.bucketedSorted(s, tbl, Seq("user_id"),
+        Seq("user_id", "ts", "event_id"), 16))
+    }
+    DurableStores.retireFoldedBatches(s, d, "asof_accept", foldIds)
+    DurableStores.dropFoldedPartitions(s, d, "asof_accept", accT)
+    DurableStores.deleteDir(s, tmp)
+    true
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
     "q128_asof_join_stored" -> q128AsofJoinStored,
+    "q129_asof_accept_probe" -> q129AsofAcceptProbe,
     "q58_sessionize" -> q58Sessionize,
     "q59_percentiles" -> q59Percentiles,
     "q73_asof_join" -> q73AsofJoin,
@@ -327,6 +486,36 @@ object EventsMerge {
     "q126_asof_join_native" -> asofSql,
     "q127_asof_join_broadcast" -> asofSql,
     "q128_asof_join_stored" -> asofSql,
+    // q129's dimension = purchases ∪ the two accepted batches (the
+    // gate's deterministic transforms of the source purchases, so the
+    // oracle reproduces them from events.parquet alone); interval
+    // arithmetic mirrors the gate's +1s/+2s micro shifts
+    "q129_asof_accept_probe" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p0 AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT * FROM p0
+        |  UNION ALL
+        |  SELECT user_id, event_id + 100000000,
+        |    ts + INTERVAL 1 SECOND, value * 2
+        |  FROM p0 WHERE event_id % 10 = 3
+        |  UNION ALL
+        |  SELECT user_id, event_id + 200000000,
+        |    ts + INTERVAL 2 SECOND, value * 3
+        |  FROM p0 WHERE event_id % 10 = 7),
+        |m AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    (SELECT p.event_id FROM p
+        |     WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |     ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_id
+        |  FROM c)
+        |SELECT m.user_id, m.click_id, m.purchase_id,
+        |  p.value AS purchase_value
+        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -620,6 +620,94 @@ class AsofJoinSpec extends AnyFunSuite {
       s"cold-catalog re-registration lost the at-rest sort:\n$plan2")
   }
 
+  test("q129: asof accept lifecycle — guard, idempotence, delta-leg plan, compact fold") {
+    val s = spark
+    import s.implicits._
+    val sf = "/root/testdata/sf0.001"
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // isolated store root: the compact below FOLDS batches into the
+    // base, which must never leak into the shared warehouse other
+    // tests (q128) and later runs read
+    val root = java.nio.file.Files.createTempDirectory("graft_asofacc_root")
+    val prevRoot = s.conf.getOption("spark.graft.store.root")
+    s.conf.set("spark.graft.store.root", root.toString)
+    try {
+      def run() = graft.queries.EventsMerge
+        .queries("q129_asof_accept_probe")(s, sf)
+      def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.toString)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      val q = run()
+      val first = canon(q)
+      // the effective probe's plan: ONE exchange + ONE sort (the base
+      // leg's probe side) and the delta leg through the broadcast exec
+      // — accepting state never costs the base a re-sort or the probe
+      // a second shuffle
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert("(?<!Reused)Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"accept deltas must not add exchanges:\n$plan")
+      assert("(?<!\\w)Sort \\[".r.findAllIn(plan).size === 1,
+        s"accept deltas must not add sorts:\n$plan")
+      assert(plan.contains("BroadcastAsofJoin"),
+        s"delta leg should ride the broadcast exec:\n$plan")
+      // equals the inline recompute over purchases ∪ both batches
+      // (twin: the composed operator over the unioned dimension)
+      val events = graft.Tables.t(s, sf, "events")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros($"ts".cast("timestamp")))
+      val purchases = events.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts", $"value")
+      val dim = purchases
+        .unionByName(purchases.filter($"event_id" % 10 === 3)
+          .select($"user_id", ($"event_id" + 100000000L).as("event_id"),
+            ($"ts" + 1000000L).as("ts"), ($"value" * 2).as("value")))
+        .unionByName(purchases.filter($"event_id" % 10 === 7)
+          .select($"user_id", ($"event_id" + 200000000L).as("event_id"),
+            ($"ts" + 2000000L).as("ts"), ($"value" * 3).as("value")))
+      val clicks = events.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val twin = canon(AsofJoin.asofJoin(
+          clicks, dim, Seq("user_id"), "ts", "ts", "event_id")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"asof".getField("event_id").as("purchase_id"),
+          $"asof".getField("value").as("purchase_value")))
+      assert(first === twin)
+      // re-running the gate re-accepts the same batches (idempotent
+      // partition rewrite) — identical answer
+      assert(canon(run()) === first)
+      // id-guard: re-presenting base event_ids under a NEW batch id
+      // fails fast
+      val clash = intercept[IllegalArgumentException] {
+        graft.queries.EventsMerge.acceptAsofDimBatch(s, sf, "a_bad",
+          purchases.limit(3))
+      }
+      assert(clash.getMessage.contains("asof_dim accept precondition"))
+      // compact folds both batches into the sorted base: answers
+      // unchanged, delta partitions gone, replayed accept is a no-op
+      assert(graft.queries.EventsMerge.compactAsofDimStore(s, sf))
+      assert(canon(run()) === first)
+      val deltaRows = graft.queries.EventsMerge.asofAcceptStore(s, sf).count()
+      assert(deltaRows === 0L, s"folded delta partitions should be gone")
+    } finally {
+      prevRoot match {
+        case Some(r) => s.conf.set("spark.graft.store.root", r)
+        case None => s.conf.unset("spark.graft.store.root")
+      }
+      graft.storage.DurableStores.resetVerifiedForTest()
+      Seq("graft_asof_dim", "graft_asofacc").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `${graft.storage.Storage.tableNameFor(t, sf)}`")
+      }
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+  }
+
   test("asof join result is independent of input partitioning") {
     val s = spark
     import s.implicits._
