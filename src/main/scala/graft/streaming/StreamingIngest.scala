@@ -205,6 +205,34 @@ object StreamingIngest {
       .start()
   }
 
+  /** [[startSketchAccept]] for the as-of dimension: each micro-batch
+    * of new state rows (user_id, event_id, ts, value) is accepted into
+    * the asof_accept delta partitions
+    * ([[graft.queries.EventsMerge.acceptAsofDimBatch]] — id-guarded,
+    * partition-idempotent, commit-marked last), so a live probe
+    * ([[graft.queries.EventsMerge.asofJoinEffective]]: sorted-base leg
+    * + broadcast delta leg) sees new state as soon as its trigger
+    * completes — the write half of the online feature-store loop whose
+    * read half is [[graft.streaming.EventStreams.enrichAsof]]. */
+  def startAsofDimAccept(
+      rows: DataFrame,
+      dataDir: String,
+      checkpoint: String,
+      batchPrefix: String = "",
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val prefix =
+      if (batchPrefix.nonEmpty) batchPrefix else batchPrefixFor(checkpoint)
+    rows.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty)
+          graft.queries.EventsMerge.acceptAsofDimBatch(batch.sparkSession,
+            dataDir, f"$prefix$bid%09d", batch)
+      }
+      .start()
+  }
+
   def startUserMergeMaintenance(
       source: DataFrame,
       storage: Storage,

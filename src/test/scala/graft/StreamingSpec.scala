@@ -541,6 +541,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(state(3L) === ((10L, "signup", 1L)))
   }
 
+  test("streamed micro-batches are accepted into the as-of dimension store per trigger") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.storage.DurableStores
+    val sf = "/root/testdata/sf0.001"
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // isolated store root: accepts must not leak into the shared
+    // warehouse other suites read
+    val root = Files.createTempDirectory("graft_asof_stream_root")
+    val prevRoot = s.conf.getOption("spark.graft.store.root")
+    s.conf.set("spark.graft.store.root", root.toString)
+    val dir = Files.createTempDirectory("graft_asof_stream_acc").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def writeBatch(rows: Seq[(Long, Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "event_id", "ts", "value").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    // probe: a synthetic user unknown to the base — only streamed
+    // state can answer it
+    val probe = Seq((77770L, 123L, 1000L)).toDF("user_id", "event_id", "ts")
+    def answer(): Option[Long] =
+      graft.queries.EventsMerge.asofJoinEffective(s, sf, probe)
+        .selectExpr("asof_eff.event_id AS pid")
+        .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long])).head
+    try {
+      writeBatch(Seq((77770L, 990000501L, 500L, 1.5)))
+      val schema = s.read.parquet(s"$dir/in").schema
+      val q = graft.streaming.StreamingIngest.startAsofDimAccept(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/in"),
+        sf, s"$dir/ckpt", trigger = Trigger.ProcessingTime(0L))
+      q.processAllAvailable()
+      // visible to the effective probe as soon as the trigger commits
+      assert(answer() === Some(990000501L))
+      // a later state row for the same user wins the struct max
+      writeBatch(Seq((77770L, 990000502L, 800L, 2.5)))
+      q.processAllAvailable(); q.stop()
+      assert(answer() === Some(990000502L))
+      // two distinct commit-marked stream partitions
+      val batches = DurableStores.committedBatches(s, sf, "asof_accept")
+      assert(batches.size === 2 && batches.forall(_.startsWith("stream_")),
+        s"batches: $batches")
+    } finally {
+      prevRoot match {
+        case Some(r) => s.conf.set("spark.graft.store.root", r)
+        case None => s.conf.unset("spark.graft.store.root")
+      }
+      DurableStores.resetVerifiedForTest()
+      Seq("graft_asof_dim", "graft_asofacc").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `${graft.storage.Storage.tableNameFor(t, sf)}`")
+      }
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(root)) {
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => Files.deleteIfExists(f))
+      }
+    }
+  }
+
   test("streaming as-of enrichment equals the batch operator across micro-batches") {
     val s = spark
     import s.implicits._
