@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *   accept  <dataDir> — accept a fixed evidence batch (batch id
   *                       "dur_b1": a twin pair of documents with text
   *                       that exists nowhere in the corpus, one
-  *                       embedding, and one nested snapshot for a new
-  *                       merge entity) into the sketch, cluster-label,
-  *                       cosine and merge accept stores.
-  *   probe   <dataDir> — WITHOUT accepting anything, probe all four
+  *                       embedding, one nested snapshot for a new
+  *                       merge entity, and one as-of state row for a
+  *                       sentinel user) into the sketch, cluster-label,
+  *                       cosine, merge and asof accept stores.
+  *   probe   <dataDir> — WITHOUT accepting anything, probe all five
   *                       stores for the accepted rows from a cold
   *                       catalog and print one JSON line of answers —
   *                       a later JVM proving it sees an earlier JVM's
@@ -73,6 +74,9 @@ object StoreChain {
             Seq((990000001L, vec)).toDF("vec_id", "embedding"))
           queries.MergeScaleQ.acceptMergeBatch(spark, dataDir, bid,
             mergeBatch(spark, dataDir), lineage = Some(Set(bid)))
+          queries.EventsMerge.acceptAsofDimBatch(spark, dataDir, bid,
+            Seq((990000077L, 990000601L, 500000L, 9.9))
+              .toDF("user_id", "event_id", "ts", "value"))
         }
         println(s"""{"phase":"accept","batch":"$bid"}""")
       case "probe" | "compact" =>
@@ -81,6 +85,20 @@ object StoreChain {
           queries.LlmOps.compactSketchStore(spark, dataDir)
           queries.LlmOps.compactClusterStore(spark, dataDir)
           queries.LlmOps.compactCosineStore(spark, dataDir)
+          queries.EventsMerge.compactAsofDimStore(spark, dataDir)
+        }
+        val asofRows = graft.engine.CacheRegistry.withRetained {
+          // the accepted state row answers a sentinel click through the
+          // effective as-of probe; after compact the SAME answer must
+          // come from the folded sorted base (the delta leg is empty)
+          queries.EventsMerge.asofJoinEffective(spark, dataDir,
+              Seq((990000077L, 1L, 1000000L)).toDF("user_id", "event_id", "ts"),
+              lineage = Some(Set(bid)))
+            .selectExpr("user_id", "asof_eff.event_id AS pid",
+              "asof_eff.value AS v")
+            .collect()
+            .map(r => s"[${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}]")
+            .sorted
         }
         val (sp, cp, cl, mg) = graft.engine.CacheRegistry.withRetained {
           import graft.operators.{Dedup, EmbeddingDedup}
@@ -127,7 +145,8 @@ object StoreChain {
           s""""sketch_pairs":[${sp.mkString(",")}],""" +
           s""""cosine_pairs":[${cp.mkString(",")}],""" +
           s""""cluster_labels":[${cl.mkString(",")}],""" +
-          s""""merged_rows":[${mg.mkString(",")}]}""")
+          s""""merged_rows":[${mg.mkString(",")}],""" +
+          s""""asof_rows":[${asofRows.mkString(",")}]}""")
       case other => sys.error(s"unknown phase '$other' (accept|probe|compact)")
     }
     spark.stop()
