@@ -165,6 +165,30 @@ object AsofJoin {
       rightTime: String,
       tieBreak: String,
       broadcast: Option[Boolean] = None): DataFrame = {
+    // deployment-level skew routing: `spark.graft.asof.skewSplits` >= 2
+    // sends explicit merge-path joins through the time-bucketed native
+    // split (one hot entity stops serializing on one task) without any
+    // code change at the call sites — the same conf-only contract as
+    // GraftExtensions. Broadcast-path joins are exempt: the fact side
+    // is never shuffled there, so key skew cannot concentrate a task.
+    val skewSplits = left.sparkSession.conf
+      .get("spark.graft.asof.skewSplits", "0").toInt
+    if (skewSplits >= 2 && broadcast.contains(false))
+      asofJoinNativeSplit(left, right, keys, leftTime, rightTime, tieBreak,
+        numSplits = skewSplits)
+    else
+      asofJoinNativeImpl(left, right, keys, leftTime, rightTime, tieBreak,
+        broadcast)
+  }
+
+  private def asofJoinNativeImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      broadcast: Option[Boolean]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{
       AttributeReference, CreateStruct}
     import org.apache.spark.sql.classic
@@ -192,6 +216,28 @@ object AsofJoin {
     lKeys.zip(rKeys).foreach { case (l, r) =>
       require(l.dataType == r.dataType,
         s"key type mismatch: ${l.name} ${l.dataType} vs ${r.dataType}") }
+    // floating-point keys bypass Catalyst's NormalizeFloatingNumbers
+    // (which only rewrites Join/Window/Aggregate), so -0.0 vs 0.0 and
+    // NaN would hash to different shuffle partitions / probe-index
+    // entries and silently diverge from the composed path — reject
+    // rather than normalize (a float equality key is a modeling bug)
+    def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => hasFloat(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasFloat(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hasFloat(m.keyType) || hasFloat(m.valueType)
+      case _ => false
+    }
+    lKeys.foreach { k =>
+      require(!hasFloat(k.dataType),
+        s"as-of join key '${k.name}' is ${k.dataType}: floating-point " +
+          "keys are not supported (-0.0/0.0 and NaN do not normalize " +
+          "across partitioning and probe hashing) — cast the key to an " +
+          "integral, decimal, or string type")
+    }
     val (lT, rT) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
     require(lT.dataType == rT.dataType,
       s"time type mismatch: ${lT.dataType} vs ${rT.dataType}")
@@ -202,6 +248,85 @@ object AsofJoin {
       graft.plans.AsofJoinPlan(
       lPlan, rPlan, lKeys, rKeys, lT, rT, attr(rPlan, tieBreak),
       payload, asofOut, broadcast))
+  }
+
+  /** The NATIVE operator's skew answer ([[asofJoinSplit]]'s
+    * time-bucketing lifted onto [[graft.plans.AsofJoinExec]]): the
+    * merge exec's ClusteredDistribution concentrates each key on ONE
+    * task, so a hot entity (the classic feature-store hot user — 25%+
+    * of both sides on one key) serializes a straggler at scale, and
+    * AQE's OptimizeSkewedJoin does not know custom nodes. This variant
+    * plans the SAME native node over (keys, coarse time bucket):
+    *
+    *  - both sides carry a `__b` bucket column (a monotone floor of
+    *    the time axis, bounds from one tiny min/max job — the same
+    *    cost class as range partitioning's sampling pass), so the
+    *    per-side shuffles hash on (key, bucket) and the hot key's work
+    *    spreads over up to `numSplits` tasks;
+    *  - each (key, source-bucket)'s LAST right row (max (time,
+    *    tieBreak)) is replicated into every later bucket, so a left
+    *    row whose latest prior right row lives in an earlier bucket
+    *    still sees it — the completeness argument is [[asofJoinSplit]]'s
+    *    verbatim: bucket assignment is monotone, equal times share a
+    *    bucket, so replicas never tie with native rows and the
+    *    in-bucket argmax IS the global argmax at-or-before;
+    *  - null-time left rows spread by a deterministic row hash (they
+    *    answer null in ANY bucket — the kernel returns null on a null
+    *    probe time — and pinning them to one bucket would re-create
+    *    the very hot spot this exists to remove).
+    *
+    * Identical results to [[asofJoinNative]]/[[asofJoin]] (AsofJoinSpec
+    * proves it on randomized hot-key data with nulls; q130 runs it
+    * under q73's DuckDB oracle). Forces the merge exec — if the right
+    * side is dimension-sized, use the broadcast path instead, which
+    * has no skew by construction (the fact side is never shuffled).
+    * Cost vs the plain native path: the bounds job, one extra window
+    * pass over the right side (per-bucket last pick), and ≤
+    * numSplits²/2 replicated rows per key — noise next to the inputs. */
+  def asofJoinNativeSplit(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      numSplits: Int = 8): DataFrame = {
+    require(numSplits >= 2,
+      "numSplits must be >= 2 (use asofJoinNative for 1)")
+    require((left.columns ++ right.columns).forall(_ != "__b"),
+      "input columns may not use the reserved name __b")
+    val bounds = left.select(col(leftTime).cast("double").as("t"))
+      .unionByName(right.select(col(rightTime).cast("double").as("t")))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    if (bounds.isNullAt(0) || bounds.isNullAt(1) ||
+        !(bounds.getDouble(1) > bounds.getDouble(0)))
+      return asofJoinNativeImpl(left, right, keys, leftTime, rightTime,
+        tieBreak, broadcast = Some(false))
+    val lo = bounds.getDouble(0)
+    val width = (bounds.getDouble(1) - lo) / numSplits
+    def bucketOf(t: Column): Column = {
+      val d = t.cast("double")
+      greatest(lit(0), least(lit(numSplits - 1),
+        floor((d - lit(lo)) / lit(width)).cast("int")))
+    }
+    val lb = left.withColumn("__b",
+      when(col(leftTime).isNull,
+        pmod(hash(left.columns.map(col): _*), lit(numSplits)).cast("int"))
+        .otherwise(bucketOf(col(leftTime))))
+    val rb = right.filter(col(rightTime).isNotNull)
+      .withColumn("__b", bucketOf(col(rightTime)))
+    val wLast = Window.partitionBy((keys :+ "__b").map(col): _*)
+      .orderBy(col(rightTime).desc, col(tieBreak).desc)
+    val carried = rb
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__b", explode(
+        when(col("__b") < numSplits - 1,
+          sequence(col("__b") + 1, lit(numSplits - 1)))
+          .otherwise(array().cast("array<int>"))))
+    asofJoinNativeImpl(lb, rb.unionByName(carried), keys :+ "__b",
+      leftTime, rightTime, tieBreak, broadcast = Some(false))
+      .drop("__b")
   }
 
   def asofJoinSplit(

@@ -3,11 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, CreateStruct, GenericInternalRow, JoinedRow,
-  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+  Ascending, Attribute, BoundReference, GenericInternalRow, JoinedRow,
+  SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{
+  BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Physical as-of join: a streaming merge over the two KEY-clustered,
@@ -27,20 +30,27 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   *    left and (keys, time, tieBreak) ascending on the right, so the
   *    planner's SortExec (or an already-sorted child, e.g. a bucketed
   *    sorted store) provides the merge order for free.
-  *  - `doExecute` zips co-partitions and walks both iterators once,
-  *    holding exactly ONE candidate payload row (the latest right row
-  *    at-or-before the current left row's time for the current key) —
-  *    O(1) state, no per-key partition buffering, nothing to spill.
-  *    Ascending nulls-first order makes the semantics line up with the
-  *    composed operator for free: null left times sort before every
-  *    timestamped right row of their key and so match nothing; equal
-  *    times are consumed inclusively (<=); the tieBreak sort means the
-  *    last consumed tie is the max-tieBreak winner.
+  *  - Both execution paths walk the co-partitions once through ONE
+  *    shared kernel ([[AsofMerger]]), holding exactly ONE candidate
+  *    payload row — O(1) state, no per-key partition buffering,
+  *    nothing to spill. The null contract (null right times skipped,
+  *    null left times match nothing) is enforced IN the kernel, same
+  *    as [[AsofIndex.build]] on the broadcast path, so a directly
+  *    constructed plan cannot diverge between physical paths.
+  *  - The operator participates in WHOLE-STAGE CODEGEN the way
+  *    SortMergeJoinExec does: `inputRDDs` exposes both sorted children
+  *    (WholeStageCodegenExec zips two inputs), doProduce drives the
+  *    left iterator and emits one kernel call per row, so
+  *    as-of → downstream projection/filter compile into a single
+  *    generated loop with no iterator boundary at the operator — the
+  *    round-12 gap on the operator's hottest path. The iterator
+  *    `doExecute` remains as the codegen-off fallback; AsofJoinSpec
+  *    pins codegen == interpreted.
   *
   * Output rows reuse the projection buffer per the usual SparkPlan
-  * iterator contract (consumers copy if they buffer). Rows held across
-  * iterator steps (`heldKey`, `heldPayload`) are copies — the child
-  * sort reuses ITS row buffers.
+  * iterator contract (consumers copy if they buffer — `needCopyResult`
+  * is set for the generated path). Rows held across iterator steps
+  * are copies — the child sort reuses ITS row buffers.
   *
   * AsofJoinSpec pins native == composed on randomized hot-key data and
   * the two-exchange/no-union plan shape; q126 runs it under q73's
@@ -55,7 +65,7 @@ case class AsofJoinExec(
     payload: Seq[Attribute],
     asofOut: Attribute,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
 
@@ -76,59 +86,77 @@ case class AsofJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  /** The serializable merge recipe shared by both execution paths —
+    * what ships to tasks instead of the plan node itself. */
+  private def mergerSpec =
+    AsofMergerSpec(left.output, right.output, leftKeys, rightKeys,
+      leftTime, rightTime, payload)
+
+  // ---- iterator path (codegen off) ---------------------------------
+
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
-    val keyTypes = leftKeys.map(_.dataType)
-    val timeType = leftTime.dataType
     val lOut = left.output
-    val rOut = right.output
-    val (lk_, rk_, lt_, rt_, pay_, asof_) =
-      (leftKeys, rightKeys, leftTime, rightTime, payload, asofOut)
+    val spec = mergerSpec
+    val asof_ = asofOut
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       if (!lIter.hasNext) Iterator.empty
       else {
-        val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-        val timeOrd =
-          RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-        val lKeyProj = UnsafeProjection.create(lk_, lOut)
-        val rKeyProj = UnsafeProjection.create(rk_, rOut)
-        val lTimeProj = UnsafeProjection.create(Seq(lt_), lOut)
-        val rTimeProj = UnsafeProjection.create(Seq(rt_), rOut)
-        val payloadProj =
-          UnsafeProjection.create(Seq(CreateStruct(pay_)), rOut)
+        val merger = spec.newMerger(rIter)
         val outProj =
           UnsafeProjection.create(lOut :+ asof_, lOut :+ asof_)
-        val nullPayload = new GenericInternalRow(1)
+        val holder = new GenericInternalRow(1)
         val joined = new JoinedRow
-        var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-        var heldKey: UnsafeRow = null
-        var heldPayload: UnsafeRow = null
         lIter.map { l =>
-          val lk = lKeyProj(l)
-          val lt = lTimeProj(l)
-          var advancing = true
-          while (advancing && rRow != null) {
-            val c = keyOrd.compare(rKeyProj(rRow), lk)
-            if (c < 0 ||
-                (c == 0 && timeOrd.compare(rTimeProj(rRow), lt) <= 0)) {
-              if (c == 0) {
-                // latest at-or-before so far for this key: keep it
-                // (copies — the child iterator reuses its buffers)
-                heldKey = rKeyProj(rRow).copy()
-                heldPayload = payloadProj(rRow).copy()
-              }
-              rRow = if (rIter.hasNext) rIter.next() else null
-            } else advancing = false
-          }
-          val p =
-            if (heldPayload != null && keyOrd.compare(heldKey, lk) == 0)
-              heldPayload
-            else nullPayload
+          holder.update(0, merger.advance(l))
           numOutputRows += 1
-          outProj(joined(l, p))
+          outProj(joined(l, holder))
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen path -------------------------------------
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // output rows are backed by the generated UnsafeRow writer's reused
+  // buffer; a buffering parent must copy
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val specTerm = ctx.addReferenceObj("asofMergerSpec", mergerSpec,
+      classOf[AsofMergerSpec].getName)
+    // the right iterator is consumed ONLY by the merger (inputs[1] at
+    // init time), mirroring doExecute's zipPartitions pairing
+    val merger = ctx.addMutableState(classOf[AsofMerger].getName,
+      "asofMerger", v => s"$v = $specTerm.newMerger(inputs[1]);")
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matched = ctx.freshName("asofStruct")
+    val asofIsNull = ctx.freshName("asofIsNull")
+    val numOutputRows = metricTerm(ctx, "numOutputRows")
+    val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+    val asofEv = ExprCode(
+      JavaCode.isNullVariable(asofIsNull),
+      JavaCode.variable(matched, asofOut.dataType))
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  $rowCls $leftRow = ($rowCls) $leftInput.next();
+       |  $rowCls $matched = $merger.advance($leftRow);
+       |  boolean $asofIsNull = ($matched == null);
+       |  $numOutputRows.add(1);
+       |  ${consume(ctx, leftVars :+ asofEv)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

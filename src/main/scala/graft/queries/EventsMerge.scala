@@ -222,6 +222,27 @@ object EventsMerge {
         $"asof".getField("value").as("purchase_value"))
   }
 
+  /** q73's lookup through the NATIVE SKEW-SPLIT path
+    * ([[graft.operators.AsofJoin.asofJoinNativeSplit]]): the custom
+    * merge exec planned over (key, coarse time bucket) with carried
+    * per-bucket last rows — the plan that spreads a hot entity over
+    * numSplits tasks instead of serializing it. Same oracle as
+    * q73/q84/q126–q128: six plans, one contract. */
+  private val q130AsofJoinNativeSplit: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.asofJoinNativeSplit(
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id",
+      numSplits = 8)
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
   /** q73's lookup through the BROADCAST native exec
     * ([[graft.plans.BroadcastAsofJoinExec]]): the dimension-sized-right
     * physical path — the fact (left) side is never shuffled or sorted,
@@ -448,6 +469,7 @@ object EventsMerge {
 
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
+    "q130_asof_join_native_split" -> q130AsofJoinNativeSplit,
     "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
     "q128_asof_join_stored" -> q128AsofJoinStored,
     "q129_asof_accept_probe" -> q129AsofAcceptProbe,
@@ -484,6 +506,7 @@ object EventsMerge {
     "q73_asof_join" -> asofSql,
     "q84_asof_join_split" -> asofSql,
     "q126_asof_join_native" -> asofSql,
+    "q130_asof_join_native_split" -> asofSql,
     "q127_asof_join_broadcast" -> asofSql,
     "q128_asof_join_stored" -> asofSql,
     // q129's dimension = purchases ∪ the two accepted batches (the

@@ -443,6 +443,118 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(run(1, 1) === run(7, 3))
   }
 
+  test("native skew-split asof equals native and composed with randomized nulls and a hot key") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(37)
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    def time(): Option[Long] =
+      if (rnd.nextInt(100) < 15) None else Some(rnd.nextInt(60).toLong)
+    val left = Seq.tabulate(400)(i => (key(), i.toLong, time()))
+      .toDF("k", "lid", "t")
+    val right = Seq.tabulate(300)(i => (key(), 1000L + i, time(), s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val composed = canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid"))
+    for (splits <- Seq(2, 3, 8)) {
+      assert(canon(AsofJoin.asofJoinNativeSplit(
+          left, right, Seq("k"), "t", "t", "rid", numSplits = splits))
+        === composed, s"numSplits=$splits")
+    }
+    // degenerate axes fall back to the plain native path
+    val lconst = Seq((1L, 100L, 5L), (1L, 101L, 5L)).toDF("k", "lid", "t")
+    val rconst = Seq((1L, 900L, 5L), (1L, 901L, 5L)).toDF("k", "rid", "t")
+    def canon2(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    assert(canon2(AsofJoin.asofJoinNativeSplit(lconst, rconst, Seq("k"), "t", "t", "rid"))
+      === canon2(AsofJoin.asofJoin(lconst, rconst, Seq("k"), "t", "t", "rid")))
+  }
+
+  test("native skew-split spreads one dominant key over multiple merge tasks") {
+    val s = spark
+    import s.implicits._
+    // EVERY row on one key (>= 25% of both sides by construction): the
+    // plain native exec concentrates the key on one task; the split
+    // plan must process it in >= 2 of the merge exec's output
+    // partitions while answering identically
+    val left = (0L until 400L).map(i => (1L, i, i % 97)).toDF("k", "lid", "t")
+    val right = (0L until 300L).map(i => (1L, 1000L + i, i % 89)).toDF("k", "rid", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("k", "lid", "asof.rid AS rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val plain = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+      broadcast = Some(false))
+    // numSplits = 8, not 4: murmur3 of (k=1, bucket 0..3) mod 4 is a
+    // real 4-way collision (all land on partition 1) — with 8 buckets
+    // the spread survives this suite's 4 shuffle partitions
+    val split = AsofJoin.asofJoinNativeSplit(
+      left, right, Seq("k"), "t", "t", "rid", numSplits = 8)
+    assert(canon(split) === canon(plain))
+    // AQE's partition coalescing folds this test's few-KB shuffles into
+    // one partition regardless of keys — turn it off to observe the
+    // KEY-level spread (at scale the hot key's bytes keep the
+    // partitions apart on their own)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = s.conf.get(coalesceKey)
+    try {
+      s.conf.set(coalesceKey, "false")
+      def hotTasks(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter($"k" === 1L).select(spark_partition_id()).distinct().count()
+      assert(hotTasks(plain) === 1L,
+        "plain native path should concentrate the key (the gap being fixed)")
+      assert(hotTasks(split) >= 2L,
+        "split native path should spread the hot key over multiple tasks")
+    } finally s.conf.set(coalesceKey, prev)
+    // and the split plan still runs the NATIVE merge exec (no window
+    // between the exchanges and the exec: the only Window is the
+    // right side's batch-sized per-bucket last pick)
+    split.collect()
+    val plan = split.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"),
+      s"split path should ride the native exec:\n$plan")
+  }
+
+  test("spark.graft.asof.skewSplits routes explicit merge-path joins through the split") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 100L).map(i => (1L, i, i % 37)).toDF("k", "lid", "t")
+    val right = (0L until 80L).map(i => (1L, 1000L + i, i % 31)).toDF("k", "rid", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    val baseline = canon(AsofJoin.asofJoinNative(
+      left, right, Seq("k"), "t", "t", "rid", broadcast = Some(false)))
+    try {
+      s.conf.set("spark.graft.asof.skewSplits", "8")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val routed = AsofJoin.asofJoinNative(
+        left, right, Seq("k"), "t", "t", "rid", broadcast = Some(false))
+      assert(canon(routed) === baseline)
+      import org.apache.spark.sql.functions.spark_partition_id
+      assert(routed.filter($"k" === 1L).select(spark_partition_id())
+        .distinct().count() >= 2L, "conf routing should spread the hot key")
+      // the broadcast path is exempt (no skew by construction)
+      val bcast = AsofJoin.asofJoinNative(
+        left, right, Seq("k"), "t", "t", "rid", broadcast = Some(true))
+      bcast.collect()
+      assert(bcast.queryExecution.executedPlan.toString
+        .contains("BroadcastAsofJoin"))
+    } finally {
+      s.conf.unset("spark.graft.asof.skewSplits")
+      s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
   test("broadcast asof exec equals merge exec and composed on hot-key data") {
     val s = spark
     import s.implicits._
@@ -538,6 +650,84 @@ class AsofJoinSpec extends AnyFunSuite {
       s.conf.set(key, "false")
       assert(canon(run()) === withCodegen)
     } finally s.conf.set(key, prev)
+  }
+
+  test("merge asof exec runs inside whole-stage codegen; codegen == interpreted") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    def time(): Option[Long] =
+      if (rnd.nextInt(100) < 15) None else Some(rnd.nextInt(60).toLong)
+    val left = Seq.tabulate(400)(i => (key(), i.toLong, time()))
+      .toDF("k", "lid", "t")
+    val right = Seq.tabulate(300)(i => (key(), 1000L + i, time(), s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def run() = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+        broadcast = Some(false))
+      .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val q = run()
+    val withCodegen = canon(q)
+    // the op line carries a codegen stage id — as-of merge ->
+    // downstream projection compile into one generated loop (the
+    // SortMergeJoinExec shape: sorts feed the stage as its two inputs)
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val opLine = plan.split("\n").find(_.contains("AsofJoin")).get
+    assert(opLine.contains("*("),
+      s"merge as-of exec should be inside a WholeStageCodegen span:\n$plan")
+    // and the interpreted path (codegen off) answers identically
+    val key2 = "spark.sql.codegen.wholeStage"
+    val prev = s.conf.get(key2)
+    try {
+      s.conf.set(key2, "false")
+      assert(canon(run()) === withCodegen)
+    } finally s.conf.set(key2, prev)
+    // composed-operator parity on the same data closes the triangle
+    assert(withCodegen === canon(
+      AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid")
+        .selectExpr("k", "lid", "asof.rid AS rid", "asof.v AS v")))
+  }
+
+  test("directly-constructed plan: merge and broadcast execs enforce one null contract") {
+    val s = spark
+    import s.implicits._
+    // bypass the DataFrame API (which filters null right times before
+    // the node is built) and hand the RAW inputs to AsofJoinPlan: both
+    // physical paths must drop null-time right rows in their own
+    // kernels (AsofMerger / AsofIndex.build) — a null-time dimension
+    // row must never be emitted as a match, and a null left time must
+    // not match a null right time
+    val left = Seq((1L, 100L, Some(10L)), (1L, 101L, None),
+      (2L, 200L, Some(50L))).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 900L, None: Option[Long], "null-time"),
+      (1L, 901L, Some(5L), "real"),
+      (2L, 902L, None: Option[Long], "null-time-2")).toDF("k", "rid", "t", "v")
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, CreateStruct}
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    graft.plans.GraftPlans.install(cs)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val payload = rPlan.output.filterNot(_.name == "k")
+    val asofOut = AttributeReference(
+      "asof", CreateStruct(payload).dataType, nullable = true)()
+    def run(bcast: Boolean) = org.apache.spark.sql.graftbridge.PlanBridge
+      .ofRows(cs, graft.plans.AsofJoinPlan(
+        lPlan, rPlan, Seq(a(lPlan, "k")), Seq(a(rPlan, "k")),
+        a(lPlan, "t"), a(rPlan, "t"), a(rPlan, "rid"),
+        payload, asofOut, broadcast = Some(bcast)))
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val expected = Map(100L -> Some("real"), 101L -> None, 200L -> None)
+    assert(run(bcast = false) === expected, "merge exec")
+    assert(run(bcast = true) === expected, "broadcast exec")
   }
 
   test("broadcast asof builds the probe index once per broadcast, not per task") {
