@@ -67,16 +67,18 @@ object StoreChain {
       case "accept" =>
         graft.engine.CacheRegistry.withRetained {
           queries.LlmOps.acceptSketchBatch(spark, dataDir, bid,
-            docs, "doc_id", "text")
+            docs, "doc_id", "text", lineage = Some(Set(bid)))
           queries.LlmOps.acceptClusterRelabel(spark, dataDir, bid,
             docs, "doc_id", "text", lineage = Some(Set(bid)))
           queries.LlmOps.acceptCosineBatch(spark, dataDir, bid,
-            Seq((990000001L, vec)).toDF("vec_id", "embedding"))
+            Seq((990000001L, vec)).toDF("vec_id", "embedding"),
+            lineage = Some(Set(bid)))
           queries.MergeScaleQ.acceptMergeBatch(spark, dataDir, bid,
             mergeBatch(spark, dataDir), lineage = Some(Set(bid)))
           queries.EventsMerge.acceptAsofDimBatch(spark, dataDir, bid,
             Seq((990000077L, 990000601L, 500000L, 9.9))
-              .toDF("user_id", "event_id", "ts", "value"))
+              .toDF("user_id", "event_id", "ts", "value"),
+            lineage = Some(Set(bid)))
         }
         println(s"""{"phase":"accept","batch":"$bid"}""")
       case "probe" | "compact" =>

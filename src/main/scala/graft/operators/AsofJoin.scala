@@ -329,6 +329,67 @@ object AsofJoin {
       .drop("__b")
   }
 
+  /** As-of join with a STALENESS BOUND (the standard feature-store
+    * tolerance: `rightTime <= leftTime AND rightTime >= leftTime -
+    * maxStale` — "the last known state, unless it is too old to
+    * trust"). Equivalent to the bounded-window argmax by a one-line
+    * argument that makes it a pure post-condition on ANY of the
+    * engine's as-of implementations: the unbounded argmax picks the
+    * LATEST candidate at-or-before leftTime, so either that winner is
+    * inside the window (then it is also the bounded argmax — every
+    * other in-window candidate is earlier), or it is older than the
+    * bound (then NO candidate is in the window: anything in-window
+    * would be later than the winner yet still <= leftTime,
+    * contradicting the argmax). Nulling stale winners therefore equals
+    * re-running the join with the bounded predicate — no exec change,
+    * no extra shuffle, same cost as the unbounded operator plus one
+    * row-local comparison. AsofJoinSpec pins parity across
+    * composed/native/broadcast against a naive bounded argmax; q131
+    * runs it under a DuckDB bounded-window oracle.
+    *
+    * @param maxStale the bound, in the time column's own arithmetic
+    *                 (e.g. `lit(86400000000L)` for one day of epoch
+    *                 micros, or an INTERVAL literal for timestamps).
+    * @param impl     which physical path answers the unbounded join:
+    *                 "composed" ([[asofJoin]]), "native"
+    *                 ([[asofJoinNative]] merge exec), "broadcast"
+    *                 (the broadcast exec), "split"
+    *                 ([[asofJoinNativeSplit]]).
+    */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: String,
+      maxStale: Column,
+      impl: String = "native"): DataFrame = {
+    require(!keys.contains(rightTime),
+      s"rightTime '$rightTime' must be a payload column, not a key " +
+        "(the staleness bound reads it from the asof struct)")
+    val joined = impl match {
+      case "composed" =>
+        asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
+      case "native" =>
+        asofJoinNative(left, right, keys, leftTime, rightTime, tieBreak,
+          broadcast = Some(false))
+      case "broadcast" =>
+        asofJoinNative(left, right, keys, leftTime, rightTime, tieBreak,
+          broadcast = Some(true))
+      case "split" =>
+        asofJoinNativeSplit(left, right, keys, leftTime, rightTime, tieBreak)
+      case other => throw new IllegalArgumentException(
+        s"unknown asof impl '$other' (composed|native|broadcast|split)")
+    }
+    // null out winners older than the bound; a null asof stays null
+    // (when without otherwise). asof.<rightTime> is never null — both
+    // kernels exclude null-time right rows before they can be held
+    joined.withColumn("asof",
+      when(col("asof").getField(rightTime) >= col(leftTime) - maxStale,
+        col("asof")))
+  }
+
   def asofJoinSplit(
       left: DataFrame,
       right: DataFrame,

@@ -154,73 +154,100 @@ object PushFilterThroughAsofJoin extends Rule[LogicalPlan]
   * side's FULL payload and every left column. Payload width is the
   * operator's dominant shuffle cost at scale, which makes this the
   * as-of analog of projection pushdown on a scan. For a Project
-  * directly above the node, three narrowings, all guarded to strict
+  * directly above the node — or above a Filter above the node (the
+  * residual-Filter shape left behind when
+  * [[PushFilterThroughAsofJoin]] cannot move a predicate that reads
+  * the `asof` struct) — three narrowings, all guarded to strict
   * shrinkage so the fixed point converges:
   *
-  *  - payload: only the `asof` struct fields the project extracts
-  *    survive into the node's payload (ordinals remapped, a fresh
-  *    `asof` attribute minted since its type changes);
+  *  - payload: only the `asof` struct fields the project AND the
+  *    intervening filter extract survive into the node's payload
+  *    (ordinals remapped in both, a fresh `asof` attribute minted
+  *    since its type changes);
   *  - right child: projected to keys + time + tieBreak + surviving
   *    payload, so the built-in rules carry the pruning to the scan;
-  *  - left child: projected to the left columns the project uses plus
-  *    keys + time (the node's output shrinks with it, by construction).
+  *  - left child: projected to the left columns the project or filter
+  *    use plus keys + time (the node's output shrinks with it, by
+  *    construction).
   *
   * A reference to the WHOLE `asof` struct (or none of the guards
-  * shrinking anything) leaves the node untouched; a Filter sitting
-  * between the Project and the node blocks pruning for that query
-  * (push filters first — [[PushFilterThroughAsofJoin]] runs in the
-  * same batch).
+  * shrinking anything) leaves the node untouched.
   */
 object PruneAsofPayload extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(projectList, a: AsofJoinPlan) =>
-      // how the project uses the asof struct: whole-struct reference
-      // vs a set of extracted field ordinals (the scan must not
-      // descend into a matched GetStructField, whose child IS the
-      // whole-struct attribute)
-      var whole = false
-      val used = scala.collection.mutable.SortedSet.empty[Int]
-      def scanExpr(e: Expression): Unit = e match {
-        case g @ GetStructField(ar: AttributeReference, ord, _)
+      prune(p, projectList, None, a)
+    case p @ Project(projectList, Filter(cond, a: AsofJoinPlan)) =>
+      prune(p, projectList, Some(cond), a)
+  }
+
+  private def prune(p: Project, projectList: Seq[NamedExpression],
+      filterCond: Option[Expression], a: AsofJoinPlan): LogicalPlan = {
+    // how the query uses the asof struct: whole-struct reference vs a
+    // set of extracted field ordinals (the scan must not descend into
+    // a matched GetStructField, whose child IS the whole-struct
+    // attribute); the filter's usages count — a payload field the
+    // predicate reads must survive the prune
+    var whole = false
+    val used = scala.collection.mutable.SortedSet.empty[Int]
+    def scanExpr(e: Expression): Unit = e match {
+      case g @ GetStructField(ar: AttributeReference, ord, _)
+          if ar.exprId == a.asofOut.exprId =>
+        used += ord
+      case ar: AttributeReference if ar.exprId == a.asofOut.exprId =>
+        whole = true
+      case other => other.children.foreach(scanExpr)
+    }
+    projectList.foreach(scanExpr)
+    filterCond.foreach(scanExpr)
+    val pruneFields =
+      !whole && used.nonEmpty && used.size < a.payload.size
+    val newPayload =
+      if (pruneFields) used.toSeq.map(a.payload(_)) else a.payload
+    // right child: keys + merge columns + surviving payload
+    val rightNeeded = (a.rightKeys ++
+      Seq(a.rightTime, a.tieBreak) ++ newPayload).distinct
+    val pruneRight = rightNeeded.size < a.right.output.size
+    // left child: what the project or filter reads plus the merge keys
+    val needed = AttributeSet(
+      projectList.flatMap(_.references) ++
+        filterCond.toSeq.flatMap(_.references))
+    val leftNeeded = a.left.output.filter(attr =>
+      needed.contains(attr) ||
+        a.leftKeys.exists(_.exprId == attr.exprId) ||
+        a.leftTime.exprId == attr.exprId)
+    val pruneLeft = leftNeeded.size < a.left.output.size
+    if (!pruneFields && !pruneRight && !pruneLeft) p
+    else {
+      // the fresh struct attribute keeps the node's declared name and
+      // nullability (asofOut is minted nullable by construction —
+      // left-outer semantics — and downstream resolution is by exprId,
+      // but drifting the name would desync explain output and any
+      // .as-rename above the Project)
+      def remap(fresh: AttributeReference, ordinalOf: Map[Int, Int])(
+          e: Expression): Expression = e.transform {
+        case GetStructField(ar: AttributeReference, ord, name)
             if ar.exprId == a.asofOut.exprId =>
-          used += ord
-        case ar: AttributeReference if ar.exprId == a.asofOut.exprId =>
-          whole = true
-        case other => other.children.foreach(scanExpr)
+          GetStructField(fresh, ordinalOf(ord), name)
       }
-      projectList.foreach(scanExpr)
-      val pruneFields =
-        !whole && used.nonEmpty && used.size < a.payload.size
-      val newPayload =
-        if (pruneFields) used.toSeq.map(a.payload(_)) else a.payload
-      // right child: keys + merge columns + surviving payload
-      val rightNeeded = (a.rightKeys ++
-        Seq(a.rightTime, a.tieBreak) ++ newPayload).distinct
-      val pruneRight = rightNeeded.size < a.right.output.size
-      // left child: what the project reads plus the node's merge keys
-      val leftNeeded = a.left.output.filter(attr =>
-        p.references.contains(attr) ||
-          a.leftKeys.exists(_.exprId == attr.exprId) ||
-          a.leftTime.exprId == attr.exprId)
-      val pruneLeft = leftNeeded.size < a.left.output.size
-      if (!pruneFields && !pruneRight && !pruneLeft) p
-      else {
-        val (asofOut, outList) = if (pruneFields) {
-          val fresh = AttributeReference(
-            "asof", CreateStruct(newPayload).dataType, nullable = true)()
-          val ordinalOf = used.toSeq.zipWithIndex.toMap
-          (fresh, projectList.map(_.transform {
-            case g @ GetStructField(ar: AttributeReference, ord, name)
-                if ar.exprId == a.asofOut.exprId =>
-              GetStructField(fresh, ordinalOf(ord), name)
-          }.asInstanceOf[NamedExpression]))
-        } else (a.asofOut, projectList)
-        Project(outList, a.copy(
-          left = if (pruneLeft) Project(leftNeeded, a.left) else a.left,
-          right = if (pruneRight) Project(rightNeeded, a.right) else a.right,
-          payload = newPayload,
-          asofOut = asofOut))
-      }
+      val (asofOut, outList, outCond) = if (pruneFields) {
+        val fresh = AttributeReference(a.asofOut.name,
+          CreateStruct(newPayload).dataType,
+          nullable = a.asofOut.nullable)()
+        val ordinalOf = used.toSeq.zipWithIndex.toMap
+        (fresh,
+          projectList.map(e =>
+            remap(fresh, ordinalOf)(e).asInstanceOf[NamedExpression]),
+          filterCond.map(remap(fresh, ordinalOf)))
+      } else (a.asofOut, projectList, filterCond)
+      val pruned = a.copy(
+        left = if (pruneLeft) Project(leftNeeded, a.left) else a.left,
+        right = if (pruneRight) Project(rightNeeded, a.right) else a.right,
+        payload = newPayload,
+        asofOut = asofOut)
+      Project(outList,
+        outCond.map(Filter(_, pruned)).getOrElse(pruned))
+    }
   }
 }
 

@@ -243,6 +243,27 @@ object EventsMerge {
         $"asof".getField("value").as("purchase_value"))
   }
 
+  /** q73's lookup with a STALENESS BOUND
+    * ([[graft.operators.AsofJoin.asofJoinTolerance]]): the latest
+    * prior purchase counts only if it happened within ONE DAY of the
+    * click — the feature-store tolerance contract (`r.ts <= l.ts AND
+    * r.ts >= l.ts - 1d` argmax). Runs through the native merge exec;
+    * the DuckDB oracle replays the bounded correlated argmax. */
+  private val q131AsofJoinStale: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.asofJoinTolerance(
+      clicks, purchases, Seq("user_id"), "ts", "ts", "event_id",
+      maxStale = lit(86400L * 1000000L), impl = "native")
+      .select($"user_id", $"event_id".as("click_id"),
+        $"asof".getField("event_id").as("purchase_id"),
+        $"asof".getField("value").as("purchase_value"))
+  }
+
   /** q73's lookup through the BROADCAST native exec
     * ([[graft.plans.BroadcastAsofJoinExec]]): the dimension-sized-right
     * physical path — the fact (left) side is never shuffled or sorted,
@@ -344,11 +365,14 @@ object EventsMerge {
     * a no-op. Accept cost is batch-proportional — the base is only
     * touched by the pruned single-column id-guard scan. */
   private[graft] def acceptAsofDimBatch(s: SparkSession, d: String,
-      batchId: String, rows: DataFrame): Unit = {
+      batchId: String, rows: DataFrame,
+      lineage: Option[Set[String]] = None): Unit =
+    graft.storage.DurableStores.withWriterLease(s, d, "asof_accept") {
     import graft.storage.{DurableStores, Storage}
     val delta0 = asofAcceptStore(s, d)
     if (DurableStores.foldedBatches(s, d, "asof_accept").contains(batchId))
       return
+    LlmOps.requireMonotoneBatchId(s, d, "asof_accept", batchId, lineage)
     val others = LlmOps.committedDelta(s, d, "asof_accept", delta0)
       .filter(col("batch_id") =!= batchId).select(col("event_id"))
     LlmOps.requireFreshBatchIds(
@@ -421,8 +445,8 @@ object EventsMerge {
     val b2 = purchases.filter($"event_id" % 10 === 7)
       .select($"user_id", ($"event_id" + 200000000L).as("event_id"),
         ($"ts" + 2000000L).as("ts"), ($"value" * 3).as("value"))
-    acceptAsofDimBatch(s, d, "a1", b1)
-    acceptAsofDimBatch(s, d, "a2", b2)
+    acceptAsofDimBatch(s, d, "a1", b1, lineage = Some(Set("a1", "a2")))
+    acceptAsofDimBatch(s, d, "a2", b2, lineage = Some(Set("a1", "a2")))
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts")
     asofJoinEffective(s, d, clicks, lineage = Some(Set("a1", "a2")))
@@ -437,7 +461,8 @@ object EventsMerge {
     * answers unchanged, plans return to the single sorted-scan leg.
     * Same retention caveat as the sketch family: a later base refresh
     * rebuilds from source and discards folds. */
-  private[graft] def compactAsofDimStore(s: SparkSession, d: String): Boolean = {
+  private[graft] def compactAsofDimStore(s: SparkSession, d: String): Boolean =
+    graft.storage.DurableStores.withWriterLease(s, d, "asof_accept") {
     import graft.storage.{DurableStores, Storage}
     val accT = Seq(Storage.tableNameFor("graft_asofacc", d))
     val delta = asofAcceptStore(s, d)
@@ -470,6 +495,7 @@ object EventsMerge {
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q130_asof_join_native_split" -> q130AsofJoinNativeSplit,
+    "q131_asof_join_stale" -> q131AsofJoinStale,
     "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
     "q128_asof_join_stored" -> q128AsofJoinStored,
     "q129_asof_accept_probe" -> q129AsofAcceptProbe,
@@ -507,6 +533,25 @@ object EventsMerge {
     "q84_asof_join_split" -> asofSql,
     "q126_asof_join_native" -> asofSql,
     "q130_asof_join_native_split" -> asofSql,
+    // the staleness-bounded variant: same correlated argmax with the
+    // window's lower bound (1 day before the click)
+    "q131_asof_join_stale" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    (SELECT p.event_id FROM p
+        |     WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |       AND p.ts >= c.ts - INTERVAL 1 DAY
+        |     ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_id
+        |  FROM c)
+        |SELECT m.user_id, m.click_id, m.purchase_id,
+        |  p.value AS purchase_value
+        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
     "q127_asof_join_broadcast" -> asofSql,
     "q128_asof_join_stored" -> asofSql,
     // q129's dimension = purchases ∪ the two accepted batches (the

@@ -226,14 +226,18 @@ object MergeScaleQ {
     val snapsT = Storage.tableNameFor("graft_mrgacc_snaps", d)
     val mergedT = Storage.tableNameFor("graft_mrgacc_merged", d)
     lazy val empty = bucketedNested(s, d).limit(0)
+    // gate=mball: invalidates delta stores whose permanent ingest log
+    // predates q125's single-batch shape — the old mb1/mb2 partitions'
+    // snapshot ids overlap the mball batch, and the cross-batch id
+    // guard (correctly) refuses the overlap rather than double-merge
     DurableStores.openOrBuild(s, d, "merge_log", Seq(snapsT),
-        params = s"cutoff=$incrementalCutoff,buckets=32") { st =>
+        params = s"cutoff=$incrementalCutoff,buckets=32,gate=mball") { st =>
       st.appendPartitioned(snapsT,
         empty.withColumn("batch_id", lit("")), Seq("batch_id"))
       Seq(DurableStores.TableMeta.partitioned(s, snapsT, Seq("batch_id")))
     }
     DurableStores.openOrBuild(s, d, "merge_accept", Seq(mergedT),
-        params = s"cutoff=$incrementalCutoff,buckets=32") { st =>
+        params = s"cutoff=$incrementalCutoff,buckets=32,gate=mball") { st =>
       st.appendPartitioned(mergedT,
         Merge.mergeSubmissions(empty).withColumn("batch_id", lit("")),
         Seq("batch_id"))
@@ -330,7 +334,8 @@ object MergeScaleQ {
     * shuffle-free left_semi over the bucketed nested store. */
   private[graft] def acceptMergeBatch(s: SparkSession, d: String,
       batchId: String, batchSnaps: DataFrame,
-      lineage: Option[Set[String]] = None): Unit = {
+      lineage: Option[Set[String]] = None): Unit =
+    graft.storage.DurableStores.withWriterLease(s, d, "merge_log") {
     import graft.storage.{DurableStores, Storage}
     val (snapsD, _) = mergeAcceptStore(s, d)
     // replay of a batch whose merged delta was compact-folded into
@@ -342,6 +347,7 @@ object MergeScaleQ {
     // batch's snapshots for future folds.
     if (DurableStores.foldedBatches(s, d, "merge_log").contains(batchId))
       return
+    LlmOps.requireMonotoneBatchId(s, d, "merge_log", batchId, lineage)
     val hist = baseHistory(s, d)
     val snapsT = Storage.tableNameFor("graft_mrgacc_snaps", d)
     val prior = scopedMergeDelta(s, d, snapsT, snapsD, Some(batchId), lineage)
@@ -405,7 +411,8 @@ object MergeScaleQ {
     * its coverage after a fold, so coverage must stay queryable from
     * the log). Probes never read the log; its growth costs probe
     * plans nothing. */
-  private[graft] def compactMergeStore(s: SparkSession, d: String): Boolean = {
+  private[graft] def compactMergeStore(s: SparkSession, d: String): Boolean =
+    graft.storage.DurableStores.withWriterLease(s, d, "merge_log") {
     import graft.storage.{DurableStores, Storage}
     val mergedT = Storage.tableNameFor("graft_mrgacc_merged", d)
     val (snapsD, mergedD) = mergeAcceptStore(s, d)
@@ -498,9 +505,35 @@ object MergeScaleQ {
   private val q125MergeAcceptProbe: Q = (s, d) => {
     val nested = bucketedNested(s, d)
     val cutoff = lit(incrementalCutoff).cast("timestamp")
+    // ONE accept round by design (round-12 ran two — mb1 then mb2 —
+    // which exercised no code path a single accept doesn't while
+    // costing ~6 s of every bench pass): the post-cutoff snapshots
+    // land as one batch, so effective(base ⊕ batch) must still equal
+    // q55's full merge under the unchanged oracle. The two-batch
+    // COMPOUNDING sequence (batch 2 re-merging entities over batch 1's
+    // accepted snapshots) lives in [[mergeAcceptProbeTwoBatch]] /
+    // StoreSpec and the durability chain, where sequences belong.
+    // Batch id sorts after the spec sequence's mb1/mb2 so shared-store
+    // runs keep the lexicographic accept order.
+    val own = Some(Set("mball"))
+    acceptMergeBatch(s, d, "mball",
+      nested.filter(col("scan_datetime") > cutoff), lineage = own)
+    webShape(effectiveMerged(s, d, lineage = own))
+  }
+
+  /** Round-12's two-batch q125 body, kept as the COMPOUNDING sequence
+    * driver for StoreSpec's merge-lifecycle test (and mirrored by the
+    * four-process durability chain): batch mb2 re-merges its touched
+    * entities over base history ∪ mb1's accepted snapshots, and the
+    * effective table must equal the full merge. Run it against an
+    * ISOLATED store root — its mb1/mb2 snapshot ids overlap q125's
+    * mball batch, and the cross-batch id guard (correctly) rejects
+    * overlap within one store. */
+  private[graft] def mergeAcceptProbeTwoBatch(
+      s: SparkSession, d: String): DataFrame = {
+    val nested = bucketedNested(s, d)
+    val cutoff = lit(incrementalCutoff).cast("timestamp")
     val mid = lit("2001-07-01").cast("timestamp")
-    // lineage scope: foreign batches accepted into the shared delta
-    // store by other sessions must not leak into this oracle
     val own = Some(Set("mb1", "mb2"))
     acceptMergeBatch(s, d, "mb1",
       nested.filter(col("scan_datetime") > cutoff

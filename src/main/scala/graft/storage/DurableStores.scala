@@ -40,10 +40,11 @@ import org.apache.spark.sql.SparkSession
   * manifest and the next opener cleans up and rebuilds; partial
   * stores are never served. All IO goes through the Hadoop FS API so
   * a non-local root (HDFS/S3A) works unchanged; the single in-JVM
-  * lock serializes builders within a process (cross-process builders
-  * racing on a shared root would need a real lock service — out of
-  * scope for a single-driver deployment, where store builds are an
-  * ingest-pipeline step, not a query-time side effect).
+  * lock serializes builders within a process, and the MUTATING verbs
+  * (accept, compact) additionally hold a cross-process file lease
+  * ([[withWriterLease]]) so two JVMs can no longer interleave writes
+  * to the same store — the second writer fails fast with the holder's
+  * identity, and a dead holder's lease goes stale and is taken over.
   */
 object DurableStores {
 
@@ -316,12 +317,138 @@ object DurableStores {
       val f = fs(s, st.path(t.name))
       f.delete(new Path(st.path(t.name)), true)
     }
-    // commit markers and the folded-batch ledger live and die with
-    // the store's manifest
+    // commit markers, the folded-batch ledger, and any writer lease
+    // live and die with the store's manifest
     fs(s, mp.toString).delete(markerDir(mp), true)
     fs(s, mp.toString).delete(foldedLedger(mp), false)
     fs(s, mp.toString).delete(ledgerTmp(mp), false)
+    fs(s, mp.toString).delete(leasePath(mp), false)
     fs(s, mp.toString).delete(mp, false)
+  }
+
+  // ---- cross-process writer lease ------------------------------------
+
+  /** In-JVM holder counts per lease file: nested or concurrent writers
+    * in the SAME process share the process's lease (the in-JVM locks —
+    * [[withDynamicPartitionOverwrite]], the openOrBuild monitor —
+    * already serialize their writes); the file only guards OTHER
+    * processes. */
+  private val leaseHolders =
+    scala.collection.mutable.Map.empty[String, Int]
+
+  private def leasePath(mp: Path): Path =
+    new Path(mp.getParent, mp.getName.stripSuffix(".meta") + ".lease")
+
+  /** The lease file's location for a (store, dataDir) — exposed so
+    * specs can plant a foreign process's lease. */
+  private[graft] def leaseLocation(s: SparkSession, dataDir: String,
+      store: String): String =
+    leasePath(manifestPath(s, store, dataDir)).toString
+
+  /** Run a MUTATING store verb (accept, compact) under the store's
+    * cross-process writer lease. Until round 12 the single-writer
+    * contract was deployment convention only — nothing stopped two
+    * JVMs accepting or compacting the same store concurrently, and a
+    * concurrent compact + accept can interleave partition drops with
+    * partition writes. The lease is a file next to the manifest,
+    * created atomically (create-new semantics — HDFS/local rename-free
+    * atomicity; on S3A this weakens to best-effort, same as every
+    * lock-file protocol there): the second PROCESS fails fast with the
+    * holder's identity rather than corrupting interleaved writes.
+    * Within one process, holders are counted — streaming triggers and
+    * query-thread accepts share the process lease exactly as before.
+    *
+    * A crashed writer's lease goes stale: holders older than
+    * `spark.graft.store.leaseStaleMs` (default 30 min — longer than
+    * any verb, shorter than an operator's pager latency) are taken
+    * over with one delete-and-retry. StoreSpec simulates the
+    * two-process contention at the file level: a planted foreign lease
+    * fails the verb fast; an aged one is taken over. */
+  def withWriterLease[A](s: SparkSession, dataDir: String,
+      store: String)(body: => A): A = {
+    val lp = leasePath(manifestPath(s, store, dataDir))
+    val key = lp.toString
+    val f = fs(s, key)
+    val firstInJvm = leaseHolders.synchronized {
+      val n = leaseHolders.getOrElse(key, 0)
+      leaseHolders(key) = n + 1
+      n == 0
+    }
+    if (firstInJvm) {
+      try acquireLeaseFile(s, f, lp, store)
+      catch {
+        case t: Throwable =>
+          leaseHolders.synchronized {
+            val n = leaseHolders(key) - 1
+            if (n <= 0) leaseHolders -= key else leaseHolders(key) = n
+          }
+          throw t
+      }
+    }
+    try body
+    finally {
+      val lastInJvm = leaseHolders.synchronized {
+        val n = leaseHolders(key) - 1
+        if (n <= 0) leaseHolders -= key else leaseHolders(key) = n
+        n <= 0
+      }
+      if (lastInJvm) f.delete(lp, false)
+    }
+  }
+
+  private def acquireLeaseFile(s: SparkSession, f: FileSystem, lp: Path,
+      store: String, retried: Boolean = false): Unit = {
+    f.mkdirs(lp.getParent)
+    val created =
+      try {
+        val out = f.create(lp, false) // create-new: fails if held
+        try out.write(
+          (s"pid=${ProcessHandle.current().pid()} " +
+            s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+            s"since=${System.currentTimeMillis()}")
+            .getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException => false
+      }
+    if (!created) {
+      val staleMs = s.conf
+        .getOption("spark.graft.store.leaseStaleMs")
+        .map(_.toLong).getOrElse(30L * 60L * 1000L)
+      val st =
+        try Some(f.getFileStatus(lp))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case Some(stat)
+            if System.currentTimeMillis() - stat.getModificationTime >
+              staleMs =>
+          // the holder died mid-verb: take the lease over (once — two
+          // racing takeovers must not ping-pong deletes)
+          f.delete(lp, false)
+          if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
+          else sys.error(s"could not take over stale writer lease " +
+            s"for store '$store' at $lp")
+        case Some(stat) =>
+          val holder =
+            try {
+              val in = new BufferedReader(new InputStreamReader(
+                f.open(lp), StandardCharsets.UTF_8))
+              try Option(in.readLine()).getOrElse("") finally in.close()
+            } catch { case _: java.io.IOException => "<unreadable>" }
+          throw new IllegalStateException(
+            s"store '$store' is being written by another process " +
+              s"($holder, lease $lp, age ${System.currentTimeMillis() -
+                stat.getModificationTime} ms) — accepts and compacts " +
+              "are single-writer per store; retry after it finishes, " +
+              "or delete the lease if the holder is known dead")
+        case None =>
+          // released between our create attempt and the stat: retry
+          if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
+          else sys.error(s"could not acquire writer lease for " +
+            s"store '$store' at $lp")
+      }
+    }
   }
 
   // ---- accept-write serialization + per-batch commit markers --------
@@ -337,8 +464,8 @@ object DurableStores {
     * otherwise race the restore, flipping a still-running overwrite
     * back to static mode — a full-table overwrite that silently
     * deletes every other accepted batch partition. Cross-PROCESS
-    * accepts on a shared root remain single-writer by deployment
-    * contract (same as store builds — see the class doc). */
+    * writers are excluded by the store's writer lease
+    * ([[withWriterLease]] — every mutating verb holds it). */
   def withDynamicPartitionOverwrite[A](s: SparkSession)(body: => A): A =
     dpoLock.synchronized {
       val key = "spark.sql.sources.partitionOverwriteMode"

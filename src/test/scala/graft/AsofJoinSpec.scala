@@ -408,6 +408,49 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(wholeQ.selectExpr("asof.v1").collect().length === 30)
   }
 
+  test("native asof: payload prunes through an intervening asof-struct Filter") {
+    val s = spark
+    import s.implicits._
+    // the filter reads asof.v1 and the project reads asof.v2: neither
+    // can push below the node (they reference the produced struct), so
+    // round 12's rule left the FULL payload shuffling; the rule must
+    // now prune the payload to exactly {v1, v2} with the Filter in
+    // place, remapping ordinals in BOTH the project and the predicate
+    val left = (0L until 30L).map(i => (i % 3, i, i * 2L, s"x$i"))
+      .toDF("k", "lid", "t", "x")
+    val right = (0L until 20L).map(i =>
+        (i % 3, 900L + i, i * 3L, s"a$i", s"b$i", s"z$i"))
+      .toDF("k", "rid", "t", "v1", "v2", "z")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      .filter($"asof".getField("v1") =!= "a0")
+      .selectExpr("k", "lid", "asof.v2 AS v2")
+    val opt = q.queryExecution.optimizedPlan
+    val node = opt.collect { case a: graft.plans.AsofJoinPlan => a }
+    assert(node.size === 1)
+    assert(node.head.payload.map(_.name) === Seq("v1", "v2"),
+      s"payload should prune to the filter's and project's fields:\n$opt")
+    assert(!node.head.left.output.map(_.name).contains("x"),
+      s"unused left column should prune through the Filter:\n$opt")
+    assert(!node.head.right.output.map(_.name).contains("z"),
+      s"unread payload column should leave the right child:\n$opt")
+    // the Filter survives above the pruned node (it still reads asof)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    assert(opt.exists(_.isInstanceOf[LFilter]),
+      s"the asof-struct predicate must stay above the node:\n$opt")
+    // and answers are correct with remapped ordinals
+    val rightRows = (0L until 20L).map(i =>
+      (i % 3, 900L + i, i * 3L, s"a$i", s"b$i", s"z$i"))
+    val expected = (0L until 30L).map(i => (i % 3, i, i * 2L))
+      .flatMap { case (k, lid, t) =>
+        rightRows.filter(r => r._1 == k && r._3 <= t)
+          .sortBy(r => (r._3, r._2)).lastOption
+          .filter(_._4 != "a0").map(w => (k, lid, w._5))
+      }
+    val out = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(r => r._2).toSeq
+    assert(out === expected)
+  }
+
   test("native asof: null right times excluded, null left time matches nothing") {
     val s = spark
     import s.implicits._
@@ -552,6 +595,45 @@ class AsofJoinSpec extends AnyFunSuite {
     } finally {
       s.conf.unset("spark.graft.asof.skewSplits")
       s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("tolerance asof equals the bounded argmax across all four implementations") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    def key() = if (rnd.nextInt(10) < 7) 1L else (2L + rnd.nextInt(7)).toLong
+    def time(): Option[Long] =
+      if (rnd.nextInt(100) < 15) None else Some(rnd.nextInt(60).toLong)
+    val leftRows = Seq.tabulate(400)(i => (key(), i.toLong, time()))
+    val rightRows = Seq.tabulate(300)(i => (key(), 1000L + i, time(), s"v$i"))
+    val left = leftRows.toDF("k", "lid", "t")
+    val right = rightRows.toDF("k", "rid", "t", "v")
+    val bound = 7L
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid", "asof.v AS v")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    // naive reference: max (t, rid) among right rows with
+    // lt - bound <= rt <= lt
+    val expected = leftRows.map { case (k, lid, t) =>
+      val w = t.flatMap { lt =>
+        rightRows.filter(r =>
+            r._1 == k && r._3.exists(rt => rt <= lt && rt >= lt - bound))
+          .sortBy(r => (r._3.get, r._2)).lastOption
+      }
+      (lid, w.map(_._2), w.map(_._4))
+    }.sortBy(_._1)
+    for (impl <- Seq("composed", "native", "broadcast", "split")) {
+      assert(canon(AsofJoin.asofJoinTolerance(
+          left, right, Seq("k"), "t", "t", "rid",
+          maxStale = org.apache.spark.sql.functions.lit(bound), impl = impl))
+        === expected, s"impl=$impl")
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinTolerance(left, right, Seq("k"), "t", "t", "rid",
+        maxStale = org.apache.spark.sql.functions.lit(bound), impl = "nope")
     }
   }
 
@@ -872,7 +954,7 @@ class AsofJoinSpec extends AnyFunSuite {
       // fails fast
       val clash = intercept[IllegalArgumentException] {
         graft.queries.EventsMerge.acceptAsofDimBatch(s, sf, "a_bad",
-          purchases.limit(3))
+          purchases.limit(3), lineage = Some(Set("a_bad")))
       }
       assert(clash.getMessage.contains("asof_dim accept precondition"))
       // compact folds both batches into the sorted base: answers

@@ -204,15 +204,18 @@ class StoreSpec extends AnyFunSuite {
     try {
       val b1 = Seq((900001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
         .toDF("doc_id", "text")
-      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b1", b1, "doc_id", "text")
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b1", b1, "doc_id", "text",
+        lineage = Some(Set("spec_b1", "spec_b2")))
       val n1 = graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count()
       // re-accepting the same batch rewrites its own partition only
-      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b1", b1, "doc_id", "text")
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b1", b1, "doc_id", "text",
+        lineage = Some(Set("spec_b1", "spec_b2")))
       assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === n1)
       // a distinct batch accumulates as its own partition
       val b2 = Seq((900002L, "one two three four five six seven eight nine ten"))
         .toDF("doc_id", "text")
-      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b2", b2, "doc_id", "text")
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "spec_b2", b2, "doc_id", "text",
+        lineage = Some(Set("spec_b1", "spec_b2")))
       val (ash, abands, achunks) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
       assert(ash.count() === n1 + 1)
       assert(ash.select("batch_id").distinct().collect().map(_.getString(0)).toSet
@@ -252,9 +255,11 @@ class StoreSpec extends AnyFunSuite {
     try {
       val v = Array.tabulate(64)(i => math.sin(i * 3 + 1).toFloat).toSeq
       val b1 = Seq((900001L, v)).toDF("vec_id", "embedding")
-      graft.queries.LlmOps.acceptCosineBatch(s, sf, "spec_b1", b1)
+      graft.queries.LlmOps.acceptCosineBatch(s, sf, "spec_b1", b1,
+        lineage = Some(Set("spec_b1")))
       val n1 = graft.queries.LlmOps.cosineAcceptStore(s, sf).count()
-      graft.queries.LlmOps.acceptCosineBatch(s, sf, "spec_b1", b1)
+      graft.queries.LlmOps.acceptCosineBatch(s, sf, "spec_b1", b1,
+        lineage = Some(Set("spec_b1")))
       val delta = graft.queries.LlmOps.cosineAcceptStore(s, sf)
       assert(delta.count() === n1)
       val (cents, members) = graft.queries.LlmOps.cosineStore(s, sf)
@@ -278,10 +283,26 @@ class StoreSpec extends AnyFunSuite {
       val labels1 = graft.queries.LlmOps
         .queries("q124_cluster_accept_probe")(s, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // ground truth: one-shot clustering over the whole table (q62)
+      graft.engine.CacheRegistry.releaseAll()
+      // TWO-BATCH COMPOUNDING (the sequence q124 itself carried
+      // through round 12, kept here per its scaladoc): batch 2
+      // (doc_id % 20 = 10) relabels against the UPDATED labels
+      // (base ⊕ batch 1's delta) and the effective labeling over both
+      // deltas must equal the one-shot clustering of the WHOLE table
+      // (q62) — bridge merges across both batches included
+      import s.implicits._
+      val docs = graft.Tables.t(s, sf, "documents")
+      val own2 = Some(Set("b1", "b2"))
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "b2",
+        docs.filter($"doc_id" % 20 === 10), "doc_id", "text", lineage = own2)
+      graft.queries.LlmOps.acceptClusterRelabel(s, sf, "b2",
+        docs.filter($"doc_id" % 20 === 10), "doc_id", "text", lineage = own2)
+      val compounded = graft.queries.LlmOps
+        .effectiveClusterLabels(s, sf, lineage = own2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val full = graft.queries.LlmOps.queries("q62_dedup_clusters")(s, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(labels1 === full)
+      assert(compounded === full)
       graft.engine.CacheRegistry.releaseAll()
       // the persisted deltas are label-DELTAS, not full relabels: far
       // fewer rows than the effective labeling, only batches b1/b2
@@ -290,11 +311,12 @@ class StoreSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet
       assert(accBatches.subsetOf(Set("b1", "b2")))
       val accRows = acc.count()
-      assert(accRows > 0 && accRows < labels1.size,
-        s"accept store holds $accRows rows vs ${labels1.size} labels — " +
+      assert(accRows > 0 && accRows < full.size,
+        s"accept store holds $accRows rows vs ${full.size} labels — " +
           "deltas should be batch-adjacency-sized, not corpus-sized")
-      // replaying the whole two-batch sequence reproduces identical
-      // store state and answers (log-replay contract)
+      // replaying the gate reproduces identical store state and
+      // answers (log-replay contract; b2's presence is invisible to
+      // the gate's lineage)
       val labels2 = graft.queries.LlmOps
         .queries("q124_cluster_accept_probe")(s, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -314,7 +336,7 @@ class StoreSpec extends AnyFunSuite {
           (base + 1, "an island document shared with nobody else at all"))
           .toDF("doc_id", "text")
         graft.queries.LlmOps.acceptSketchBatch(s, sf, foreign,
-          fdocs, "doc_id", "text")
+          fdocs, "doc_id", "text", lineage = Some(Set(foreign)))
         graft.queries.LlmOps.acceptClusterRelabel(s, sf, foreign,
           fdocs, "doc_id", "text", lineage = Some(Set(foreign)))
         graft.engine.CacheRegistry.releaseAll()
@@ -327,6 +349,101 @@ class StoreSpec extends AnyFunSuite {
       graft.engine.CacheRegistry.releaseAll()
     } finally {
       DurableStores.drop(s, sf, "cluster_accept")
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("accepts enforce the lexicographic batch-id contract; replay stays legal") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    try {
+      val b1 = Seq((910001L, "monotone contract doc one two three four five"))
+        .toDF("doc_id", "text")
+      val b2 = Seq((910002L, "monotone contract doc six seven eight nine ten"))
+        .toDF("doc_id", "text")
+      val lin = Some(Set("mono_b1", "mono_b2", "mono_b3"))
+      graft.queries.LlmOps.acceptSketchBatch(
+        s, sf, "mono_b2", b2, "doc_id", "text", lineage = lin)
+      // a NEW id sorting before an accepted one fails fast — an
+      // out-of-order id would silently win/lose every latest-batch-wins
+      // override instead of erroring
+      val ex = intercept[IllegalArgumentException] {
+        graft.queries.LlmOps.acceptSketchBatch(
+          s, sf, "mono_b1", b1, "doc_id", "text", lineage = lin)
+      }
+      assert(ex.getMessage.contains("lexicographically monotone"),
+        s"unexpected error: ${ex.getMessage}")
+      // replaying the EXISTING id is the legal crash-healing /
+      // checkpoint-replay path
+      graft.queries.LlmOps.acceptSketchBatch(
+        s, sf, "mono_b2", b2, "doc_id", "text", lineage = lin)
+      // and a fresh LATER id accepts normally
+      graft.queries.LlmOps.acceptSketchBatch(
+        s, sf, "mono_b3", b1, "doc_id", "text", lineage = lin)
+      assert(DurableStores.committedBatches(s, sf, "sketch_accept")
+        .intersect(Set("mono_b2", "mono_b3")) === Set("mono_b2", "mono_b3"))
+      // an id from an UNRELATED lineage is not constrained by this one
+      graft.queries.LlmOps.acceptSketchBatch(
+        s, sf, "aa_other_lineage", b2
+          .select(($"doc_id" + 10).as("doc_id"), $"text"),
+        "doc_id", "text", lineage = Some(Set("aa_other_lineage")))
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("writer lease: a second process fails fast; stale leases are taken over") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    try {
+      val b = Seq((920001L, "writer lease contention doc one two three"))
+        .toDF("doc_id", "text")
+      // plant a FOREIGN process's lease file (what a concurrent accept
+      // or compact from another JVM looks like on the shared root) —
+      // the verb must fail fast with the holder's identity, not
+      // interleave writes
+      val lp = new Path(DurableStores.leaseLocation(s, sf, "sketch_accept"))
+      val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.mkdirs(lp.getParent)
+      val out = fs.create(lp, false)
+      out.write("pid=99999 host=other-host since=0".getBytes("UTF-8"))
+      out.close()
+      val ex = intercept[IllegalStateException] {
+        graft.queries.LlmOps.acceptSketchBatch(s, sf, "lease_b1", b,
+          "doc_id", "text", lineage = Some(Set("lease_b1")))
+      }
+      assert(ex.getMessage.contains("another process") &&
+        ex.getMessage.contains("pid=99999"), ex.getMessage)
+      // nothing was written under the contended lease
+      assert(!DurableStores.committedBatches(s, sf, "sketch_accept")
+        .contains("lease_b1"))
+      // age the lease past the stale threshold (the holder died):
+      // the next writer takes it over and the verb completes
+      fs.setTimes(lp, System.currentTimeMillis() - 3600L * 1000L, -1)
+      val prevStale = s.conf.getOption("spark.graft.store.leaseStaleMs")
+      s.conf.set("spark.graft.store.leaseStaleMs", "60000")
+      try {
+        graft.queries.LlmOps.acceptSketchBatch(s, sf, "lease_b1", b,
+          "doc_id", "text", lineage = Some(Set("lease_b1")))
+        assert(DurableStores.committedBatches(s, sf, "sketch_accept")
+          .contains("lease_b1"))
+        // and the lease was released on the way out
+        assert(!fs.exists(lp), "lease should be released after the verb")
+      } finally prevStale match {
+        case Some(v) => s.conf.set("spark.graft.store.leaseStaleMs", v)
+        case None => s.conf.unset("spark.graft.store.leaseStaleMs")
+      }
+      // same-process nesting shares the lease: compact (which holds
+      // the lease itself) runs fine right after an accept
+      assert(graft.queries.LlmOps.compactSketchStore(s, sf))
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
       DurableStores.drop(s, sf, "sketch_accept")
       graft.engine.CacheRegistry.releaseAll()
     }
@@ -376,7 +493,8 @@ class StoreSpec extends AnyFunSuite {
     try {
       val text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
       graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1",
-        Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        lineage = Some(Set("cpt_b1")))
       def probePairs(): Set[(Long, Long, Double)] = {
         val (sh, bands, chunks) = graft.queries.LlmOps.sketchStore(s, sf)
         val (ash, abands, achunks) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
@@ -412,7 +530,8 @@ class StoreSpec extends AnyFunSuite {
       // checkpoint replay racing the compact) is a NO-OP: the delta
       // stays empty, probes unchanged — the stream does not wedge
       graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1",
-        Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        lineage = Some(Set("cpt_b1")))
       assert(graft.queries.LlmOps.sketchAcceptStore(s, sf)._1.count() === 0L)
       assert(probePairs() === before)
       // a NEW batch id re-presenting the folded doc id is a real
@@ -420,18 +539,21 @@ class StoreSpec extends AnyFunSuite {
       // probes' base ∪ delta union — and fails fast
       val ex = intercept[IllegalArgumentException] {
         graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b1_again",
-          Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text")
+          Seq((910001L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          lineage = Some(Set("cpt_b1", "cpt_b1_again")))
       }
       assert(ex.getMessage.contains("910001"))
       assert(ex.getMessage.contains("StoreAdmin refresh"))
       // a FRESH id is still accepted normally...
       graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b2",
-        Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text")
+        Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text",
+        lineage = Some(Set("cpt_b2")))
       // ...and the same id under ANOTHER batch id is caught by the
       // cross-delta guard (not just the base guard)
       val ex2 = intercept[IllegalArgumentException] {
         graft.queries.LlmOps.acceptSketchBatch(s, sf, "cpt_b3",
-          Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text")
+          Seq((910002L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          lineage = Some(Set("cpt_b2", "cpt_b3")))
       }
       assert(ex2.getMessage.contains("910002"))
       // a second compact folds the batch accepted since the first
@@ -460,7 +582,8 @@ class StoreSpec extends AnyFunSuite {
     try {
       val v = Array.tabulate(64)(i => math.cos(i * 5 + 2).toFloat).toSeq
       graft.queries.LlmOps.acceptCosineBatch(s, sf, "cpt_b1",
-        Seq((910001L, v)).toDF("vec_id", "embedding"))
+        Seq((910001L, v)).toDF("vec_id", "embedding"),
+        lineage = Some(Set("cpt_b1")))
       def probePairs(): Set[(Long, Long, Double)] = {
         val (cents, members) = graft.queries.LlmOps.cosineStore(s, sf)
         val delta = graft.queries.LlmOps.cosineAcceptStore(s, sf)
@@ -481,7 +604,8 @@ class StoreSpec extends AnyFunSuite {
       // instead of silently doubling its member rows under probes
       val ex = intercept[IllegalArgumentException] {
         graft.queries.LlmOps.acceptCosineBatch(s, sf, "cpt_b1_again",
-          Seq((910001L, v)).toDF("vec_id", "embedding"))
+          Seq((910001L, v)).toDF("vec_id", "embedding"),
+          lineage = Some(Set("cpt_b1", "cpt_b1_again")))
       }
       assert(ex.getMessage.contains("910001"))
     } finally {
@@ -524,10 +648,20 @@ class StoreSpec extends AnyFunSuite {
     import graft.queries.MergeScaleQ
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
+    // isolated store root: this test drives the TWO-BATCH compounding
+    // sequence (mb1 then mb2 — kept here when q124/q125 trimmed to one
+    // accept round), whose snapshot ids overlap q125's single mball
+    // batch — the cross-batch id guard correctly refuses both
+    // derivations in one store
+    val root = java.nio.file.Files.createTempDirectory("graft_mrg_root")
+    val prevRoot = s.conf.getOption("spark.graft.store.root")
+    s.conf.set("spark.graft.store.root", root.toString)
     try {
       val full = rows(MergeScaleQ.queries("q55_merge_scale")(s, sf))
-      // the two-batch accept sequence lands on the full-merge answer
-      val eff1 = rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf))
+      // the two-batch accept sequence lands on the full-merge answer:
+      // mb2 re-merges its touched entities over base history PLUS
+      // mb1's accepted snapshots — the compounding property
+      val eff1 = rows(MergeScaleQ.mergeAcceptProbeTwoBatch(s, sf))
       assert(eff1 === full)
       // deltas are batch-scoped (only mb1/mb2 partitions) and the
       // merged delta holds touched entities, not the corpus
@@ -536,7 +670,7 @@ class StoreSpec extends AnyFunSuite {
         .collect().map(_.getString(0)).toSet === Set("mb1", "mb2"))
       assert(mergedD.count() < full.size)
       // replaying the whole sequence reproduces identical answers
-      assert(rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf)) === full)
+      assert(rows(MergeScaleQ.mergeAcceptProbeTwoBatch(s, sf)) === full)
       // compact folds the merged deltas into the base: the merged
       // delta table empties, the snapshot log SURVIVES (it is the
       // permanent ingest log the id guard and later folds need), and
@@ -590,12 +724,23 @@ class StoreSpec extends AnyFunSuite {
           .select(col("site_submission_id"), col("snapshot_count"))))
       // log-replay AFTER compaction still lands on the full answer
       // (folded-ledger no-ops + the intact folded base)
-      assert(rows(MergeScaleQ.queries("q125_merge_accept_probe")(s, sf)) === full)
+      assert(rows(MergeScaleQ.mergeAcceptProbeTwoBatch(s, sf)) === full)
       graft.engine.CacheRegistry.releaseAll()
     } finally {
       DurableStores.drop(s, sf, "merge_accept")
       DurableStores.drop(s, sf, "merge_log")
       DurableStores.drop(s, sf, "merged_base")
+      DurableStores.drop(s, sf, "nested_bucketed")
+      prevRoot match {
+        case Some(r) => s.conf.set("spark.graft.store.root", r)
+        case None => s.conf.unset("spark.graft.store.root")
+      }
+      graft.storage.DurableStores.resetVerifiedForTest()
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+        _.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
       graft.engine.CacheRegistry.releaseAll()
     }
   }
