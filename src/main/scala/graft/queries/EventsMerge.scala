@@ -407,16 +407,33 @@ object EventsMerge {
     import s.implicits._
     val committed = LlmOps.committedDelta(s, d, "asof_accept",
       asofAcceptStore(s, d))
-    val scoped = lineage
+    val scopedIds = lineage
+      .map(_.intersect(
+        graft.storage.DurableStores.committedBatches(s, d, "asof_accept")))
+    val scoped = scopedIds
       .map(ls => committed.filter(col("batch_id").isin(ls.toSeq: _*)))
       .getOrElse(committed)
     val baseLeg = graft.operators.AsofJoin.asofJoinNative(
         probe, asofDimStore(s, d), Seq("user_id"), "ts", "ts", "event_id",
         broadcast = Some(false))
       .withColumnRenamed("asof", "asof_base")
+    // the delta leg is FORCED through the broadcast exec only while
+    // the committed unfolded deltas stay dimension-sized: a
+    // long-running accept stream that is never compacted would
+    // otherwise grow the broadcast without bound until executors die.
+    // Above the bound, fall back to the stats-driven planner choice
+    // (which at that size plans the shuffle merge — one extra
+    // own-width exchange, no driver-killing broadcast) — the right
+    // operational answer is `StoreAdmin compact`, and probes must
+    // stay alive until it runs. One FS listing, no Spark job.
+    val maxBytes = s.conf.getOption("spark.graft.asof.deltaBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val deltaBytes = committedDeltaBytes(s, d, scopedIds)
+    val deltaBcast: Option[Boolean] =
+      if (deltaBytes <= maxBytes) Some(true) else None
     val both = graft.operators.AsofJoin.asofJoinNative(
       baseLeg, scoped.drop("batch_id"), Seq("user_id"), "ts", "ts",
-      "event_id", broadcast = Some(true))
+      "event_id", broadcast = deltaBcast)
     // the winner: whichever leg's candidate is later by (ts, tieBreak)
     val winner = when($"asof".isNull, $"asof_base")
       .when($"asof_base".isNull, $"asof")
@@ -426,30 +443,65 @@ object EventsMerge {
     both.withColumn("asof_eff", winner).drop("asof", "asof_base")
   }
 
+  /** On-disk bytes of the committed (optionally lineage-scoped)
+    * asof-accept delta partitions — the size [[asofJoinEffective]]'s
+    * broadcast bound checks. Marker listing + one du per batch dir. */
+  private def committedDeltaBytes(s: SparkSession, d: String,
+      scopedIds: Option[Set[String]]): Long = {
+    import graft.storage.{DurableStores, Storage}
+    import org.apache.hadoop.fs.Path
+    val ids = scopedIds.getOrElse(
+      DurableStores.committedBatches(s, d, "asof_accept"))
+    if (ids.isEmpty) return 0L
+    val st = new Storage(s, DurableStores.root(s))
+    val tableDir = new Path(st.path(Storage.tableNameFor("graft_asofacc", d)))
+    val f = tableDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    ids.toSeq.map { id =>
+      val p = new Path(tableDir, s"batch_id=$id")
+      try f.getContentSummary(p).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+  }
+
   /** q129 — the asof_dim WRITE-BACK lifecycle under the hard gate: two
-    * batches of NEW dimension rows (deterministic transforms of the
-    * source purchases, so DuckDB can reproduce them) are ACCEPTED into
-    * the delta store, then every click probes the effective dimension
-    * (base ⊕ both deltas) — the answer must equal DuckDB's as-of over
-    * purchases ∪ batch1 ∪ batch2. Lineage-scoped to its own batches so
-    * foreign accepts (StoreSpec, streams) can't leak into the oracle
-    * compare. */
+    * batches of NEW dimension rows are ACCEPTED into the delta store,
+    * then clicks probe the effective dimension (base ⊕ both deltas) —
+    * the answer must equal DuckDB's as-of over purchases ∪ batch1 ∪
+    * batch2. The batches are deterministic transforms of the source
+    * purchases (so the oracle reproduces them from events.parquet
+    * alone) keyed to SENTINEL users — user_id + 10,000,000, a key
+    * space disjoint from every real event — and the probe adds the
+    * matching sentinel clicks. Why sentinels: a StoreAdmin/StoreChain
+    * compact permanently folds accepted batches into the asof_dim
+    * base, and gate rows carrying REAL user keys would then silently
+    * shift q128's source-purchases-only oracle; sentinel rows can
+    * never match a real probe, so compaction is invisible to every
+    * other gate by construction (the StoreChain pattern). The
+    * both-legs-populated winner comparison this shape no longer
+    * reaches is pinned in AsofJoinSpec with its own batches.
+    * Lineage-scoped so foreign accepts (StoreSpec, streams) can't
+    * leak into the oracle compare. */
   private val q129AsofAcceptProbe: Q = (s, d) => {
     import s.implicits._
     val ev = eventsTsMicros(s, d)
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts", $"value")
     val b1 = purchases.filter($"event_id" % 10 === 3)
-      .select($"user_id", ($"event_id" + 100000000L).as("event_id"),
+      .select(($"user_id" + 10000000L).as("user_id"),
+        ($"event_id" + 100000000L).as("event_id"),
         ($"ts" + 1000000L).as("ts"), ($"value" * 2).as("value"))
     val b2 = purchases.filter($"event_id" % 10 === 7)
-      .select($"user_id", ($"event_id" + 200000000L).as("event_id"),
+      .select(($"user_id" + 10000000L).as("user_id"),
+        ($"event_id" + 200000000L).as("event_id"),
         ($"ts" + 2000000L).as("ts"), ($"value" * 3).as("value"))
     acceptAsofDimBatch(s, d, "a1", b1, lineage = Some(Set("a1", "a2")))
     acceptAsofDimBatch(s, d, "a2", b2, lineage = Some(Set("a1", "a2")))
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts")
-    asofJoinEffective(s, d, clicks, lineage = Some(Set("a1", "a2")))
+    val probe = clicks.unionByName(clicks.select(
+      ($"user_id" + 10000000L).as("user_id"),
+      ($"event_id" + 300000000L).as("event_id"), $"ts"))
+    asofJoinEffective(s, d, probe, lineage = Some(Set("a1", "a2")))
       .select($"user_id", $"event_id".as("click_id"),
         $"asof_eff".getField("event_id").as("purchase_id"),
         $"asof_eff".getField("value").as("purchase_value"))
@@ -554,25 +606,30 @@ object EventsMerge {
         |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
     "q127_asof_join_broadcast" -> asofSql,
     "q128_asof_join_stored" -> asofSql,
-    // q129's dimension = purchases ∪ the two accepted batches (the
-    // gate's deterministic transforms of the source purchases, so the
-    // oracle reproduces them from events.parquet alone); interval
-    // arithmetic mirrors the gate's +1s/+2s micro shifts
+    // q129's dimension = purchases ∪ the two accepted SENTINEL-user
+    // batches (deterministic transforms of the source purchases, so
+    // the oracle reproduces them from events.parquet alone); the probe
+    // is clicks ∪ the matching sentinel clicks; interval arithmetic
+    // mirrors the gate's +1s/+2s micro shifts
     "q129_asof_accept_probe" ->
-      """WITH c AS (
+      """WITH c0 AS (
         |  SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'click'),
+        |c AS (
+        |  SELECT * FROM c0
+        |  UNION ALL
+        |  SELECT user_id + 10000000, event_id + 300000000, ts FROM c0),
         |p0 AS (
         |  SELECT user_id, event_id, ts, value FROM events
         |  WHERE event_type = 'purchase'),
         |p AS (
         |  SELECT * FROM p0
         |  UNION ALL
-        |  SELECT user_id, event_id + 100000000,
+        |  SELECT user_id + 10000000, event_id + 100000000,
         |    ts + INTERVAL 1 SECOND, value * 2
         |  FROM p0 WHERE event_id % 10 = 3
         |  UNION ALL
-        |  SELECT user_id, event_id + 200000000,
+        |  SELECT user_id + 10000000, event_id + 200000000,
         |    ts + INTERVAL 2 SECOND, value * 3
         |  FROM p0 WHERE event_id % 10 = 7),
         |m AS (

@@ -84,6 +84,17 @@ class Storage(spark: SparkSession, root: String) {
   def appendBucketedSorted(table: String, df: DataFrame,
       bucketCols: Seq[String], sortCols: Seq[String],
       numBuckets: Int = 64): Unit = {
+    // fail fast on a second write: one-file-per-bucket (what lets the
+    // scan report its at-rest sort and downstream plans skip their
+    // Sort) only holds for the FIRST write — a later Append makes a
+    // second file per bucket and the plan contract silently breaks
+    // (answers stay right, the dim-side Sort quietly returns). Every
+    // legitimate caller is a build-once/rebuild path that starts from
+    // a dropped table.
+    require(!spark.catalog.tableExists(table) && !exists(table),
+      s"appendBucketedSorted('$table') targets a table that already " +
+        "exists — a second append breaks the one-file-per-bucket sorted-" +
+        "scan contract; drop and rebuild the table instead")
     df.repartition(numBuckets, bucketCols.map(df.col): _*)
       .write.mode(SaveMode.Append)
       .format("parquet")

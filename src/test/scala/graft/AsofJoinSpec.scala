@@ -925,8 +925,9 @@ class AsofJoinSpec extends AnyFunSuite {
         s"accept deltas must not add sorts:\n$plan")
       assert(plan.contains("BroadcastAsofJoin"),
         s"delta leg should ride the broadcast exec:\n$plan")
-      // equals the inline recompute over purchases ∪ both batches
-      // (twin: the composed operator over the unioned dimension)
+      // equals the inline recompute over purchases ∪ both sentinel
+      // batches (twin: the composed operator over the unioned
+      // dimension, probed by clicks ∪ the sentinel clicks)
       val events = graft.Tables.t(s, sf, "events")
         .withColumn("ts",
           org.apache.spark.sql.functions.unix_micros($"ts".cast("timestamp")))
@@ -934,13 +935,18 @@ class AsofJoinSpec extends AnyFunSuite {
         .select($"user_id", $"event_id", $"ts", $"value")
       val dim = purchases
         .unionByName(purchases.filter($"event_id" % 10 === 3)
-          .select($"user_id", ($"event_id" + 100000000L).as("event_id"),
+          .select(($"user_id" + 10000000L).as("user_id"),
+            ($"event_id" + 100000000L).as("event_id"),
             ($"ts" + 1000000L).as("ts"), ($"value" * 2).as("value")))
         .unionByName(purchases.filter($"event_id" % 10 === 7)
-          .select($"user_id", ($"event_id" + 200000000L).as("event_id"),
+          .select(($"user_id" + 10000000L).as("user_id"),
+            ($"event_id" + 200000000L).as("event_id"),
             ($"ts" + 2000000L).as("ts"), ($"value" * 3).as("value")))
-      val clicks = events.filter($"event_type" === "click")
+      val clicks0 = events.filter($"event_type" === "click")
         .select($"user_id", $"event_id", $"ts")
+      val clicks = clicks0.unionByName(clicks0.select(
+        ($"user_id" + 10000000L).as("user_id"),
+        ($"event_id" + 300000000L).as("event_id"), $"ts"))
       val twin = canon(AsofJoin.asofJoin(
           clicks, dim, Seq("user_id"), "ts", "ts", "event_id")
         .select($"user_id", $"event_id".as("click_id"),
@@ -963,6 +969,34 @@ class AsofJoinSpec extends AnyFunSuite {
       assert(canon(run()) === first)
       val deltaRows = graft.queries.EventsMerge.asofAcceptStore(s, sf).count()
       assert(deltaRows === 0L, s"folded delta partitions should be gone")
+      // WINNER branches with BOTH legs populated — q129's sentinel
+      // batches by design never reach them (sentinel users have no
+      // base rows): accept a real-user delta batch in this ISOLATED
+      // root and pin that a delta row LATER than the base candidate
+      // wins and an EARLIER one loses to the base
+      val baseHit = first.find(_._3.isDefined).get
+      val (u1, click1) = (baseHit._1, baseHit._2)
+      val secondHit = first.find(r => r._3.isDefined && r._1 != u1).get
+      val (u2, click2) = (secondHit._1, secondHit._2)
+      def clickTs(cid: Long): Long = clicks0
+        .filter($"event_id" === cid).head().getLong(2)
+      val a3 = Seq(
+        (u1, 900000001L, clickTs(click1), 111.0), // at the click: wins
+        (u2, 900000002L, 0L, 222.0))              // epoch 0: base wins
+        .toDF("user_id", "event_id", "ts", "value")
+      graft.queries.EventsMerge.acceptAsofDimBatch(s, sf, "a3", a3,
+        lineage = Some(Set("a1", "a2", "a3")))
+      val probe2 = clicks0.filter(
+        ($"user_id" === u1 && $"event_id" === click1) ||
+          ($"user_id" === u2 && $"event_id" === click2))
+      val eff = graft.queries.EventsMerge.asofJoinEffective(s, sf, probe2,
+          lineage = Some(Set("a1", "a2", "a3")))
+        .select($"user_id", $"asof_eff".getField("event_id").as("pid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(eff(u1) === 900000001L,
+        "a later delta candidate must beat the base leg")
+      assert(eff(u2) === secondHit._3.get,
+        "an earlier delta candidate must lose to the base leg")
     } finally {
       prevRoot match {
         case Some(r) => s.conf.set("spark.graft.store.root", r)
