@@ -149,7 +149,48 @@ object StoreChain {
           s""""cluster_labels":[${cl.mkString(",")}],""" +
           s""""merged_rows":[${mg.mkString(",")}],""" +
           s""""asof_rows":[${asofRows.mkString(",")}]}""")
-      case other => sys.error(s"unknown phase '$other' (accept|probe|compact)")
+      // ---- two-PROCESS writer-lease contention evidence ------------
+      // `leasehold` takes the sketch_accept writer lease and sleeps
+      // (GRAFT_LEASE_HOLD_SECS, default 120) — a stand-in for a slow
+      // accept/compact in another JVM; `leasetry` attempts a real
+      // accept against the same store and prints whether it acquired
+      // the lease or failed fast on the holder. durchain.sh runs them
+      // OVERLAPPED (real concurrent processes, real pids), then
+      // re-runs leasetry after the holder exits to show the retry
+      // succeeds.
+      case "leasehold" =>
+        val secs = sys.env.getOrElse("GRAFT_LEASE_HOLD_SECS", "120").toInt
+        graft.storage.DurableStores.withWriterLease(
+            spark, dataDir, "sketch_accept") {
+          println(s"""{"phase":"leasehold","held":true,"secs":$secs,""" +
+            s""""pid":${ProcessHandle.current().pid()}}""")
+          Console.flush()
+          Thread.sleep(secs * 1000L)
+        }
+        println(s"""{"phase":"leasehold","released":true}""")
+      case "leasetry" =>
+        import spark.implicits._
+        val out =
+          try {
+            queries.LlmOps.acceptSketchBatch(spark, dataDir, "dur_lease",
+              Seq((990000200L,
+                "lease contention probe document unique kwyjibo embiggen"))
+                .toDF("doc_id", "text"),
+              "doc_id", "text", lineage = Some(Set("dur_lease")))
+            s"""{"phase":"leasetry","acquired":true,""" +
+              s""""pid":${ProcessHandle.current().pid()}}"""
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("another process") =>
+              val holder = e.getMessage
+                .split("\\(", 2)(1).split(", lease", 2)(0)
+              s"""{"phase":"leasetry","acquired":false,""" +
+                s""""pid":${ProcessHandle.current().pid()},""" +
+                s""""holder":"$holder"}"""
+          }
+        println(out)
+      case other => sys.error(
+        s"unknown phase '$other' (accept|probe|compact|leasehold|leasetry)")
     }
     spark.stop()
   }

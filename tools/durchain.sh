@@ -27,4 +27,17 @@ echo "=== JVM4 compact + probe"
 sbt -batch "runMain graft.StoreChain compact $D" > $OUT/jvm4.log 2>&1
 grep -h '{"phase"' $OUT/jvm4.log | tail -1 > $OUT/jvm4.json
 snap 4
+echo "=== JVM5 writer-lease contention (two overlapped processes)"
+GRAFT_LEASE_HOLD_SECS=180 sbt -batch "runMain graft.StoreChain leasehold $D" > $OUT/jvm5a.log 2>&1 &
+HOLDPID=$!
+for i in $(seq 1 120); do
+  ls $GRAFT_STORE_ROOT/_meta/sketch_accept_*.lease >/dev/null 2>&1 && break
+  sleep 2
+done
+sbt -batch "runMain graft.StoreChain leasetry $D" > $OUT/jvm5b.log 2>&1 || true
+grep -h '{"phase"' $OUT/jvm5b.log | tail -1 > $OUT/jvm5b.json
+wait $HOLDPID || true
+grep -h '{"phase"' $OUT/jvm5a.log | head -1 > $OUT/jvm5a.json
+sbt -batch "runMain graft.StoreChain leasetry $D" > $OUT/jvm5c.log 2>&1
+grep -h '{"phase"' $OUT/jvm5c.log | tail -1 > $OUT/jvm5c.json
 echo DONE
