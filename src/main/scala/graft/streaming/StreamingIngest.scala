@@ -38,6 +38,23 @@ object StreamingIngest {
     s"stream_${h}_"
   }
 
+  /** This stream's batch-id lineage for the accept verbs' monotonicity
+    * contract: every committed/folded id carrying the stream's own
+    * checkpoint prefix, plus the incoming id. The zero-padded trigger
+    * ids are monotone WITHIN a checkpoint by construction; scoping the
+    * check to the prefix keeps an unrelated lineage's ids on the same
+    * shared store (gate batches, another stream's prefix) from
+    * constraining — or being constrained by — this one. One marker-dir
+    * listing per trigger, no Spark job. */
+  private def ownLineage(s: org.apache.spark.sql.SparkSession,
+      dataDir: String, store: String, prefix: String,
+      bid: String): Option[Set[String]] = {
+    import graft.storage.DurableStores
+    Some((DurableStores.committedBatches(s, dataDir, store) ++
+      DurableStores.foldedBatches(s, dataDir, store))
+      .filter(_.startsWith(prefix)) + bid)
+  }
+
   /** Start a submission-format ingest stream: `source` is any
     * readStream DataFrame (file drop dir, socket, …); `convert` is one
     * of ingest.Formats. Defaults mirror the reference's 60 s flush.
@@ -135,9 +152,13 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val b = f"$prefix$bid%09d"
           graft.queries.LlmOps.acceptSketchBatch(batch.sparkSession,
-            dataDir, f"$prefix$bid%09d", batch, idCol, textCol)
+            dataDir, b, batch, idCol, textCol,
+            lineage = ownLineage(batch.sparkSession, dataDir,
+              "sketch_accept", prefix, b))
+        }
       }
       .start()
   }
@@ -173,9 +194,11 @@ object StreamingIngest {
           val b = f"$prefix$bid%09d"
           graft.engine.CacheRegistry.withRetained {
             graft.queries.LlmOps.acceptSketchBatch(s, dataDir, b,
-              batch, idCol, textCol)
+              batch, idCol, textCol,
+              lineage = ownLineage(s, dataDir, "sketch_accept", prefix, b))
             graft.queries.LlmOps.acceptClusterRelabel(s, dataDir, b,
-              batch, idCol, textCol)
+              batch, idCol, textCol,
+              lineage = ownLineage(s, dataDir, "cluster_accept", prefix, b))
           }
         }
       }
@@ -198,9 +221,13 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val b = f"$prefix$bid%09d"
           graft.queries.LlmOps.acceptCosineBatch(batch.sparkSession,
-            dataDir, f"$prefix$bid%09d", batch)
+            dataDir, b, batch,
+            lineage = ownLineage(batch.sparkSession, dataDir,
+              "cosine_accept", prefix, b))
+        }
       }
       .start()
   }
@@ -226,9 +253,13 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val b = f"$prefix$bid%09d"
           graft.queries.EventsMerge.acceptAsofDimBatch(batch.sparkSession,
-            dataDir, f"$prefix$bid%09d", batch)
+            dataDir, b, batch,
+            lineage = ownLineage(batch.sparkSession, dataDir,
+              "asof_accept", prefix, b))
+        }
       }
       .start()
   }
