@@ -42,6 +42,13 @@ import org.apache.spark.sql.functions._
   * Left rows with a null leftTime get a null `asof` payload for the
   * same reason (they sort before every timestamped right row).
   *
+  * Null KEYS, by contrast, are a real group: the window's partitionBy
+  * collects them, so null-key left rows match null-key right rows —
+  * grouping semantics, NOT a SQL equi-join's NULL = NULL (which is
+  * never true). Every implementation in this family agrees
+  * (AsofJoinSpec pins 4-path parity); pre-filter null keys if SQL
+  * join semantics are wanted.
+  *
   * Output: every left row and column, plus an `asof` struct of the
   * right side's non-key columns (null when no prior right row exists
   * — left-outer semantics).
@@ -355,6 +362,11 @@ object AsofJoin {
     *                 ([[asofJoinNative]] merge exec), "broadcast"
     *                 (the broadcast exec), "split"
     *                 ([[asofJoinNativeSplit]]).
+    *
+    * Pruning note: the bound reads the WHOLE `asof` struct (it
+    * rebuilds the column), so [[graft.plans.PruneAsofPayload]] cannot
+    * narrow the payload above this wrapper — project the right side to
+    * needed columns BEFORE the call when payload width matters.
     */
   def asofJoinTolerance(
       left: DataFrame,

@@ -598,6 +598,43 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("null KEYS group together identically on every path (window semantics, not SQL join)") {
+    val s = spark
+    import s.implicits._
+    // a null key is a real group in the composed window
+    // (partitionBy(null) collects the null-key rows), so the operator
+    // family's contract is "null keys match each other" — unlike a SQL
+    // equi-join's NULL = NULL. All four paths must agree with the
+    // composed semantics; oracle-gated queries never carry null keys
+    // (their DuckDB twins use SQL equality), so this pin is the
+    // contract's only guard.
+    val left = Seq(
+      (Option(1L), 100L, 10L), (None, 101L, 10L), (None, 102L, 3L))
+      .toDF("k", "lid", "t")
+    val right = Seq(
+      (Option(1L), 900L, 5L, "real-key"),
+      (None: Option[Long], 901L, 5L, "null-key"),
+      (None: Option[Long], 902L, 8L, "null-key-later"))
+      .toDF("k", "rid", "t", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+      .sortBy(_._1).toSeq
+    val composed = canon(AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", "rid"))
+    assert(composed === Seq(
+      100L -> Some("real-key"),
+      101L -> Some("null-key-later"), // null left key matches null right keys
+      102L -> None))                  // t=3 precedes both null-key rows
+    assert(canon(AsofJoin.asofJoinNative(
+      left, right, Seq("k"), "t", "t", "rid", broadcast = Some(false)))
+      === composed, "merge exec")
+    assert(canon(AsofJoin.asofJoinNative(
+      left, right, Seq("k"), "t", "t", "rid", broadcast = Some(true)))
+      === composed, "broadcast exec")
+    assert(canon(AsofJoin.asofJoinNativeSplit(
+      left, right, Seq("k"), "t", "t", "rid")) === composed, "split")
+  }
+
   test("tolerance asof equals the bounded argmax across all four implementations") {
     val s = spark
     import s.implicits._
