@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -12,13 +13,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-element boxing — a 64-dim dot product costs ~128 virtual calls;
   * these do one tight primitive loop per row.
   *
+  * [[DotProductExpr]] and [[HammingBytesExpr]] additionally implement
+  * `doGenCode` (the same loop emitted into the generated stage), so
+  * the candidate-verification projections they sit in — the
+  * per-PAIR hot paths of the cosine index and the perceptual-hash
+  * search, millions of evaluations per query at scale — stay inside
+  * whole-stage codegen instead of breaking the span with a boxed
+  * fallback `eval` call per row. [[ShinglesExpr]] stays a fallback
+  * deliberately: it runs once per document (not per pair) and its
+  * string/LinkedHashSet work dwarfs the call overhead.
+  *
   * Semantics are IDENTICAL to the Column formulation the DuckDB oracle
   * mirrors: every float is promoted to double before multiplication
   * and the sum folds left-to-right in index order, so results are
-  * bit-for-bit equal and rank tie-breaks stay stable.
+  * bit-for-bit equal and rank tie-breaks stay stable (the generated
+  * and interpreted loops are the same arithmetic — DedupSpec pins
+  * codegen == interpreted).
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
@@ -43,6 +56,22 @@ case class DotProductExpr(left: Expression, right: Expression)
     }
     acc
   }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)
@@ -107,7 +136,7 @@ case class ShinglesExpr(child: Expression, w: Int)
   * over the shared length; length difference counts 8 bits per extra
   * byte). Serves the perceptual-hash near-dup search (HammingSearch). */
 case class HammingBytesExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def checkInputDataTypes()
@@ -132,6 +161,23 @@ case class HammingBytesExpr(left: Expression, right: Expression)
     }
     d + (math.abs(a.length - b.length) * 8)
   }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |int $d = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $d += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
+         |}
+         |${ev.value} =
+         |  $d + java.lang.Math.abs($a.length - $b.length) * 8;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(newLeft, newRight)

@@ -18,6 +18,48 @@ class DedupSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("dot_product / hamming_bytes: generated code == interpreted == Column formulation") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VectorOps
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(200) { i =>
+      val a = if (i % 13 == 0) null
+        else Array.fill(64)(rnd.nextFloat() * 2 - 1).toSeq
+      val b = if (i % 17 == 0) null
+        else Array.fill(64)(rnd.nextFloat() * 2 - 1).toSeq
+      val x = if (i % 11 == 0) null
+        else Array.fill(8 + i % 3)(rnd.nextInt(256).toByte)
+      val y = if (i % 19 == 0) null
+        else Array.fill(8)(rnd.nextInt(256).toByte)
+      (i.toLong, a, b, x, y)
+    }
+    val df = rows.toDF("id", "va", "vb", "ba", "bb")
+    def canon() = df.select($"id",
+        VectorOps.dotProduct($"va", $"vb").as("dp"),
+        VectorOps.hammingBytes($"ba", $"bb").as("hd"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Int])))
+      .sortBy(_._1).toSeq
+    val gen = canon()
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = s.conf.get(key)
+    try {
+      s.conf.set(key, "false")
+      assert(canon() === gen, "interpreted eval must equal generated code")
+    } finally s.conf.set(key, prev)
+    // and the index-order left fold matches the Column formulation the
+    // DuckDB oracles mirror, bit for bit
+    val viaZip = df.select($"id", aggregate(
+        zip_with($"va", $"vb", (x, y) =>
+          x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("dp"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    gen.foreach { case (id, dp, _) => assert(dp === viaZip(id), s"id=$id") }
+  }
+
   private def docs = {
     val s = spark
     import s.implicits._
