@@ -674,6 +674,65 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("merge asof exec under codegen honors LIMIT (shouldStop) and resumes state") {
+    val s = spark
+    import s.implicits._
+    // the generated loop checks shouldStop() after each consume and
+    // keeps its merger/iterator state in fields — a limit above the
+    // operator must stop early without hanging, dropping rows, or
+    // re-reading the right side on the next processNext call
+    val left = (0L until 500L).map(i => (i % 5, i, i * 3L)).toDF("k", "lid", "t")
+    val right = (0L until 400L).map(i => (i % 5, 1000L + i, i * 4L)).toDF("k", "rid", "t")
+    val q = AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid",
+      broadcast = Some(false))
+    assert(q.limit(7).collect().length === 7)
+    assert(q.count() === 500L)
+    // and a take() (incremental consumption) agrees with full collect
+    val full = q.selectExpr("lid", "asof.rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val taken = q.selectExpr("lid", "asof.rid").take(23)
+      .map(r => (r.getLong(0), Option(r.get(1))))
+    taken.foreach { case (lid, rid) => assert(full(lid) === rid) }
+  }
+
+  test("tolerance asof accepts timestamp times with an INTERVAL bound") {
+    val s = spark
+    import s.implicits._
+    // the documented timestamp usage: maxStale as an interval literal
+    val left = Seq(
+      (1L, 100L, "2024-01-10 12:00:00"),
+      (1L, 101L, "2024-01-20 12:00:00"))
+      .toDF("k", "lid", "t").withColumn("t", $"t".cast("timestamp"))
+    val right = Seq(
+      (1L, 900L, "2024-01-09 12:00:00", "fresh"),   // 1d before lid 100
+      (1L, 901L, "2024-01-01 12:00:00", "stale"))   // 19d before lid 101
+      .toDF("k", "rid", "t", "v").withColumn("t", $"t".cast("timestamp"))
+    val out = AsofJoin.asofJoinTolerance(left, right, Seq("k"), "t", "t",
+        "rid", maxStale = org.apache.spark.sql.functions.expr("INTERVAL 2 DAYS"),
+        impl = "native")
+      .selectExpr("lid", "asof.v AS v")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(
+      100L -> Some("fresh"), // winner is 1 day old: inside the bound
+      101L -> None))         // winner is 11 days old: nulled as stale
+  }
+
+  test("native skew-split handles string keys and composite keys") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 120L).map(i => (s"u${i % 3}", i % 2, i, i % 41))
+      .toDF("k1", "k2", "lid", "t")
+    val right = (0L until 90L).map(i => (s"u${i % 3}", i % 2, 1000L + i, i % 37))
+      .toDF("k1", "k2", "rid", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    assert(canon(AsofJoin.asofJoinNativeSplit(
+        left, right, Seq("k1", "k2"), "t", "t", "rid", numSplits = 4))
+      === canon(AsofJoin.asofJoin(left, right, Seq("k1", "k2"), "t", "t", "rid")))
+  }
+
   test("broadcast asof exec equals merge exec and composed on hot-key data") {
     val s = spark
     import s.implicits._
