@@ -34,6 +34,14 @@ object PlanSweep {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // isolated store root: the lifecycle gates ACCEPT batches into
+    // their durable stores as a side effect of building/executing, and
+    // an audit tool must not leave gate batches behind in the shared
+    // warehouse root (StoreSpec's strict batch-id assertions own that
+    // root's sf0.001 stores)
+    val auditRoot =
+      java.nio.file.Files.createTempDirectory("graft_plansweep_root")
+    spark.conf.set("spark.graft.store.root", auditRoot.toString)
     val audits = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, q) =>
         try {
@@ -88,6 +96,7 @@ object PlanSweep {
       s"broadcast-size non-equi sides), " +
       s"${bad.size} errors")
     bad.foreach(a => System.err.println(s"[plansweep] ERR ${a.name}: ${a.err.get}"))
+    graft.storage.DurableStores.deleteDir(spark, auditRoot.toString)
     spark.stop()
   }
 }
