@@ -74,8 +74,14 @@ object PlanSweep {
             err = None)
         } catch {
           case e: Throwable =>
+            // getMessage is null for NPE and many wrapped errors — the
+            // error-reporting path must not itself throw and abort the
+            // sweep; escape backslashes before quotes so the embedded
+            // message can never produce invalid JSON
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
             Audit(name, -1, -1, -1, -1, -1, -1, -1,
-              Some(e.getMessage.take(200).replace('\n', ' ').replace('"', '\'')))
+              Some(msg.take(200).replace("\\", "/")
+                .replace('\n', ' ').replace('"', '\'')))
         }
     }
     val rows = audits.map { a =>

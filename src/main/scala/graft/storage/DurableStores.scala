@@ -328,13 +328,42 @@ object DurableStores {
 
   // ---- cross-process writer lease ------------------------------------
 
-  /** In-JVM holder counts per lease file: nested or concurrent writers
+  /** In-JVM lease state per lease file: nested or concurrent writers
     * in the SAME process share the process's lease (the in-JVM locks —
     * [[withDynamicPartitionOverwrite]], the openOrBuild monitor —
     * already serialize their writes); the file only guards OTHER
-    * processes. */
-  private val leaseHolders =
-    scala.collection.mutable.Map.empty[String, Int]
+    * processes. Acquisition is atomic with registration: the per-key
+    * monitor is held ACROSS the file acquisition, so a second in-JVM
+    * thread blocks until the lease file actually exists (or the
+    * acquisition failed) instead of running its verb in the window
+    * where a foreign process could also acquire. `acquired` records
+    * whether THIS JVM created the file — release only deletes the
+    * lease it created, never a foreign holder's (the failure mode
+    * where thread A's acquisition loses to a live foreign lease but
+    * thread B, already counted, runs unprotected and then deletes the
+    * FOREIGN lease on exit). States are never removed from the map
+    * (bounded by the distinct stores a JVM touches) so two threads can
+    * never race a remove/recreate into two states for one key. */
+  private final class LeaseState {
+    var holders = 0
+    var acquired = false
+    var heartbeat: java.util.concurrent.ScheduledFuture[_] = null
+  }
+  private val leaseStates =
+    scala.collection.mutable.Map.empty[String, LeaseState]
+
+  /** One daemon thread renews every held lease's mtime: a verb that
+    * runs longer than `leaseStaleMs` (a 100×-scale compact) must not
+    * be silently preempted by a contender's stale-lease takeover
+    * mid-write. The touch is an mtime bump (`setTimes`), the exact
+    * freshness signal the takeover check reads. */
+  private lazy val leaseHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-lease-heartbeat")
+        t.setDaemon(true)
+        t
+      })
 
   private def leasePath(mp: Path): Path =
     new Path(mp.getParent, mp.getName.stripSuffix(".meta") + ".lease")
@@ -359,95 +388,158 @@ object DurableStores {
     * query-thread accepts share the process lease exactly as before.
     *
     * A crashed writer's lease goes stale: holders older than
-    * `spark.graft.store.leaseStaleMs` (default 30 min — longer than
-    * any verb, shorter than an operator's pager latency) are taken
-    * over with one delete-and-retry. StoreSpec simulates the
-    * two-process contention at the file level: a planted foreign lease
-    * fails the verb fast; an aged one is taken over. */
+    * `spark.graft.store.leaseStaleMs` (default 30 min) are taken over
+    * — but a LIVE long verb never goes stale, because a heartbeat
+    * thread renews the held lease's mtime every staleMs/3 while the
+    * verb runs ([[leaseHeartbeats]]). Takeover is double-grant-safe:
+    * the stale lease is deleted only if its mtime is UNCHANGED from
+    * the stale observation (a racing taker-over's fresh lease, or a
+    * late heartbeat, has a new mtime and is never destroyed), and the
+    * takeover's own create is verified by reading the unique token
+    * back. StoreSpec simulates the two-process contention at the file
+    * level: a planted foreign lease fails the verb fast — from EVERY
+    * concurrent in-JVM thread, with the foreign lease left intact; an
+    * aged one is taken over; a verb stalled past staleMs keeps its
+    * lease via the heartbeat. */
   def withWriterLease[A](s: SparkSession, dataDir: String,
       store: String)(body: => A): A = {
     val lp = leasePath(manifestPath(s, store, dataDir))
     val key = lp.toString
     val f = fs(s, key)
-    val firstInJvm = leaseHolders.synchronized {
-      val n = leaseHolders.getOrElse(key, 0)
-      leaseHolders(key) = n + 1
-      n == 0
-    }
-    if (firstInJvm) {
-      try acquireLeaseFile(s, f, lp, store)
-      catch {
-        case t: Throwable =>
-          leaseHolders.synchronized {
-            val n = leaseHolders(key) - 1
-            if (n <= 0) leaseHolders -= key else leaseHolders(key) = n
-          }
-          throw t
+    val st = leaseStates.synchronized(
+      leaseStates.getOrElseUpdate(key, new LeaseState))
+    st.synchronized {
+      if (st.holders == 0) {
+        acquireLeaseFile(s, f, lp, store) // throws on a live foreign holder
+        st.acquired = true
+        val staleMs = leaseStaleMs(s)
+        val period = math.max(staleMs / 3, 25L)
+        st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
+          () => try f.setTimes(lp, System.currentTimeMillis(), -1)
+            catch { case _: Exception => () }, // next beat retries
+          period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       }
+      st.holders += 1
     }
     try body
-    finally {
-      val lastInJvm = leaseHolders.synchronized {
-        val n = leaseHolders(key) - 1
-        if (n <= 0) leaseHolders -= key else leaseHolders(key) = n
-        n <= 0
+    finally st.synchronized {
+      st.holders -= 1
+      if (st.holders == 0) {
+        if (st.heartbeat != null) { st.heartbeat.cancel(false); st.heartbeat = null }
+        // only the JVM that created the file may delete it — release
+        // after a failed acquisition elsewhere must never destroy a
+        // foreign holder's live lease
+        if (st.acquired) {
+          try f.delete(lp, false) catch { case _: java.io.IOException => () }
+          st.acquired = false
+        }
       }
-      if (lastInJvm) f.delete(lp, false)
     }
   }
+
+  private def leaseStaleMs(s: SparkSession): Long = s.conf
+    .getOption("spark.graft.store.leaseStaleMs")
+    .map(_.toLong).getOrElse(30L * 60L * 1000L)
+
+  /** Holder identity + a per-attempt nonce, so a takeover can verify
+    * that the lease it reads back is the one IT created (two same-pid
+    * attempts in one millisecond are still distinguishable). */
+  private def leaseToken(): String =
+    s"pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"since=${System.currentTimeMillis()} " +
+      s"nonce=${java.util.UUID.randomUUID()}"
+
+  private def readLease(f: FileSystem, lp: Path): String =
+    try {
+      val in = new BufferedReader(new InputStreamReader(
+        f.open(lp), StandardCharsets.UTF_8))
+      try Option(in.readLine()).getOrElse("") finally in.close()
+    } catch { case _: java.io.IOException => "<unreadable>" }
+
+  /** Create-new the lease file with `token`; false if it exists. */
+  private def createLease(f: FileSystem, lp: Path, token: String): Boolean =
+    try {
+      val out = f.create(lp, false) // create-new: fails if held
+      try out.write(token.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: java.io.IOException => false
+    }
 
   private def acquireLeaseFile(s: SparkSession, f: FileSystem, lp: Path,
       store: String, retried: Boolean = false): Unit = {
     f.mkdirs(lp.getParent)
-    val created =
-      try {
-        val out = f.create(lp, false) // create-new: fails if held
-        try out.write(
-          (s"pid=${ProcessHandle.current().pid()} " +
-            s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-            s"since=${System.currentTimeMillis()}")
-            .getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException => false
-      }
-    if (!created) {
-      val staleMs = s.conf
-        .getOption("spark.graft.store.leaseStaleMs")
-        .map(_.toLong).getOrElse(30L * 60L * 1000L)
-      val st =
-        try Some(f.getFileStatus(lp))
-        catch { case _: java.io.FileNotFoundException => None }
-      st match {
-        case Some(stat)
-            if System.currentTimeMillis() - stat.getModificationTime >
-              staleMs =>
-          // the holder died mid-verb: take the lease over (once — two
-          // racing takeovers must not ping-pong deletes)
-          f.delete(lp, false)
-          if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
-          else sys.error(s"could not take over stale writer lease " +
-            s"for store '$store' at $lp")
-        case Some(stat) =>
-          val holder =
-            try {
-              val in = new BufferedReader(new InputStreamReader(
-                f.open(lp), StandardCharsets.UTF_8))
-              try Option(in.readLine()).getOrElse("") finally in.close()
-            } catch { case _: java.io.IOException => "<unreadable>" }
-          throw new IllegalStateException(
-            s"store '$store' is being written by another process " +
-              s"($holder, lease $lp, age ${System.currentTimeMillis() -
-                stat.getModificationTime} ms) — accepts and compacts " +
-              "are single-writer per store; retry after it finishes, " +
-              "or delete the lease if the holder is known dead")
-        case None =>
-          // released between our create attempt and the stat: retry
-          if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
-          else sys.error(s"could not acquire writer lease for " +
-            s"store '$store' at $lp")
-      }
+    if (createLease(f, lp, leaseToken())) return
+    val staleMs = leaseStaleMs(s)
+    val st =
+      try Some(f.getFileStatus(lp))
+      catch { case _: java.io.FileNotFoundException => None }
+    st match {
+      case Some(stat)
+          if System.currentTimeMillis() - stat.getModificationTime >
+            staleMs =>
+        takeOverStaleLease(s, f, lp, store, stat.getModificationTime)
+      case Some(stat) =>
+        throw new IllegalStateException(
+          s"store '$store' is being written by another process " +
+            s"(${readLease(f, lp)}, lease $lp, age " +
+            s"${System.currentTimeMillis() - stat.getModificationTime} " +
+            "ms) — accepts and compacts are single-writer per store; " +
+            "retry after it finishes, or delete the lease if the " +
+            "holder is known dead")
+      case None =>
+        // released between our create attempt and the stat: retry
+        if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
+        else sys.error(s"could not acquire writer lease for " +
+          s"store '$store' at $lp")
+    }
+  }
+
+  /** Take over a lease observed stale at `observedMtime`. Two
+    * processes can observe the SAME stale lease and race here; the
+    * naive delete-and-retry lets the second delete the first's
+    * freshly created lease (double grant). Two guards close it:
+    *
+    *  - CONDITIONAL DELETE: re-stat immediately before deleting and
+    *    only delete while the mtime is unchanged from the stale
+    *    observation — a racing winner's fresh lease (current mtime)
+    *    or a live holder's late heartbeat is never destroyed;
+    *  - VERIFIED CREATE: after create-new succeeds, read the lease
+    *    back and require OUR unique token — if another process won an
+    *    interleaved delete/create, this attempt fails fast instead of
+    *    both proceeding.
+    *
+    * Any contention outcome throws IllegalStateException (the same
+    * fail-fast contract as a live foreign holder): takeover is for
+    * DEAD holders, and a raced takeover means the store has a live
+    * contender to back off from. */
+  private[graft] def takeOverStaleLease(s: SparkSession, f: FileSystem,
+      lp: Path, store: String, observedMtime: Long): Unit = {
+    val cur =
+      try Some(f.getFileStatus(lp))
+      catch { case _: java.io.FileNotFoundException => None }
+    cur match {
+      case Some(c) if c.getModificationTime == observedMtime =>
+        f.delete(lp, false)
+      case Some(_) =>
+        throw new IllegalStateException(
+          s"writer lease for store '$store' at $lp changed during the " +
+            "stale takeover (a contender re-created it or the holder's " +
+            "heartbeat arrived) — backing off; retry after it settles")
+      case None => () // already deleted by a racer; contend on create
+    }
+    val token = leaseToken()
+    if (!createLease(f, lp, token))
+      throw new IllegalStateException(
+        s"lost the stale-lease takeover race for store '$store' at $lp " +
+          s"to ${readLease(f, lp)} — retry after it finishes")
+    val readBack = readLease(f, lp)
+    if (readBack != token) {
+      throw new IllegalStateException(
+        s"stale-lease takeover verification failed for store '$store' " +
+          s"at $lp: lease now held by $readBack — backing off")
     }
   }
 

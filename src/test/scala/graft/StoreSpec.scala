@@ -449,6 +449,125 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("writer lease: concurrent in-JVM threads all fail fast on a live foreign lease, which survives intact") {
+    // the round-13 race: thread B incremented the holder count while
+    // thread A was still acquiring the file, so B ran its verb in the
+    // unprotected window — and when A's acquisition failed on a live
+    // foreign holder, B (last holder out) DELETED the foreign
+    // process's lease. Acquisition is now atomic with registration
+    // under the per-key monitor, and release only deletes a lease this
+    // JVM created.
+    val s = spark
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    val lp = new Path(DurableStores.leaseLocation(s, sf, "lease_race_spec"))
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lp.getParent)
+    val foreign = "pid=88888 host=foreign-host since=0"
+    val out = fs.create(lp, false)
+    out.write(foreign.getBytes("UTF-8"))
+    out.close()
+    try {
+      val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 4).map(_ => new Thread(() =>
+        try DurableStores.withWriterLease(s, sf, "lease_race_spec") {
+          ran.incrementAndGet(); ()
+        } catch { case _: IllegalStateException => failures.incrementAndGet() }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(30000))
+      assert(ran.get() === 0,
+        "no verb body may run while a foreign process holds the lease")
+      assert(failures.get() === 4, "every contending thread must fail fast")
+      // the FOREIGN lease was not deleted or rewritten by our failures
+      assert(fs.exists(lp), "foreign lease must survive our failed attempts")
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(lp), "UTF-8"))
+      val content = try in.readLine() finally in.close()
+      assert(content === foreign, "foreign lease content must be untouched")
+    } finally fs.delete(lp, false)
+  }
+
+  test("writer lease: the heartbeat keeps a long verb's lease fresh past leaseStaleMs") {
+    val s = spark
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    val lp = new Path(DurableStores.leaseLocation(s, sf, "lease_hb_spec"))
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prevStale = s.conf.getOption("spark.graft.store.leaseStaleMs")
+    s.conf.set("spark.graft.store.leaseStaleMs", "400")
+    try {
+      DurableStores.withWriterLease(s, sf, "lease_hb_spec") {
+        // stall well past staleMs: without the heartbeat the lease
+        // would age out and a contender's takeover would double-grant;
+        // with it, the mtime keeps advancing and a contender observes
+        // a FRESH lease and fails fast
+        Thread.sleep(1200)
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(lp).getModificationTime
+        assert(age < 400,
+          s"heartbeat must keep the held lease fresh (age $age ms)")
+        // a foreign contender arriving NOW sees a live lease
+        val ex = intercept[IllegalStateException] {
+          DurableStores.takeOverStaleLease(s, fs, lp, "lease_hb_spec",
+            observedMtime = 0L) // what a stale observation from before the beat looks like
+        }
+        assert(ex.getMessage.contains("changed during the stale takeover"))
+      }
+      assert(!fs.exists(lp), "lease released after the verb")
+    } finally prevStale match {
+      case Some(v) => s.conf.set("spark.graft.store.leaseStaleMs", v)
+      case None => s.conf.unset("spark.graft.store.leaseStaleMs")
+    }
+  }
+
+  test("stale takeover: conditional delete and verified create close the double-grant") {
+    val s = spark
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    val lp = new Path(DurableStores.leaseLocation(s, sf, "lease_to_spec"))
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lp.getParent)
+    def plant(content: String, mtime: Long): Long = {
+      fs.delete(lp, false)
+      val out = fs.create(lp, false)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+      fs.setTimes(lp, mtime, -1)
+      fs.getFileStatus(lp).getModificationTime
+    }
+    try {
+      // 1. honest takeover of a genuinely dead holder: observed mtime
+      //    unchanged → delete + create + verify succeeds, we hold it
+      val dead = System.currentTimeMillis() - 3600000L
+      val observed = plant("pid=7 host=dead since=0", dead)
+      DurableStores.takeOverStaleLease(s, fs, lp, "lease_to_spec", observed)
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(lp), "UTF-8"))
+      val content = try in.readLine() finally in.close()
+      assert(content.contains(s"pid=${ProcessHandle.current().pid()}"),
+        s"takeover must leave OUR token in the lease, got: $content")
+      fs.delete(lp, false)
+      // 2. the double-grant scenario: between OUR stale observation and
+      //    our delete, a racing process completed ITS takeover (fresh
+      //    mtime, its token). The conditional delete must refuse —
+      //    deleting here is exactly the second-holder bug — and the
+      //    racer's lease survives.
+      val staleObserved = plant("pid=7 host=dead since=0", dead)
+      plant("pid=9999 host=racer since=1", System.currentTimeMillis())
+      val ex = intercept[IllegalStateException] {
+        DurableStores.takeOverStaleLease(s, fs, lp, "lease_to_spec",
+          staleObserved)
+      }
+      assert(ex.getMessage.contains("changed during the stale takeover"))
+      val in2 = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(lp), "UTF-8"))
+      val racer = try in2.readLine() finally in2.close()
+      assert(racer.contains("pid=9999"),
+        "the racing winner's lease must survive our refused takeover")
+    } finally fs.delete(lp, false)
+  }
+
   test("a partial (uncommitted) accept is invisible until its commit marker exists") {
     val s = spark
     import s.implicits._
