@@ -163,6 +163,9 @@ object AsofJoin {
     *                Some(true)/Some(false) force broadcast/merge (the
     *                gate queries force each path so both execs stay
     *                oracle-checked regardless of stats).
+    * @param maxStale optional staleness bound (the [[asofJoinTolerance]]
+    *                contract) evaluated INSIDE the kernel — see that
+    *                method for semantics and the pruning argument.
     */
   def asofJoinNative(
       left: DataFrame,
@@ -171,21 +174,35 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tieBreak: String,
-      broadcast: Option[Boolean] = None): DataFrame = {
+      broadcast: Option[Boolean] = None,
+      maxStale: Option[Column] = None): DataFrame = {
     // deployment-level skew routing: `spark.graft.asof.skewSplits` >= 2
-    // sends explicit merge-path joins through the time-bucketed native
-    // split (one hot entity stops serializing on one task) without any
-    // code change at the call sites — the same conf-only contract as
-    // GraftExtensions. Broadcast-path joins are exempt: the fact side
-    // is never shuffled there, so key skew cannot concentrate a task.
+    // sends merge-path joins through the time-bucketed native split
+    // (one hot entity stops serializing on one task) without any code
+    // change at the call sites — the same conf-only contract as
+    // GraftExtensions. Covered shapes: an explicit broadcast=Some(false)
+    // call, AND the default broadcast=None call whose right side is too
+    // big to broadcast (read against the SAME stats + threshold
+    // contract AsofJoinStrategy plans by) — the stats-driven default is
+    // exactly the skew-prone shape most callers write, so the knob must
+    // protect it. Broadcast-path joins are exempt: the fact side is
+    // never shuffled there, so key skew cannot concentrate a task.
     val skewSplits = left.sparkSession.conf
       .get("spark.graft.asof.skewSplits", "0").toInt
-    if (skewSplits >= 2 && broadcast.contains(false))
+    def statsPickMerge: Boolean = {
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      !(threshold > 0 &&
+        right.filter(col(rightTime).isNotNull)
+          .queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+    }
+    if (skewSplits >= 2 &&
+        (broadcast.contains(false) || (broadcast.isEmpty && statsPickMerge)))
       asofJoinNativeSplit(left, right, keys, leftTime, rightTime, tieBreak,
-        numSplits = skewSplits)
+        numSplits = skewSplits, maxStale = maxStale)
     else
       asofJoinNativeImpl(left, right, keys, leftTime, rightTime, tieBreak,
-        broadcast)
+        broadcast, maxStale)
   }
 
   private def asofJoinNativeImpl(
@@ -195,12 +212,26 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tieBreak: String,
-      broadcast: Option[Boolean]): DataFrame = {
+      broadcast: Option[Boolean],
+      maxStale: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{
       AttributeReference, CreateStruct}
     import org.apache.spark.sql.classic
     require(left.columns.forall(_ != "asof"),
       "left side already has an 'asof' column")
+    // the staleness bound is PRECOMPUTED as a left column (analyzed
+    // Column arithmetic handles interval/decimal/integral time types
+    // uniformly) and handed to the kernels as one attribute — inside
+    // the exec it is a single row-local comparison on the held
+    // candidate's time, never a read of the output struct, so payload
+    // pruning above the node stays fully effective
+    val boundName = "__asof_bound"
+    require(maxStale.isEmpty || left.columns.forall(_ != boundName),
+      s"input columns may not use the reserved name $boundName")
+    val leftB = maxStale match {
+      case Some(ms) => left.withColumn(boundName, col(leftTime) - ms)
+      case None => left
+    }
     val s = left.sparkSession.asInstanceOf[classic.SparkSession]
     graft.plans.GraftPlans.install(s)
     // re-alias every right column: a self-join's sides share exprIds
@@ -209,7 +240,7 @@ object AsofJoin {
     // the two children disjoint by construction
     val rightFresh = right.filter(col(rightTime).isNotNull)
       .select(right.columns.map(c => col(c).as(c)).toSeq: _*)
-    val lPlan = left.queryExecution.analyzed
+    val lPlan = leftB.queryExecution.analyzed
     val rPlan = rightFresh.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) = {
@@ -251,10 +282,19 @@ object AsofJoin {
     val payload = rPlan.output.filterNot(a => keys.contains(a.name))
     val asofOut = AttributeReference(
       "asof", CreateStruct(payload).dataType, nullable = true)()
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(s,
+    val boundAttr = maxStale.map { _ =>
+      val b = attr(lPlan, boundName)
+      require(b.dataType == rT.dataType,
+        s"staleness bound type ${b.dataType} (leftTime - maxStale) must " +
+          s"equal the right time type ${rT.dataType} — the kernels " +
+          "compare them under one natural ordering")
+      b
+    }
+    val res = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(s,
       graft.plans.AsofJoinPlan(
       lPlan, rPlan, lKeys, rKeys, lT, rT, attr(rPlan, tieBreak),
-      payload, asofOut, broadcast))
+      payload, asofOut, broadcast, boundAttr))
+    if (maxStale.isDefined) res.drop(boundName) else res
   }
 
   /** The NATIVE operator's skew answer ([[asofJoinSplit]]'s
@@ -289,7 +329,24 @@ object AsofJoin {
     * has no skew by construction (the fact side is never shuffled).
     * Cost vs the plain native path: the bounds job, one extra window
     * pass over the right side (per-bucket last pick), and ≤
-    * numSplits²/2 replicated rows per key — noise next to the inputs. */
+    * numSplits²/2 replicated rows per key — noise next to the inputs.
+    *
+    * @param bounds caller-supplied (lo, hi) of the time axis as
+    *               doubles — stored/bucketed dimensions that already
+    *               know their time range (a manifest, a partition
+    *               listing) pass it and SKIP the min/max job entirely
+    *               (two full time-column scans otherwise). Any clamp
+    *               is safe: [[bucketOf]] floors out-of-range times
+    *               into the edge buckets, so a stale or conservative
+    *               range changes the SPREAD, never the answer
+    *               (AsofJoinSpec pins supplied == computed). Also the
+    *               streaming entry's route — a bounds job cannot run
+    *               on an unbounded stream.
+    * @param maxStale optional staleness bound, threaded to the kernel
+    *               ([[asofJoinTolerance]] semantics): the in-bucket
+    *               winner IS the global winner (the carry argument),
+    *               so the bucket-local check equals the unsplit one.
+    */
   def asofJoinNativeSplit(
       left: DataFrame,
       right: DataFrame,
@@ -297,20 +354,36 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tieBreak: String,
-      numSplits: Int = 8): DataFrame = {
+      numSplits: Int = 8,
+      bounds: Option[(Double, Double)] = None,
+      maxStale: Option[Column] = None): DataFrame = {
     require(numSplits >= 2,
       "numSplits must be >= 2 (use asofJoinNative for 1)")
     require((left.columns ++ right.columns).forall(_ != "__b"),
       "input columns may not use the reserved name __b")
-    val bounds = left.select(col(leftTime).cast("double").as("t"))
-      .unionByName(right.select(col(rightTime).cast("double").as("t")))
-      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
-    if (bounds.isNullAt(0) || bounds.isNullAt(1) ||
-        !(bounds.getDouble(1) > bounds.getDouble(0)))
+    val (boundsLo, boundsHi) = bounds match {
+      case Some((l, h)) => (l, h)
+      case None =>
+        // a bounds job cannot run on an unbounded stream: compute the
+        // axis from the static right side alone — bucketOf clamps, so
+        // stream rows outside the dimension's range land in the edge
+        // buckets (identical answers; only the spread differs)
+        val src =
+          if (left.isStreaming)
+            right.select(col(rightTime).cast("double").as("t"))
+          else left.select(col(leftTime).cast("double").as("t"))
+            .unionByName(right.select(col(rightTime).cast("double").as("t")))
+        val row = src
+          .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+        if (row.isNullAt(0) || row.isNullAt(1))
+          (Double.NaN, Double.NaN)
+        else (row.getDouble(0), row.getDouble(1))
+    }
+    if (!(boundsHi > boundsLo))
       return asofJoinNativeImpl(left, right, keys, leftTime, rightTime,
-        tieBreak, broadcast = Some(false))
-    val lo = bounds.getDouble(0)
-    val width = (bounds.getDouble(1) - lo) / numSplits
+        tieBreak, broadcast = Some(false), maxStale = maxStale)
+    val lo = boundsLo
+    val width = (boundsHi - lo) / numSplits
     def bucketOf(t: Column): Column = {
       val d = t.cast("double")
       greatest(lit(0), least(lit(numSplits - 1),
@@ -332,7 +405,8 @@ object AsofJoin {
           sequence(col("__b") + 1, lit(numSplits - 1)))
           .otherwise(array().cast("array<int>"))))
     asofJoinNativeImpl(lb, rb.unionByName(carried), keys :+ "__b",
-      leftTime, rightTime, tieBreak, broadcast = Some(false))
+      leftTime, rightTime, tieBreak, broadcast = Some(false),
+      maxStale = maxStale)
       .drop("__b")
   }
 
@@ -363,10 +437,15 @@ object AsofJoin {
     *                 (the broadcast exec), "split"
     *                 ([[asofJoinNativeSplit]]).
     *
-    * Pruning note: the bound reads the WHOLE `asof` struct (it
-    * rebuilds the column), so [[graft.plans.PruneAsofPayload]] cannot
-    * narrow the payload above this wrapper — project the right side to
-    * needed columns BEFORE the call when payload width matters.
+    * Pruning: on the NATIVE paths (native/broadcast/split) the bound
+    * is evaluated inside the kernel — one comparison of the held
+    * candidate's own time against a precomputed `leftTime - maxStale`
+    * left column — so it never references the output struct and
+    * [[graft.plans.PruneAsofPayload]] narrows the payload exactly as
+    * it would for the unbounded join (AsofJoinSpec pins the pruned
+    * plan shape). Only the "composed" impl applies the bound as the
+    * post-condition rebuild described above, since the union+window
+    * formulation has no custom node to prune through anyway.
     */
   def asofJoinTolerance(
       left: DataFrame,
@@ -376,30 +455,29 @@ object AsofJoin {
       rightTime: String,
       tieBreak: String,
       maxStale: Column,
-      impl: String = "native"): DataFrame = {
-    require(!keys.contains(rightTime),
-      s"rightTime '$rightTime' must be a payload column, not a key " +
-        "(the staleness bound reads it from the asof struct)")
-    val joined = impl match {
-      case "composed" =>
-        asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
-      case "native" =>
-        asofJoinNative(left, right, keys, leftTime, rightTime, tieBreak,
-          broadcast = Some(false))
-      case "broadcast" =>
-        asofJoinNative(left, right, keys, leftTime, rightTime, tieBreak,
-          broadcast = Some(true))
-      case "split" =>
-        asofJoinNativeSplit(left, right, keys, leftTime, rightTime, tieBreak)
-      case other => throw new IllegalArgumentException(
-        s"unknown asof impl '$other' (composed|native|broadcast|split)")
-    }
-    // null out winners older than the bound; a null asof stays null
-    // (when without otherwise). asof.<rightTime> is never null — both
-    // kernels exclude null-time right rows before they can be held
-    joined.withColumn("asof",
-      when(col("asof").getField(rightTime) >= col(leftTime) - maxStale,
-        col("asof")))
+      impl: String = "native"): DataFrame = impl match {
+    case "composed" =>
+      require(!keys.contains(rightTime),
+        s"rightTime '$rightTime' must be a payload column, not a key " +
+          "(the composed staleness bound reads it from the asof struct)")
+      // null out winners older than the bound; a null asof stays null
+      // (when without otherwise). asof.<rightTime> is never null — the
+      // kernel excludes null-time right rows before they can be held
+      asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
+        .withColumn("asof",
+          when(col("asof").getField(rightTime) >= col(leftTime) - maxStale,
+            col("asof")))
+    case "native" =>
+      asofJoinNative(left, right, keys, leftTime, rightTime, tieBreak,
+        broadcast = Some(false), maxStale = Some(maxStale))
+    case "broadcast" =>
+      asofJoinNative(left, right, keys, leftTime, rightTime, tieBreak,
+        broadcast = Some(true), maxStale = Some(maxStale))
+    case "split" =>
+      asofJoinNativeSplit(left, right, keys, leftTime, rightTime, tieBreak,
+        maxStale = Some(maxStale))
+    case other => throw new IllegalArgumentException(
+      s"unknown asof impl '$other' (composed|native|broadcast|split)")
   }
 
   def asofJoinSplit(
@@ -409,16 +487,22 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       tieBreak: String,
-      numSplits: Int = 8): DataFrame = {
+      numSplits: Int = 8,
+      bounds: Option[(Double, Double)] = None): DataFrame = {
     require(numSplits >= 2, "numSplits must be >= 2 (use asofJoin for 1)")
-    val bounds = left.select(col(leftTime).cast("double").as("t"))
-      .unionByName(right.select(col(rightTime).cast("double").as("t")))
-      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
-    if (bounds.isNullAt(0) || bounds.isNullAt(1) ||
-        !(bounds.getDouble(1) > bounds.getDouble(0)))
+    val (boundsLo, boundsHi) = bounds match {
+      case Some((l, h)) => (l, h)
+      case None =>
+        val row = left.select(col(leftTime).cast("double").as("t"))
+          .unionByName(right.select(col(rightTime).cast("double").as("t")))
+          .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+        if (row.isNullAt(0) || row.isNullAt(1)) (Double.NaN, Double.NaN)
+        else (row.getDouble(0), row.getDouble(1))
+    }
+    if (!(boundsHi > boundsLo))
       return asofJoin(left, right, keys, leftTime, rightTime, tieBreak)
-    val lo = bounds.getDouble(0)
-    val width = (bounds.getDouble(1) - lo) / numSplits
+    val lo = boundsLo
+    val width = (boundsHi - lo) / numSplits
     // monotone bucket of a non-null time value (right rows with null
     // times are excluded at the source in `sides`)
     def bucketOf(t: Column): Column = {

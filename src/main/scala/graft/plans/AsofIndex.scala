@@ -40,7 +40,19 @@ final class AsofIndex(
     * bound; equal times sort by tieBreak, so the last match IS the
     * max-tieBreak winner. Returned rows are stable index-owned copies,
     * safe to hand to downstream consume without re-copying. */
-  def probe(key: UnsafeRow, time: UnsafeRow): InternalRow = {
+  def probe(key: UnsafeRow, time: UnsafeRow): InternalRow =
+    probe(key, time, null)
+
+  /** [[probe]] with a STALENESS BOUND: `bound` is the probe row's
+    * `leftTime - maxStale` (or null for unbounded — the 2-arg overload
+    * the generated code calls when no tolerance is set). A winner
+    * older than the bound answers null; the check reads the matched
+    * candidate's own time (`e.times(hit)`), never the payload struct,
+    * so payload pruning above the operator is unaffected. A non-null
+    * bound row with a null value satisfies nothing (SQL comparison
+    * semantics). Correct by the bounded-argmax post-condition proof on
+    * [[graft.operators.AsofJoin.asofJoinTolerance]]. */
+  def probe(key: UnsafeRow, time: UnsafeRow, bound: UnsafeRow): InternalRow = {
     val e = index.get(key)
     if (e == null) null
     else {
@@ -53,7 +65,11 @@ final class AsofIndex(
           hit = mid; lo = mid + 1
         } else hi = mid - 1
       }
-      if (hit >= 0) e.payloads(hit) else null
+      if (hit < 0) null
+      else if (bound != null &&
+          (bound.isNullAt(0) || timeOrd.compare(e.times(hit), bound) < 0))
+        null
+      else e.payloads(hit)
     }
   }
 }

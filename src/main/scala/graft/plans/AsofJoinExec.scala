@@ -65,7 +65,9 @@ case class AsofJoinExec(
     payload: Seq[Attribute],
     asofOut: Attribute,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
+    right: SparkPlan,
+    toleranceBound: Option[Attribute] = None)
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
 
@@ -90,7 +92,7 @@ case class AsofJoinExec(
     * what ships to tasks instead of the plan node itself. */
   private def mergerSpec =
     AsofMergerSpec(left.output, right.output, leftKeys, rightKeys,
-      leftTime, rightTime, payload)
+      leftTime, rightTime, payload, toleranceBound)
 
   // ---- iterator path (codegen off) ---------------------------------
 

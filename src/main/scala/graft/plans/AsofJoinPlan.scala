@@ -54,6 +54,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
   *                estimate vs autoBroadcastJoinThreshold — the same
   *                auto-selection contract as Spark's own join
   *                strategies.
+  * @param toleranceBound optional STALENESS BOUND: a left-side
+  *                attribute holding `leftTime - maxStale` (type must
+  *                equal rightTime's). When set, a winner older than
+  *                the bound answers null — evaluated inside the
+  *                kernels ([[AsofMerger]]/[[AsofIndex.probe]]) as one
+  *                row-local comparison on the candidate's own time, so
+  *                the bound never references the `asof` struct and
+  *                [[PruneAsofPayload]] stays fully effective.
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -65,7 +73,8 @@ case class AsofJoinPlan(
     tieBreak: Attribute,
     payload: Seq[Attribute],
     asofOut: AttributeReference,
-    broadcast: Option[Boolean] = None) extends BinaryNode {
+    broadcast: Option[Boolean] = None,
+    toleranceBound: Option[Attribute] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
 
@@ -96,11 +105,11 @@ class AsofJoinStrategy extends SparkStrategy {
       if (useBroadcast)
         BroadcastAsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime,
           p.rightTime, p.tieBreak, p.payload, p.asofOut,
-          planLater(p.left), planLater(p.right)) :: Nil
+          planLater(p.left), planLater(p.right), p.toleranceBound) :: Nil
       else
         AsofJoinExec(p.leftKeys, p.rightKeys, p.leftTime, p.rightTime,
           p.tieBreak, p.payload, p.asofOut,
-          planLater(p.left), planLater(p.right)) :: Nil
+          planLater(p.left), planLater(p.right), p.toleranceBound) :: Nil
     case _ => Nil
   }
 }
@@ -215,7 +224,8 @@ object PruneAsofPayload extends Rule[LogicalPlan] {
     val leftNeeded = a.left.output.filter(attr =>
       needed.contains(attr) ||
         a.leftKeys.exists(_.exprId == attr.exprId) ||
-        a.leftTime.exprId == attr.exprId)
+        a.leftTime.exprId == attr.exprId ||
+        a.toleranceBound.exists(_.exprId == attr.exprId))
     val pruneLeft = leftNeeded.size < a.left.output.size
     if (!pruneFields && !pruneRight && !pruneLeft) p
     else {

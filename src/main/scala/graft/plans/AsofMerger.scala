@@ -20,6 +20,19 @@ import org.apache.spark.sql.catalyst.expressions.{
   * without consuming anything (ascending-nulls-first ordering would
   * otherwise let a null left time "match" a null right time, the exact
   * divergence the two physical paths must not have).
+  *
+  * Staleness bound (`toleranceBound`): an optional LEFT-side attribute
+  * holding `leftTime - maxStale` (precomputed by the DataFrame layer,
+  * so interval/decimal arithmetic is analyzed once, not re-implemented
+  * here). When set, a held winner older than the bound answers null —
+  * ONE extra row-local comparison against the held candidate's time,
+  * evaluated inside the kernel so the bound never reads the output
+  * struct and payload pruning stays transparent
+  * ([[graft.plans.PruneAsofPayload]]). Correctness is the bounded-
+  * argmax post-condition proof on [[graft.operators.AsofJoin
+  * .asofJoinTolerance]]: the unbounded winner is in-window iff any
+  * candidate is. A null bound satisfies nothing (SQL comparison
+  * semantics — `r.t >= l.t - NULL` is never true).
   */
 final case class AsofMergerSpec(
     leftOutput: Seq[Attribute],
@@ -28,7 +41,8 @@ final case class AsofMergerSpec(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    payload: Seq[Attribute]) extends Serializable {
+    payload: Seq[Attribute],
+    toleranceBound: Option[Attribute] = None) extends Serializable {
   /** One merger per co-partition pair; `rIter` is the KEY-clustered,
     * (key, time, tieBreak)-ascending right partition. */
   def newMerger(rIter: Iterator[InternalRow]): AsofMerger =
@@ -48,9 +62,12 @@ final class AsofMerger(
   private val payloadProj =
     UnsafeProjection.create(Seq(CreateStruct(spec.payload)), spec.rightOutput)
   private val payloadSize = spec.payload.size
+  private val boundProj = spec.toleranceBound.map(b =>
+    UnsafeProjection.create(Seq(b), spec.leftOutput)).orNull
 
   private var rRow: InternalRow = advanceRight()
   private var heldKey: UnsafeRow = null
+  private var heldTime: UnsafeRow = null
   private var heldStruct: InternalRow = null
 
   /** Next right row with a NON-NULL time, or null at exhaustion. */
@@ -85,12 +102,24 @@ final class AsofMerger(
           // latest at-or-before so far for this key: keep it (copies —
           // the child sort reuses ITS row buffers)
           heldKey = rKeyProj(rRow).copy()
+          heldTime = rTimeProj(rRow).copy()
           heldStruct = payloadProj(rRow).copy().getStruct(0, payloadSize)
         }
         rRow = advanceRight()
       } else advancing = false
     }
-    if (heldStruct != null && keyOrd.compare(heldKey, lk) == 0) heldStruct
-    else null
+    if (heldStruct != null && keyOrd.compare(heldKey, lk) == 0) {
+      if (boundProj == null) heldStruct
+      else {
+        // staleness bound: the held winner counts only at-or-after
+        // `leftTime - maxStale`; one row-local comparison, null bound
+        // satisfies nothing (right times are non-null by the advance
+        // loop, so the comparison itself never sees a null candidate)
+        val bv = boundProj(l)
+        if (!bv.isNullAt(0) && timeOrd.compare(heldTime, bv) >= 0)
+          heldStruct
+        else null
+      }
+    } else null
   }
 }

@@ -65,7 +65,9 @@ case class BroadcastAsofJoinExec(
     payload: Seq[Attribute],
     asofOut: Attribute,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode with CodegenSupport {
+    right: SparkPlan,
+    toleranceBound: Option[Attribute] = None)
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output :+ asofOut
 
@@ -95,16 +97,19 @@ case class BroadcastAsofJoinExec(
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     val lOut = left.output
     val spec = buildSpec
-    val (lk_, lt_, asof_) = (leftKeys, leftTime, asofOut)
+    val (lk_, lt_, asof_, bound_) = (leftKeys, leftTime, asofOut, toleranceBound)
     left.execute().mapPartitions { lIter =>
       val index = spec.indexFor(broadcastRows)
       val lKeyProj = UnsafeProjection.create(lk_, lOut)
       val lTimeProj = UnsafeProjection.create(Seq(lt_), lOut)
+      val boundProj = bound_.map(b =>
+        UnsafeProjection.create(Seq(b), lOut)).orNull
       val outProj = UnsafeProjection.create(lOut :+ asof_, lOut :+ asof_)
       val nullPayload = new GenericInternalRow(1)
       val joined = new JoinedRow
       lIter.map { l =>
-        val p = index.probe(lKeyProj(l), lTimeProj(l))
+        val p = index.probe(lKeyProj(l), lTimeProj(l),
+          if (boundProj == null) null else boundProj(l))
         numOutputRows += 1
         outProj(joined(l, if (p == null) nullPayload else p))
       }
@@ -142,6 +147,11 @@ case class BroadcastAsofJoinExec(
       leftKeys.map(k => BindReferences.bindReference(k: Expression, left.output)))
     val timeEv = GenerateUnsafeProjection.createCode(ctx,
       Seq(BindReferences.bindReference(leftTime: Expression, left.output)))
+    // the optional staleness bound (leftTime - maxStale, a left column)
+    // rides the 3-arg probe; unbounded joins call the 2-arg overload
+    val boundEv = toleranceBound.map(b =>
+      GenerateUnsafeProjection.createCode(ctx,
+        Seq(BindReferences.bindReference(b: Expression, left.output))))
     val matched = ctx.freshName("asofPayloadRow")
     val asofIsNull = ctx.freshName("asofIsNull")
     val asofValue = ctx.freshName("asofValue")
@@ -153,7 +163,9 @@ case class BroadcastAsofJoinExec(
     s"""
        |${keyEv.code}
        |${timeEv.code}
-       |$rowCls $matched = $indexTerm.probe(${keyEv.value}, ${timeEv.value});
+       |${boundEv.map(_.code.toString).getOrElse("")}
+       |$rowCls $matched = $indexTerm.probe(${keyEv.value}, ${timeEv.value}${
+         boundEv.map(b => s", ${b.value}").getOrElse("")});
        |boolean $asofIsNull = ($matched == null);
        |$rowCls $asofValue =
        |  $asofIsNull ? null : $matched.getStruct(0, ${payload.size});

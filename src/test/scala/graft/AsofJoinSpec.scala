@@ -598,6 +598,155 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("spark.graft.asof.skewSplits protects the stats-driven (broadcast=None) path too") {
+    // round 13's routing hole: the conf only rerouted broadcast =
+    // Some(false) calls, so the DEFAULT call shape — broadcast = None
+    // with a fact-sized right — planned the plain merge exec with no
+    // split: the deployment knob silently did nothing for the joins
+    // most callers write. The routing now reads the same stats +
+    // threshold contract the strategy plans by: a dimension-sized
+    // right still broadcasts (no skew by construction), a fact-sized
+    // right takes the split.
+    val s = spark
+    import s.implicits._
+    val left = (0L until 100L).map(i => (1L, i, i % 37)).toDF("k", "lid", "t")
+    val right = (0L until 80L).map(i => (1L, 1000L + i, i % 31)).toDF("k", "rid", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    val baseline = canon(AsofJoin.asofJoinNative(
+      left, right, Seq("k"), "t", "t", "rid", broadcast = Some(false)))
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.graft.asof.skewSplits", "8")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // dimension-sized right (default threshold): the stats decision
+      // is broadcast — the knob must NOT reroute, the fact side is
+      // never shuffled there
+      val small = AsofJoin.asofJoinNative(
+        left, right, Seq("k"), "t", "t", "rid", broadcast = None)
+      small.collect()
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastAsofJoin"),
+        "a broadcastable right must keep the broadcast exec under the conf")
+      // fact-sized right (threshold off): the stats decision is the
+      // merge exec — exactly the skew-prone default shape; the knob
+      // must reroute it through the split
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val routed = AsofJoin.asofJoinNative(
+        left, right, Seq("k"), "t", "t", "rid", broadcast = None)
+      assert(canon(routed) === baseline)
+      import org.apache.spark.sql.functions.spark_partition_id
+      assert(routed.filter($"k" === 1L).select(spark_partition_id())
+        .distinct().count() >= 2L,
+        "the stats-driven merge path must spread the hot key under the conf")
+    } finally {
+      s.conf.unset("spark.graft.asof.skewSplits")
+      s.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("caller-supplied split bounds skip the min/max job; answers unchanged") {
+    val s = spark
+    import s.implicits._
+    val left = (0L until 120L).map(i => (i % 4, i, i % 53)).toDF("k", "lid", "t")
+    val right = (0L until 90L).map(i => (i % 4, 1000L + i, i % 47)).toDF("k", "rid", "t")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .selectExpr("lid", "asof.rid AS rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .sortBy(_._1).toSeq
+    val computed = canon(AsofJoin.asofJoinNativeSplit(
+      left, right, Seq("k"), "t", "t", "rid", numSplits = 4))
+    // building the DataFrame with supplied bounds must launch ZERO
+    // jobs (the min/max `.head()` is the job the overload removes —
+    // stored/bucketed dimensions carry their range in a manifest)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val supplied = AsofJoin.asofJoinNativeSplit(
+        left, right, Seq("k"), "t", "t", "rid", numSplits = 4,
+        bounds = Some((0.0, 52.0)))
+      Thread.sleep(500) // listener bus is async; give a job time to surface
+      assert(jobs.get() === 0,
+        "supplied bounds must not launch the bounds job at build time")
+      assert(canon(supplied) === computed,
+        "supplied bounds must not change answers")
+      // a CONSERVATIVE range is also safe: bucketOf clamps out-of-range
+      // times into the edge buckets — spread changes, answers don't
+      val clamped = canon(AsofJoin.asofJoinNativeSplit(
+        left, right, Seq("k"), "t", "t", "rid", numSplits = 4,
+        bounds = Some((10.0, 30.0))))
+      assert(clamped === computed)
+      // and the unsupplied path DOES run its bounds job (the cost the
+      // overload exists to skip)
+      val before = jobs.get()
+      AsofJoin.asofJoinNativeSplit(
+        left, right, Seq("k"), "t", "t", "rid", numSplits = 4)
+      var waited = 0
+      while (jobs.get() === before && waited < 5000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(jobs.get() > before,
+        "the default path runs the min/max bounds job")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
+  test("tolerance asof keeps payload pruning: the bound never reads the asof struct") {
+    // round 13's tolerance was a whole-struct rebuild above the node —
+    // PruneAsofPayload saw a whole-struct reference and the FULL
+    // payload shuffled even when the query read two fields. The bound
+    // now rides the kernel as one comparison on the held candidate's
+    // own time (a precomputed leftTime - maxStale left column), so the
+    // prune fires exactly as it does for the unbounded join.
+    val s = spark
+    import s.implicits._
+    val left = (0L until 40L).map(i => (i % 3, i, i * 2L, s"x$i"))
+      .toDF("k", "lid", "t", "x")
+    val right = (0L until 30L).map(i =>
+        (i % 3, 900L + i, i * 3L, s"a$i", s"b$i", s"c$i", s"d$i"))
+      .toDF("k", "rid", "t", "v1", "v2", "v3", "v4")
+    val bound = 11L
+    for (impl <- Seq("native", "broadcast")) {
+      val q = AsofJoin.asofJoinTolerance(left, right, Seq("k"), "t", "t",
+        "rid", maxStale = org.apache.spark.sql.functions.lit(bound),
+        impl = impl)
+        .selectExpr("k", "lid", "asof.v2 AS v2", "asof.v4 AS v4")
+      val node = q.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AsofJoinPlan => a }
+      assert(node.size === 1, impl)
+      assert(node.head.payload.map(_.name) === Seq("v2", "v4"),
+        s"[$impl] payload must prune to the two read fields:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(node.head.toleranceBound.isDefined, impl)
+      assert(node.head.left.output.exists(
+        _.exprId == node.head.toleranceBound.get.exprId),
+        s"[$impl] the bound column must survive the left-child prune")
+      assert(!node.head.left.output.map(_.name).contains("x"),
+        s"[$impl] unused left columns still prune under tolerance")
+      // answers == naive bounded argmax
+      val rightRows = (0L until 30L).map(i =>
+        (i % 3, 900L + i, i * 3L, s"b$i", s"d$i"))
+      val expected = (0L until 40L).map(i => (i % 3, i, i * 2L)).map {
+        case (k, lid, t) =>
+          val w = rightRows.filter(r => r._1 == k && r._3 <= t)
+            .sortBy(r => (r._3, r._2)).lastOption
+            .filter(_._3 >= t - bound)
+          (k, lid, w.map(_._4), w.map(_._5))
+      }
+      val out = q.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+        .sortBy(_._2).toSeq
+      assert(out === expected, impl)
+    }
+  }
+
   test("null KEYS group together identically on every path (window semantics, not SQL join)") {
     val s = spark
     import s.implicits._
