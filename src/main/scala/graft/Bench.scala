@@ -95,7 +95,7 @@ object Bench {
     "q14_running_window", "q73_asof_join", "q126_asof_join_native",
     "q127_asof_join_broadcast", "q128_asof_join_stored",
     "q129_asof_accept_probe", "q130_asof_join_native_split",
-    "q131_asof_join_stale")
+    "q131_asof_join_stale", "q132_asof_join_sql")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,6 +147,12 @@ object Bench {
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val capped = collection.mutable.LinkedHashSet.empty[String]
+    // wall-clock start of each pass (UTC): this machine swings between
+    // a fast and a slow band run-to-run (observed 5–15× single-shot
+    // spreads), so a pass-3 outlier must be attributable to WHEN the
+    // pass ran, not mistaken for a plan regression — see README's
+    // "reading bench artifacts" note
+    val passStartedAt = collection.mutable.ArrayBuffer.empty[String]
     val began = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - began) / 1e9
 
@@ -171,8 +177,10 @@ object Bench {
         .mkString("{", ",", "}")
       val total = results.map(_._3).sum
       val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val passesJson = passStartedAt.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","mode":"$mode","n_queries":${names.size},"passes":$passes,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass,"query_cap_sec":$queryCapSec,"capped":$cappedJson}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir","mode":"$mode","n_queries":${names.size},"passes":$passes,"pass_started_at":$passesJson,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass,"query_cap_sec":$queryCapSec,"capped":$cappedJson}"""
       // the driver snapshot keeps only a truncated tail of stdout, so
       // the full per-query map is also persisted to a committed file
       try java.nio.file.Files.write(
@@ -188,6 +196,7 @@ object Bench {
     var budgetExceeded = false
     while (pass < runs && !budgetExceeded) {
       pass += 1
+      passStartedAt += java.time.Instant.now().toString
       var qIdx = 0
       for ((name, fn) <- names if !capped.contains(name)) {
         val t0 = System.nanoTime()

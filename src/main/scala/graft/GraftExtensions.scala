@@ -36,5 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsofPayload)
+    // the as-of family's SQL surface: the asof_join table-valued
+    // function plus the analyzer rule that lowers its placeholder to
+    // the native plan node once the relations resolve. Both are
+    // session-BUILD hooks — SQL users need the extension; DataFrame
+    // users keep the runtime GraftPlans.install path.
+    ext.injectTableFunction(graft.plans.AsofSqlJoin.description)
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsofJoin)
   }
 }

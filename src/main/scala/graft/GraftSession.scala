@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      // the engine's full SQL surface (custom expressions + the
+      // asof_join table function + its resolution rule) is a
+      // session-BUILD-time injection — runtime registration can add
+      // functions and planner pieces (GraftFunctions.registerAll /
+      // GraftPlans.install) but never analyzer rules, so every engine
+      // entry point builds with the extension
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")

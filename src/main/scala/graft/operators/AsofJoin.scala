@@ -55,6 +55,26 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Floating-point keys bypass Catalyst's NormalizeFloatingNumbers
+    * (which only rewrites Join/Window/Aggregate), so -0.0 vs 0.0 and
+    * NaN would hash to different shuffle partitions / probe-index
+    * entries and silently diverge from the composed path — the native
+    * paths reject rather than normalize (a float equality key is a
+    * modeling bug). Shared with the SQL surface's resolution rule
+    * ([[graft.plans.ResolveAsofJoin]]) so both front doors enforce
+    * one contract. */
+  private[graft] def hasFloat(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.DoubleType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => hasFloat(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasFloat(a.elementType)
+    case m: org.apache.spark.sql.types.MapType =>
+      hasFloat(m.keyType) || hasFloat(m.valueType)
+    case _ => false
+  }
+
   /** Build the tagged union sides shared by [[asofJoin]] and
     * [[asofJoinSplit]]: left rows (side=1, null payload) and
     * timestamped right rows (side=0, struct payload). */
@@ -254,21 +274,6 @@ object AsofJoin {
     lKeys.zip(rKeys).foreach { case (l, r) =>
       require(l.dataType == r.dataType,
         s"key type mismatch: ${l.name} ${l.dataType} vs ${r.dataType}") }
-    // floating-point keys bypass Catalyst's NormalizeFloatingNumbers
-    // (which only rewrites Join/Window/Aggregate), so -0.0 vs 0.0 and
-    // NaN would hash to different shuffle partitions / probe-index
-    // entries and silently diverge from the composed path — reject
-    // rather than normalize (a float equality key is a modeling bug)
-    def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case org.apache.spark.sql.types.FloatType |
-           org.apache.spark.sql.types.DoubleType => true
-      case s: org.apache.spark.sql.types.StructType =>
-        s.fields.exists(f => hasFloat(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => hasFloat(a.elementType)
-      case m: org.apache.spark.sql.types.MapType =>
-        hasFloat(m.keyType) || hasFloat(m.valueType)
-      case _ => false
-    }
     lKeys.foreach { k =>
       require(!hasFloat(k.dataType),
         s"as-of join key '${k.name}' is ${k.dataType}: floating-point " +

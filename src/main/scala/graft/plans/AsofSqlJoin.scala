@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, CreateStruct, Expression,
+  ExpressionInfo, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+import org.apache.spark.sql.catalyst.plans.logical.{
+  BinaryNode, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+
+/** The SQL surface of the native as-of operator family: a
+  * table-valued function
+  *
+  * {{{
+  * SELECT l.*, asof.price
+  * FROM asof_join('facts', 'price_history',
+  *                'instrument_id', 'trade_ts', 'price_ts', 'seq')
+  * -- optional 7th arg: 'auto' (default), 'broadcast', 'merge'
+  * }}}
+  *
+  * so a pure-SQL user reaches the exact operator the DataFrame API
+  * plans ([[AsofJoinPlan]] → [[AsofJoinExec]]/[[BroadcastAsofJoinExec]])
+  * — until round 13 the engine's flagship custom operator was
+  * DataFrame-only and the SQL surface stopped at scalar functions.
+  *
+  * Mechanics: the TVF builder runs during analysis and only sees its
+  * argument EXPRESSIONS (the table names as string literals), so it
+  * returns an [[UnresolvedAsofJoin]] carrying [[UnresolvedRelation]]
+  * children plus the column NAMES; once the analyzer has resolved the
+  * children, [[ResolveAsofJoin]] lowers the node into the same
+  * construction [[graft.operators.AsofJoin.asofJoinNative]] builds —
+  * null-time right rows filtered, right columns re-aliased to fresh
+  * exprIds (self-joins from one scan stay disjoint), the same key /
+  * time / float-key type checks — so the two front doors cannot drift.
+  * The lowered plan then meets [[PushFilterThroughAsofJoin]] and
+  * [[PruneAsofPayload]] in the optimizer exactly like the DataFrame
+  * path (the SQL spec pins pushdown + pruning firing).
+  *
+  * Registered by [[graft.GraftExtensions]] (injectTableFunction +
+  * injectResolutionRule). Both pieces are session-BUILD-time hooks, so
+  * the SQL surface needs `spark.sql.extensions=graft.GraftExtensions`
+  * (which [[graft.GraftSession]] sets for every engine entry point);
+  * a runtime [[GraftPlans.install]] cannot add analyzer rules to an
+  * already-built session — use the DataFrame API there.
+  */
+object AsofSqlJoin {
+
+  /** Argument shape: (left_table, right_table, keys_csv, left_time,
+    * right_time, tie_break[, path]) — all string literals; path is
+    * 'auto' | 'broadcast' | 'merge'. */
+  val usage: String = "asof_join(left_table, right_table, " +
+    "'k1,k2', left_time, right_time, tie_break[, " +
+    "'auto'|'broadcast'|'merge'])"
+
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other if other.foldable && other.dataType == StringType &&
+        other.eval() != null => other.eval().toString
+    case other => throw new IllegalArgumentException(
+      s"asof_join: $what must be a string literal, got $other — $usage")
+  }
+
+  /** The TVF builder ([[graft.GraftExtensions]] injects it as
+    * `asof_join`). */
+  val builder: Seq[Expression] => LogicalPlan = args => {
+    if (args.length < 6 || args.length > 7)
+      throw new IllegalArgumentException(
+        s"asof_join takes 6 or 7 arguments, got ${args.length} — $usage")
+    val broadcast = if (args.length == 7)
+      stringArg(args(6), "path") match {
+        case "auto" => None
+        case "broadcast" => Some(true)
+        case "merge" => Some(false)
+        case other => throw new IllegalArgumentException(
+          s"asof_join: unknown path '$other' (auto|broadcast|merge)")
+      }
+    else None
+    def rel(i: Int, what: String) = UnresolvedRelation(
+      CatalystSqlParser.parseMultipartIdentifier(stringArg(args(i), what)))
+    val keys = stringArg(args(2), "keys")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, s"asof_join: keys must be non-empty — $usage")
+    UnresolvedAsofJoin(rel(0, "left_table"), rel(1, "right_table"), keys,
+      stringArg(args(3), "left_time"), stringArg(args(4), "right_time"),
+      stringArg(args(5), "tie_break"), broadcast)
+  }
+
+  /** What [[graft.GraftExtensions]] passes to injectTableFunction. */
+  val description: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier("asof_join"),
+      new ExpressionInfo(AsofSqlJoin.getClass.getCanonicalName, "asof_join"),
+      builder)
+}
+
+/** The analysis-time placeholder [[AsofSqlJoin.builder]] returns: the
+  * relations are still unresolved when the TVF builder runs, so the
+  * typed [[AsofJoinPlan]] (whose attributes and output struct type
+  * need the children's schemas) cannot be built yet. `resolved` is
+  * pinned false so the analyzer keeps iterating until
+  * [[ResolveAsofJoin]] lowers it; like Spark's own unresolved nodes it
+  * exposes no output. */
+case class UnresolvedAsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    keys: Seq[String],
+    leftTime: String,
+    rightTime: String,
+    tieBreak: String,
+    broadcast: Option[Boolean]) extends BinaryNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): UnresolvedAsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Lowers [[UnresolvedAsofJoin]] to [[AsofJoinPlan]] once both
+  * children are resolved — the plan-level twin of
+  * [[graft.operators.AsofJoin.asofJoinNative]]'s construction, with
+  * the same safety checks (unique column resolution, key/time type
+  * equality, float-key rejection). Injected as an analyzer resolution
+  * rule by [[graft.GraftExtensions]]. */
+object ResolveAsofJoin extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedAsofJoin if u.childrenResolved => lower(u)
+    }
+
+  private def lower(u: UnresolvedAsofJoin): LogicalPlan = {
+    def attr(p: LogicalPlan, name: String, side: String): Attribute = {
+      val hits = p.output.filter(_.name == name)
+      require(hits.size == 1,
+        s"asof_join: column '$name' resolved to ${hits.size} attributes " +
+          s"on the $side side (${p.output.map(_.name).mkString(", ")})")
+      hits.head
+    }
+    // same construction as the DataFrame path: drop null right times
+    // (they cannot satisfy rightTime <= leftTime), then re-alias every
+    // right column so a self-join's sides get disjoint exprIds
+    val rFiltered = Filter(
+      IsNotNull(attr(u.right, u.rightTime, "right")), u.right)
+    val rFresh = Project(
+      rFiltered.output.map(a => Alias(a, a.name)()), rFiltered)
+    val lKeys = u.keys.map(attr(u.left, _, "left"))
+    val rKeys = u.keys.map(attr(rFresh, _, "right"))
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asof_join: key type mismatch: ${l.name} ${l.dataType} vs " +
+          s"${r.dataType}")
+    }
+    lKeys.foreach { k =>
+      require(!graft.operators.AsofJoin.hasFloat(k.dataType),
+        s"asof_join: key '${k.name}' is ${k.dataType}: floating-point " +
+          "keys are not supported — cast to an integral, decimal, or " +
+          "string type")
+    }
+    val lT = attr(u.left, u.leftTime, "left")
+    val rT = attr(rFresh, u.rightTime, "right")
+    require(lT.dataType == rT.dataType,
+      s"asof_join: time type mismatch: ${lT.dataType} vs ${rT.dataType}")
+    val payload = rFresh.output.filterNot(a => u.keys.contains(a.name))
+    val asofOut = AttributeReference(
+      "asof", CreateStruct(payload).dataType, nullable = true)()
+    AsofJoinPlan(u.left, rFresh, lKeys, rKeys, lT, rT,
+      attr(rFresh, u.tieBreak, "right"), payload, asofOut, u.broadcast)
+  }
+}

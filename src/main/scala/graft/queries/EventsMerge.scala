@@ -544,8 +544,33 @@ object EventsMerge {
     true
   }
 
+  /** q73's lookup issued from PURE SQL through the `asof_join`
+    * table-valued function ([[graft.plans.AsofSqlJoin]], injected by
+    * [[graft.GraftExtensions]]): the SQL front door must reach the
+    * same native operator ([[graft.plans.AsofJoinExec]], forced via
+    * the 'merge' path argument) and reproduce the same correlated
+    * argmax — seven plans, one contract (q73/q84/q126–q128/q130/q132).
+    * ExtensionsSpec pins the SQL path's plan shape, pushdown, and
+    * payload pruning; this gate pins the answers under q73's oracle. */
+  private val q132AsofJoinSql: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+      .createOrReplaceTempView("graft_asof_clicks")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .createOrReplaceTempView("graft_asof_purchases")
+    s.sql(
+      """SELECT user_id, event_id AS click_id,
+        |  asof.event_id AS purchase_id, asof.value AS purchase_value
+        |FROM asof_join('graft_asof_clicks', 'graft_asof_purchases',
+        |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
+    "q132_asof_join_sql" -> q132AsofJoinSql,
     "q130_asof_join_native_split" -> q130AsofJoinNativeSplit,
     "q131_asof_join_stale" -> q131AsofJoinStale,
     "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
@@ -585,6 +610,7 @@ object EventsMerge {
     "q84_asof_join_split" -> asofSql,
     "q126_asof_join_native" -> asofSql,
     "q130_asof_join_native_split" -> asofSql,
+    "q132_asof_join_sql" -> asofSql,
     // the staleness-bounded variant: same correlated argmax with the
     // window's lower bound (1 day before the click)
     "q131_asof_join_stale" ->

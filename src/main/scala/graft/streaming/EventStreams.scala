@@ -102,7 +102,18 @@ object EventStreams {
     * dimension's non-key columns (null until the first dimension row
     * at-or-before the event's time — left-outer, same contract as the
     * batch operator; StreamingSpec pins batch/stream parity across
-    * micro-batch boundaries). */
+    * micro-batch boundaries).
+    *
+    * The batch family's deployment knobs work HERE too (StreamingSpec
+    * pins stream == batch on both): `spark.graft.asof.skewSplits`
+    * reroutes merge-path triggers through the time-bucketed split —
+    * the split's bounds come from the static dimension alone, since a
+    * min/max job cannot run on an unbounded stream (stream rows
+    * outside the dimension's range clamp into the edge buckets,
+    * changing spread, never answers) — and `maxStale` applies the
+    * [[graft.operators.AsofJoin.asofJoinTolerance]] staleness bound
+    * inside the kernel, one row-local comparison per event, pruning
+    * intact. */
   def enrichAsof(
       stream: DataFrame,
       dim: DataFrame,
@@ -110,13 +121,14 @@ object EventStreams {
       eventTime: String,
       dimTime: String,
       tieBreak: String,
-      broadcast: Option[Boolean] = Some(true)): DataFrame = {
+      broadcast: Option[Boolean] = Some(true),
+      maxStale: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(stream.isStreaming, "stream side must be a streaming DataFrame")
     require(!dim.isStreaming,
       "dim must be static: stream-stream as-of needs state/watermark " +
         "semantics this operator deliberately does not have")
     graft.operators.AsofJoin.asofJoinNative(
-      stream, dim, keys, eventTime, dimTime, tieBreak, broadcast)
+      stream, dim, keys, eventTime, dimTime, tieBreak, broadcast, maxStale)
   }
 
   case class SketchedDoc(kind_key: Int, bucket: Long, doc_id: Long,

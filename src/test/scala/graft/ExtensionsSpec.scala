@@ -62,4 +62,97 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("asof_join TVF: pure SQL reaches the native operator; pushdown and pruning fire") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        // keep pushed Filters visible over in-memory fixtures: without
+        // this, ConvertToLocalRelation folds the successfully-pushed
+        // predicate INTO the LocalRelation and the plan pin can't see it
+        .config("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      (0L until 40L).map(i => (i % 4, i, i % 23, s"x$i"))
+        .toDF("k", "lid", "t", "x")
+        .createOrReplaceTempView("asof_sql_left")
+      (0L until 30L).map(i => (i % 4, 900L + i, i % 19, s"a$i", s"b$i"))
+        .toDF("k", "rid", "t", "v1", "v2")
+        .createOrReplaceTempView("asof_sql_right")
+      val sql =
+        """SELECT k, lid, asof.rid AS rid
+          |FROM asof_join('asof_sql_left', 'asof_sql_right',
+          |               'k', 't', 't', 'rid', 'merge')""".stripMargin
+      val q = s.sql(sql)
+      // answers == the DataFrame front door (same construction by rule)
+      val viaDf = graft.operators.AsofJoin.asofJoinNative(
+        s.table("asof_sql_left"), s.table("asof_sql_right"),
+        Seq("k"), "t", "t", "rid", broadcast = Some(false))
+        .selectExpr("k", "lid", "asof.rid AS rid")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
+      assert(canon(q) === canon(viaDf))
+      // the SQL path plans the MERGE exec when forced...
+      assert(q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).contains("AsofJoin"),
+        q.queryExecution.executedPlan.toString)
+      // ...and the broadcast exec on 'broadcast' (and 'auto' at this size)
+      for (path <- Seq("broadcast", "auto")) {
+        val qb = s.sql(sql.replace("'merge'", s"'$path'"))
+        assert(canon(qb) === canon(viaDf), path)
+        assert(qb.queryExecution.executedPlan.toString
+          .contains("BroadcastAsofJoin"), path)
+      }
+      // PRUNING fires on the SQL path: the one read field survives,
+      // unread left/right columns leave the children
+      val pruned = s.sql(
+        """SELECT lid, asof.v2 AS v2
+          |FROM asof_join('asof_sql_left', 'asof_sql_right',
+          |               'k', 't', 't', 'rid', 'merge')""".stripMargin)
+      val node = pruned.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AsofJoinPlan => a }
+      assert(node.size === 1)
+      assert(node.head.payload.map(_.name) === Seq("v2"),
+        s"SQL-path payload must prune:\n${pruned.queryExecution.optimizedPlan}")
+      assert(!node.head.left.output.map(_.name).contains("x"))
+      assert(!node.head.right.output.map(_.name).contains("v1"))
+      assert(pruned.collect().length === 40)
+      // PUSHDOWN fires on the SQL path: a left-column predicate moves
+      // below the node (and mirrors onto the right keys)
+      val pushed = s.sql(
+        """SELECT lid, asof.rid AS rid
+          |FROM asof_join('asof_sql_left', 'asof_sql_right',
+          |               'k', 't', 't', 'rid', 'merge')
+          |WHERE k = 2""".stripMargin)
+      val pnode = pushed.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AsofJoinPlan => a }.head
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+      assert(pnode.left.exists(_.isInstanceOf[LFilter]),
+        s"left predicate must push below the node:\n" +
+          pushed.queryExecution.optimizedPlan)
+      assert(pnode.right.exists(_.isInstanceOf[LFilter]),
+        "key predicate must mirror onto the right side")
+      assert(pushed.collect().length === 10)
+      // argument errors are loud and name the contract
+      val e1 = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't')")
+      }
+      assert(e1.getMessage.contains("6 or 7 arguments"))
+      val e2 = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't', 'rid', 'sideways')")
+      }
+      assert(e2.getMessage.contains("unknown path"))
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

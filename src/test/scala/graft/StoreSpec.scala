@@ -495,17 +495,21 @@ class StoreSpec extends AnyFunSuite {
     val lp = new Path(DurableStores.leaseLocation(s, sf, "lease_hb_spec"))
     val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val prevStale = s.conf.getOption("spark.graft.store.leaseStaleMs")
-    s.conf.set("spark.graft.store.leaseStaleMs", "400")
+    // staleMs chosen so the heartbeat (every staleMs/3 = 400 ms) has
+    // wide slack against scheduler starvation on a loaded shared
+    // machine: the beat would have to stall >800 ms for the assertion
+    // to flake, and the verb sleeps long enough for several beats
+    s.conf.set("spark.graft.store.leaseStaleMs", "1200")
     try {
       DurableStores.withWriterLease(s, sf, "lease_hb_spec") {
         // stall well past staleMs: without the heartbeat the lease
         // would age out and a contender's takeover would double-grant;
         // with it, the mtime keeps advancing and a contender observes
         // a FRESH lease and fails fast
-        Thread.sleep(1200)
+        Thread.sleep(3000)
         val age = System.currentTimeMillis() -
           fs.getFileStatus(lp).getModificationTime
-        assert(age < 400,
+        assert(age < 1200,
           s"heartbeat must keep the held lease fresh (age $age ms)")
         // a foreign contender arriving NOW sees a live lease
         val ex = intercept[IllegalStateException] {

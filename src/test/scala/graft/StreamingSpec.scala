@@ -652,4 +652,69 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(got() === batchOut)
   }
+
+  test("streaming as-of: skew-split routing and staleness bound match the batch operator") {
+    // the round-13 gap: EventStreams.enrichAsof reached only the plain
+    // native operator — neither the spark.graft.asof.skewSplits conf
+    // (a stream CANNOT run the split's min/max bounds job; the bounds
+    // now come from the static dimension alone) nor the staleness
+    // bound had a streaming path. Both must give batch == stream.
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_asof_stream_split").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    // hot key 1 dominates both sides (the skew shape the split serves);
+    // ties at repeated dim times exercise the tieBreak through the carry
+    val dim = (0L until 40L)
+      .map(i => (if (i % 5 == 0) 2L else 1L, 900L + i, i * 7, s"v$i"))
+      .toDF("k", "rid", "t", "v")
+    def writeBatch(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("k", "lid", "t").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    writeBatch((0L until 30L).map(i => (1L, i, (i * 13) % 250)))
+    val schema = s.read.parquet(s"$dir/in").schema
+    val stale = 3L
+    try {
+      s.conf.set("spark.graft.asof.skewSplits", "4")
+      val q = EventStreams.enrichAsof(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/in"),
+        dim, Seq("k"), "t", "t", "rid",
+        broadcast = Some(false), // merge path: the conf reroutes it through the split
+        maxStale = Some(lit(stale)))
+        .selectExpr("lid", "asof.rid AS rid")
+        .writeStream.format("memory").queryName("asof_split_enriched")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q.processAllAvailable()
+      // a second micro-batch crosses bucket boundaries statelessly
+      writeBatch((30L until 60L).map(i =>
+        (if (i % 6 == 0) 2L else 1L, i, (i * 19) % 250)))
+      q.processAllAvailable(); q.stop()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .sortBy(_._1).toSeq
+      val streamOut = canon(s.table("asof_split_enriched").collect())
+      // batch twins: the tolerance operator through the UNSPLIT native
+      // kernel, and through the composed window — three paths, one answer
+      val allEvents = s.read.parquet(s"$dir/in")
+      s.conf.unset("spark.graft.asof.skewSplits")
+      val batchNative = canon(graft.operators.AsofJoin.asofJoinTolerance(
+        allEvents, dim, Seq("k"), "t", "t", "rid", lit(stale), impl = "native")
+        .selectExpr("lid", "asof.rid AS rid").collect())
+      val batchComposed = canon(graft.operators.AsofJoin.asofJoinTolerance(
+        allEvents, dim, Seq("k"), "t", "t", "rid", lit(stale),
+        impl = "composed")
+        .selectExpr("lid", "asof.rid AS rid").collect())
+      assert(streamOut === batchNative,
+        "stream through conf-split + kernel bound must equal unsplit batch")
+      assert(streamOut === batchComposed)
+      // the bound actually bit (some winners nulled vs the unbounded join)
+      val unbounded = canon(graft.operators.AsofJoin.asofJoinNative(
+        allEvents, dim, Seq("k"), "t", "t", "rid", broadcast = Some(true))
+        .selectExpr("lid", "asof.rid AS rid").collect())
+      assert(streamOut !== unbounded,
+        "fixture must exercise the staleness bound")
+    } finally s.conf.unset("spark.graft.asof.skewSplits")
+  }
 }
