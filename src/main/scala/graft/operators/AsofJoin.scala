@@ -186,6 +186,13 @@ object AsofJoin {
     * @param maxStale optional staleness bound (the [[asofJoinTolerance]]
     *                contract) evaluated INSIDE the kernel — see that
     *                method for semantics and the pruning argument.
+    * @param splitBounds optional (lo, hi) of the time axis, used ONLY
+    *                when the skewSplits conf reroutes this call through
+    *                [[asofJoinNativeSplit]]: a stored dimension that
+    *                already knows its range (e.g. a manifest note —
+    *                [[graft.storage.DurableStores.readNote]]) passes it
+    *                so the split skips its min/max job. Stale or
+    *                conservative bounds are safe (bucketOf clamps).
     */
   def asofJoinNative(
       left: DataFrame,
@@ -195,7 +202,8 @@ object AsofJoin {
       rightTime: String,
       tieBreak: String,
       broadcast: Option[Boolean] = None,
-      maxStale: Option[Column] = None): DataFrame = {
+      maxStale: Option[Column] = None,
+      splitBounds: Option[(Double, Double)] = None): DataFrame = {
     // deployment-level skew routing: `spark.graft.asof.skewSplits` >= 2
     // sends merge-path joins through the time-bucketed native split
     // (one hot entity stops serializing on one task) without any code
@@ -219,7 +227,7 @@ object AsofJoin {
     if (skewSplits >= 2 &&
         (broadcast.contains(false) || (broadcast.isEmpty && statsPickMerge)))
       asofJoinNativeSplit(left, right, keys, leftTime, rightTime, tieBreak,
-        numSplits = skewSplits, maxStale = maxStale)
+        numSplits = skewSplits, bounds = splitBounds, maxStale = maxStale)
     else
       asofJoinNativeImpl(left, right, keys, leftTime, rightTime, tieBreak,
         broadcast, maxStale)

@@ -306,11 +306,38 @@ object EventsMerge {
         eventsTsMicros(s, d).filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")),
         Seq("user_id"), Seq("user_id", "ts", "event_id"), numBuckets = 16)
+      // record the dimension's time axis once at build (manifest-
+      // sidecar note), so a skewSplits-routed probe passes it as the
+      // split's bounds and skips the per-query min/max job — the
+      // write-once layout buys the bounds the way it buys the sort
+      val b = s.table(tbl)
+        .agg(min(col("ts").cast("double")), max(col("ts").cast("double")))
+        .head()
+      if (!b.isNullAt(0) && !b.isNullAt(1))
+        DurableStores.writeNote(s, d, "asof_dim", "ts_bounds",
+          s"${b.getDouble(0)},${b.getDouble(1)}")
       Seq(DurableStores.TableMeta.bucketedSorted(s, tbl, Seq("user_id"),
         Seq("user_id", "ts", "event_id"), 16))
     }
     s.table(tbl)
   }
+
+  /** The stored dimension's time-axis bounds from its build-time
+    * manifest note, or None (pre-note store, empty dim) — callers fall
+    * back to the split's own min/max job. Accept deltas can extend the
+    * real axis past the note; that only CLAMPS late rows into the last
+    * bucket (bucketOf is a clamped floor), never changes answers. */
+  private[graft] def asofDimTimeBounds(
+      s: SparkSession, d: String): Option[(Double, Double)] =
+    graft.storage.DurableStores.readNote(s, d, "asof_dim", "ts_bounds")
+      .flatMap { v =>
+        v.split(",") match {
+          case Array(lo, hi) =>
+            try Some((lo.toDouble, hi.toDouble))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
 
   /** q73's lookup with the DIMENSION AT REST ([[asofDimStore]]): the
     * native merge exec's right-side requirements (clustered on the
@@ -322,9 +349,15 @@ object EventsMerge {
     import s.implicits._
     val clicks = eventsTsMicros(s, d).filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts")
+    val dim = asofDimStore(s, d)
     graft.operators.AsofJoin.asofJoinNative(
-      clicks, asofDimStore(s, d), Seq("user_id"), "ts", "ts", "event_id",
-      broadcast = Some(false))
+      clicks, dim, Seq("user_id"), "ts", "ts", "event_id",
+      broadcast = Some(false),
+      // manifest-carried time axis: if a deployment routes this probe
+      // through the skew split (spark.graft.asof.skewSplits), the
+      // split reuses the bounds the store recorded at build instead of
+      // re-scanning both time columns (StoreSpec pins note + parity)
+      splitBounds = asofDimTimeBounds(s, d))
       .select($"user_id", $"event_id".as("click_id"),
         $"asof".getField("event_id").as("purchase_id"),
         $"asof".getField("value").as("purchase_value"))

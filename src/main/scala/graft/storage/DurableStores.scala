@@ -317,13 +317,65 @@ object DurableStores {
       val f = fs(s, st.path(t.name))
       f.delete(new Path(st.path(t.name)), true)
     }
-    // commit markers, the folded-batch ledger, and any writer lease
-    // live and die with the store's manifest
+    // commit markers, the folded-batch ledger, any writer lease, and
+    // sidecar notes live and die with the store's manifest
     fs(s, mp.toString).delete(markerDir(mp), true)
     fs(s, mp.toString).delete(foldedLedger(mp), false)
     fs(s, mp.toString).delete(ledgerTmp(mp), false)
     fs(s, mp.toString).delete(leasePath(mp), false)
+    val noteGlob = new Path(mp.getParent,
+      mp.getName.stripSuffix(".meta") + ".note_*")
+    Option(fs(s, mp.toString).globStatus(noteGlob)).toSeq.flatten
+      .foreach(n => fs(s, mp.toString).delete(n.getPath, false))
     fs(s, mp.toString).delete(mp, false)
+  }
+
+  // ---- sidecar notes -------------------------------------------------
+
+  private def notePath(mp: Path, key: String): Path = {
+    require(key.matches("[A-Za-z0-9_-]+"), s"note key must be a slug: $key")
+    new Path(mp.getParent, mp.getName.stripSuffix(".meta") + s".note_$key")
+  }
+
+  /** Record a small DATA-DERIVED fact next to `store`'s manifest —
+    * e.g. the as-of dimension's time-axis (min, max), written once at
+    * build so split-path probes can skip their own min/max job
+    * ([[graft.operators.AsofJoin.asofJoinNativeSplit]]'s bounds
+    * overload). Notes are deliberately NOT part of the build-params
+    * contract: `params` is the CALLER's declaration compared for
+    * staleness, so a data-derived value there would force a rebuild
+    * loop. Builders write notes before the manifest lands (a crashed
+    * build leaves no manifest, and the rebuild rewrites the note);
+    * [[drop]] removes them with the store. Values must be one line. */
+  def writeNote(s: SparkSession, dataDir: String, store: String,
+      key: String, value: String): Unit = {
+    require(!value.contains("\n"), "note values are one line")
+    val np = notePath(manifestPath(s, store, dataDir), key)
+    val f = fs(s, np.toString)
+    f.mkdirs(np.getParent)
+    val tmp = new Path(np.getParent, np.getName + ".tmp")
+    val out = new OutputStreamWriter(f.create(tmp, true),
+      StandardCharsets.UTF_8)
+    try out.write(value) finally out.close()
+    f.delete(np, false)
+    f.rename(tmp, np)
+  }
+
+  /** The note's value, or None when absent/unreadable — callers treat
+    * a missing note as "derive it yourself" (the pre-note behavior),
+    * never an error. */
+  def readNote(s: SparkSession, dataDir: String, store: String,
+      key: String): Option[String] = {
+    val np = notePath(manifestPath(s, store, dataDir), key)
+    val f = fs(s, np.toString)
+    try {
+      if (!f.exists(np)) None
+      else {
+        val in = new BufferedReader(new InputStreamReader(
+          f.open(np), StandardCharsets.UTF_8))
+        try Option(in.readLine()) finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
   // ---- cross-process writer lease ------------------------------------

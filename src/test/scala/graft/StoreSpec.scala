@@ -572,6 +572,58 @@ class StoreSpec extends AnyFunSuite {
     } finally fs.delete(lp, false)
   }
 
+  test("asof dim store records its time axis at build; a split-routed probe reuses it unchanged") {
+    val s = spark
+    import s.implicits._
+    import graft.storage.DurableStores
+    def canon(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val q128 = graft.queries.EventsMerge.queries("q128_asof_join_stored")
+    // a store built before the note existed serves fine without it
+    // (readers fall back to their own bounds job) — force one fresh
+    // build so this spec exercises the note-writing path
+    if (graft.queries.EventsMerge.asofDimTimeBounds(s, sf).isEmpty)
+      DurableStores.drop(s, sf, "asof_dim")
+    val baseRows = canon(q128(s, sf))
+    // the build recorded the dimension's true time axis as a manifest
+    // sidecar note (data-derived, so NOT in the params contract)
+    val bounds = graft.queries.EventsMerge.asofDimTimeBounds(s, sf)
+    assert(bounds.isDefined, "asof_dim build must record ts_bounds")
+    val truth = s.table(
+      graft.storage.Storage.tableNameFor("graft_asof_dim", sf))
+      .agg(min($"ts".cast("double")), max($"ts".cast("double"))).head()
+    assert(bounds.get === ((truth.getDouble(0), truth.getDouble(1))),
+      "the note must be the dim's actual min/max")
+    // a deployment that routes the stored probe through the skew split
+    // hands the note to the split as its bounds (no per-query min/max
+    // job — AsofJoinSpec pins the zero-job property at operator level);
+    // answers must not move
+    val prev = s.conf.getOption("spark.graft.asof.skewSplits")
+    s.conf.set("spark.graft.asof.skewSplits", "4")
+    try assert(canon(q128(s, sf)) === baseRows,
+      "split-routed stored probe must equal the unrouted plan")
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.asof.skewSplits", v)
+      case None => s.conf.unset("spark.graft.asof.skewSplits")
+    }
+    // notes overwrite atomically and die with the store
+    DurableStores.writeNote(s, sf, "asof_dim", "spec_probe", "v1")
+    DurableStores.writeNote(s, sf, "asof_dim", "spec_probe", "v2")
+    assert(DurableStores.readNote(s, sf, "asof_dim", "spec_probe")
+      === Some("v2"))
+    DurableStores.drop(s, sf, "asof_dim")
+    assert(DurableStores.readNote(s, sf, "asof_dim", "ts_bounds") === None,
+      "drop must remove sidecar notes")
+    assert(DurableStores.readNote(s, sf, "asof_dim", "spec_probe") === None)
+    // and a rebuild restores both the store and its bounds note
+    assert(canon(q128(s, sf)) === baseRows)
+    assert(graft.queries.EventsMerge.asofDimTimeBounds(s, sf) === bounds)
+    graft.engine.CacheRegistry.releaseAll()
+  }
+
   test("a partial (uncommitted) accept is invisible until its commit marker exists") {
     val s = spark
     import s.implicits._
