@@ -157,8 +157,14 @@ object StoreChain {
       // the lease or failed fast on the holder. durchain.sh runs them
       // OVERLAPPED (real concurrent processes, real pids), then
       // re-runs leasetry after the holder exits to show the retry
-      // succeeds.
+      // succeeds. GRAFT_LEASE_STALE_MS (both phases) shortens
+      // spark.graft.store.leaseStaleMs so the hold can CROSS the
+      // staleness horizon: the contender then stays out only because
+      // the holder's heartbeat keeps renewing the lease's mtime — the
+      // cross-process form of StoreSpec's heartbeat pin.
       case "leasehold" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
         val secs = sys.env.getOrElse("GRAFT_LEASE_HOLD_SECS", "120").toInt
         graft.storage.DurableStores.withWriterLease(
             spark, dataDir, "sketch_accept") {
@@ -169,6 +175,8 @@ object StoreChain {
         }
         println(s"""{"phase":"leasehold","released":true}""")
       case "leasetry" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
         import spark.implicits._
         val out =
           try {

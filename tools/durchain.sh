@@ -28,6 +28,10 @@ sbt -batch "runMain graft.StoreChain compact $D" > $OUT/jvm4.log 2>&1
 grep -h '{"phase"' $OUT/jvm4.log | tail -1 > $OUT/jvm4.json
 snap 4
 echo "=== JVM5 writer-lease contention (two overlapped processes)"
+# staleMs (30 s) << hold (180 s): the contender stays out ONLY because
+# the holder's heartbeat keeps the lease mtime fresh — without it the
+# contender's stale takeover would double-grant mid-hold
+export GRAFT_LEASE_STALE_MS=30000
 GRAFT_LEASE_HOLD_SECS=180 sbt -batch "runMain graft.StoreChain leasehold $D" > $OUT/jvm5a.log 2>&1 &
 HOLDPID=$!
 for i in $(seq 1 120); do
