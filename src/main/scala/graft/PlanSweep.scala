@@ -79,9 +79,12 @@ object PlanSweep {
             // sweep; escape backslashes before quotes so the embedded
             // message can never produce invalid JSON
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            // ALL control chars (not just \n) must go: Spark messages
+            // embed plan fragments with tabs/CRs, and a raw control
+            // char inside a JSON string breaks json.loads downstream
             Audit(name, -1, -1, -1, -1, -1, -1, -1,
-              Some(msg.take(200).replace("\\", "/")
-                .replace('\n', ' ').replace('"', '\'')))
+              Some(msg.take(200).replace("\\", "/").replace('"', '\'')
+                .map(c => if (c < ' ') ' ' else c)))
         }
     }
     val rows = audits.map { a =>

@@ -192,8 +192,20 @@ object StoreChain {
                 if e.getMessage.contains("another process") =>
               val holder = e.getMessage
                 .split("\\(", 2)(1).split(", lease", 2)(0)
+              // the contender's OBSERVED lease age: with the holder
+              // held far past leaseStaleMs, an age below staleMs is
+              // the heartbeat's doing — the cross-process evidence
+              val age = "age (\\d+)\\s*ms".r
+                .findFirstMatchIn(e.getMessage)
+                .map(_.group(1)).getOrElse("-1")
+              val elapsed = "since=(\\d+)".r
+                .findFirstMatchIn(holder)
+                .map(m => System.currentTimeMillis() - m.group(1).toLong)
+                .getOrElse(-1L)
               s"""{"phase":"leasetry","acquired":false,""" +
                 s""""pid":${ProcessHandle.current().pid()},""" +
+                s""""observed_lease_age_ms":$age,""" +
+                s""""holder_held_for_ms":$elapsed,""" +
                 s""""holder":"$holder"}"""
           }
         println(out)

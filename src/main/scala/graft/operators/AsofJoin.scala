@@ -210,11 +210,23 @@ object AsofJoin {
     // change at the call sites — the same conf-only contract as
     // GraftExtensions. Covered shapes: an explicit broadcast=Some(false)
     // call, AND the default broadcast=None call whose right side is too
-    // big to broadcast (read against the SAME stats + threshold
-    // contract AsofJoinStrategy plans by) — the stats-driven default is
-    // exactly the skew-prone shape most callers write, so the knob must
-    // protect it. Broadcast-path joins are exempt: the fact side is
-    // never shuffled there, so key skew cannot concentrate a task.
+    // big to broadcast — the stats-driven default is exactly the
+    // skew-prone shape most callers write, so the knob must protect it.
+    // Broadcast-path joins are exempt: the fact side is never shuffled
+    // there, so key skew cannot concentrate a task.
+    //
+    // Honesty about the estimate: the decision reads the SAME threshold
+    // as AsofJoinStrategy but sizes the STANDALONE right fragment at
+    // this call, BEFORE PruneAsofPayload has narrowed it to what the
+    // final query reads — so a wide right that would have pruned under
+    // the threshold is routed to the split even though the unrouted
+    // plan would have broadcast. That errs toward skew protection (the
+    // split is correct and shuffle-bound, never wrong); a caller who
+    // knows the post-prune width fits should say broadcast=Some(true),
+    // which this knob never overrides. The sizing itself is one
+    // driver-side optimizer pass over the right fragment per call —
+    // the same cost class as the split's own planning, paid only when
+    // the knob is set with broadcast=None.
     val skewSplits = left.sparkSession.conf
       .get("spark.graft.asof.skewSplits", "0").toInt
     def statsPickMerge: Boolean = {

@@ -138,9 +138,15 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
           s"on the $side side (${p.output.map(_.name).mkString(", ")})")
       hits.head
     }
-    // same construction as the DataFrame path: drop null right times
-    // (they cannot satisfy rightTime <= leftTime), then re-alias every
-    // right column so a self-join's sides get disjoint exprIds
+    // same construction as the DataFrame path, same guards: the left
+    // relation may not already carry an 'asof' column (the output
+    // would hold two same-named columns and die downstream with a
+    // generic ambiguity instead of this contract error)
+    require(u.left.output.forall(_.name != "asof"),
+      "asof_join: the left table already has an 'asof' column")
+    // drop null right times (they cannot satisfy rightTime <=
+    // leftTime), then re-alias every right column so a self-join's
+    // sides get disjoint exprIds
     val rFiltered = Filter(
       IsNotNull(attr(u.right, u.rightTime, "right")), u.right)
     val rFresh = Project(

@@ -125,24 +125,43 @@ object DurableStores {
     * migration cost of closing the parameter-staleness hole (a store
     * built with old k/bands/cutoff silently serving a caller whose
     * code changed them). */
+  /** Write `content` to `p` via tmp-write + delete + rename — ONE copy
+    * of the swap so its crash-window semantics (a crash between delete
+    * and rename leaves no file, which every reader treats as absent)
+    * live in one place. Used by the manifest and the sidecar notes. */
+  private def writeAtomic(f: FileSystem, p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = new OutputStreamWriter(f.create(tmp, true),
+      StandardCharsets.UTF_8)
+    try out.write(content) finally out.close()
+    f.delete(p, false)
+    f.rename(tmp, p)
+  }
+
+  /** First line of `p`, or None (absent, empty, or unreadable) — ONE
+    * copy of the read-with-cleanup dance, shared by the lease and the
+    * sidecar notes. */
+  private def readFirstLine(f: FileSystem, p: Path): Option[String] =
+    try {
+      if (!f.exists(p)) None
+      else {
+        val in = new BufferedReader(new InputStreamReader(
+          f.open(p), StandardCharsets.UTF_8))
+        try Option(in.readLine()) finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+
   private def writeManifest(s: SparkSession, p: Path, fp: String,
       params: String, tables: Seq[TableMeta]): Unit = {
     require(!params.contains("\n") && !params.contains("|"),
       s"store params must be newline- and pipe-free: $params")
-    val f = fs(s, p.toString)
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
-    val out = new OutputStreamWriter(f.create(tmp, true), StandardCharsets.UTF_8)
-    try {
-      out.write(fp + "|" + params + "\n")
-      tables.foreach { t =>
-        out.write((Seq(t.name, t.layout, t.numBuckets.toString,
-          t.layoutCols.mkString(","), t.schemaDdl) ++
-          (if (t.sortCols.isEmpty) Nil else Seq(t.sortCols.mkString(","))))
-          .mkString("\t") + "\n")
-      }
-    } finally out.close()
-    f.delete(p, false)
-    f.rename(tmp, p)
+    val body = (Seq(fp + "|" + params) ++ tables.map { t =>
+      (Seq(t.name, t.layout, t.numBuckets.toString,
+        t.layoutCols.mkString(","), t.schemaDdl) ++
+        (if (t.sortCols.isEmpty) Nil else Seq(t.sortCols.mkString(","))))
+        .mkString("\t")
+    }).mkString("", "\n", "\n")
+    writeAtomic(fs(s, p.toString), p, body)
   }
 
   private def readManifest(s: SparkSession,
@@ -353,12 +372,7 @@ object DurableStores {
     val np = notePath(manifestPath(s, store, dataDir), key)
     val f = fs(s, np.toString)
     f.mkdirs(np.getParent)
-    val tmp = new Path(np.getParent, np.getName + ".tmp")
-    val out = new OutputStreamWriter(f.create(tmp, true),
-      StandardCharsets.UTF_8)
-    try out.write(value) finally out.close()
-    f.delete(np, false)
-    f.rename(tmp, np)
+    writeAtomic(f, np, value)
   }
 
   /** The note's value, or None when absent/unreadable — callers treat
@@ -367,15 +381,7 @@ object DurableStores {
   def readNote(s: SparkSession, dataDir: String, store: String,
       key: String): Option[String] = {
     val np = notePath(manifestPath(s, store, dataDir), key)
-    val f = fs(s, np.toString)
-    try {
-      if (!f.exists(np)) None
-      else {
-        val in = new BufferedReader(new InputStreamReader(
-          f.open(np), StandardCharsets.UTF_8))
-        try Option(in.readLine()) finally in.close()
-      }
-    } catch { case _: java.io.IOException => None }
+    readFirstLine(fs(s, np.toString), np)
   }
 
   // ---- cross-process writer lease ------------------------------------
@@ -404,18 +410,40 @@ object DurableStores {
   private val leaseStates =
     scala.collection.mutable.Map.empty[String, LeaseState]
 
-  /** One daemon thread renews every held lease's mtime: a verb that
+  /** Daemon threads renewing every held lease's mtime: a verb that
     * runs longer than `leaseStaleMs` (a 100×-scale compact) must not
     * be silently preempted by a contender's stale-lease takeover
     * mid-write. The touch is an mtime bump (`setTimes`), the exact
-    * freshness signal the takeover check reads. */
+    * freshness signal the takeover check reads. A small POOL (not one
+    * thread): the touch is blocking filesystem I/O, and one store's
+    * hung call (network partition on an object store) must not starve
+    * every other held lease's renewal. */
   private lazy val leaseHeartbeats =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+    java.util.concurrent.Executors.newScheduledThreadPool(4,
       (r: Runnable) => {
         val t = new Thread(r, "graft-lease-heartbeat")
         t.setDaemon(true)
         t
       })
+
+  /** One heartbeat tick. Failures are counted and LOUD after the
+    * second consecutive one — a persistently failing renewal (e.g. a
+    * connector without setTimes, a permissions change on _meta) means
+    * the anti-preemption guarantee is gone and the operator must know
+    * before a contender takes the lease over mid-verb. */
+  private def heartbeatTick(f: FileSystem, lp: Path,
+      failures: java.util.concurrent.atomic.AtomicInteger): Unit =
+    try {
+      f.setTimes(lp, System.currentTimeMillis(), -1)
+      failures.set(0)
+    } catch {
+      case e: Exception =>
+        if (failures.incrementAndGet() >= 2)
+          System.err.println(s"[graft] WARNING: writer-lease heartbeat " +
+            s"on $lp has failed ${failures.get()} times in a row " +
+            s"(${e.getClass.getName}: ${e.getMessage}) — the lease can " +
+            "go stale mid-verb and a contender may take it over")
+    }
 
   private def leasePath(mp: Path): Path =
     new Path(mp.getParent, mp.getName.stripSuffix(".meta") + ".lease")
@@ -443,12 +471,15 @@ object DurableStores {
     * `spark.graft.store.leaseStaleMs` (default 30 min) are taken over
     * — but a LIVE long verb never goes stale, because a heartbeat
     * thread renews the held lease's mtime every staleMs/3 while the
-    * verb runs ([[leaseHeartbeats]]). Takeover is double-grant-safe:
+    * verb runs ([[leaseHeartbeats]]). Takeover guards against the
+    * double grant (see [[takeOverStaleLease]] for the honest scope —
+    * narrowed to a syscall window and re-verified, not made atomic):
     * the stale lease is deleted only if its mtime is UNCHANGED from
     * the stale observation (a racing taker-over's fresh lease, or a
     * late heartbeat, has a new mtime and is never destroyed), and the
-    * takeover's own create is verified by reading the unique token
-    * back. StoreSpec simulates the two-process contention at the file
+    * takeover's own create is verified — twice, around a settle pause
+    * — by reading the unique token back.
+    * StoreSpec simulates the two-process contention at the file
     * level: a planted foreign lease fails the verb fast — from EVERY
     * concurrent in-JVM thread, with the foreign lease left intact; an
     * aged one is taken over; a verb stalled past staleMs keeps its
@@ -466,9 +497,9 @@ object DurableStores {
         st.acquired = true
         val staleMs = leaseStaleMs(s)
         val period = math.max(staleMs / 3, 25L)
+        val failures = new java.util.concurrent.atomic.AtomicInteger(0)
         st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
-          () => try f.setTimes(lp, System.currentTimeMillis(), -1)
-            catch { case _: Exception => () }, // next beat retries
+          () => heartbeatTick(f, lp, failures),
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       }
       st.holders += 1
@@ -503,11 +534,7 @@ object DurableStores {
       s"nonce=${java.util.UUID.randomUUID()}"
 
   private def readLease(f: FileSystem, lp: Path): String =
-    try {
-      val in = new BufferedReader(new InputStreamReader(
-        f.open(lp), StandardCharsets.UTF_8))
-      try Option(in.readLine()).getOrElse("") finally in.close()
-    } catch { case _: java.io.IOException => "<unreadable>" }
+    readFirstLine(f, lp).getOrElse("<unreadable>")
 
   /** Create-new the lease file with `token`; false if it exists. */
   private def createLease(f: FileSystem, lp: Path, token: String): Boolean =
@@ -552,21 +579,32 @@ object DurableStores {
   /** Take over a lease observed stale at `observedMtime`. Two
     * processes can observe the SAME stale lease and race here; the
     * naive delete-and-retry lets the second delete the first's
-    * freshly created lease (double grant). Two guards close it:
+    * freshly created lease (double grant). Guards, honestly scoped —
+    * a plain filesystem has no compare-and-swap, so the window is
+    * NARROWED to the stat→delete syscall gap and then re-checked, not
+    * eliminated by atomicity:
     *
     *  - CONDITIONAL DELETE: re-stat immediately before deleting and
     *    only delete while the mtime is unchanged from the stale
     *    observation — a racing winner's fresh lease (current mtime)
-    *    or a live holder's late heartbeat is never destroyed;
+    *    or a live holder's late heartbeat is never destroyed unless
+    *    the racer's create lands inside the stat→delete gap itself;
     *  - VERIFIED CREATE: after create-new succeeds, read the lease
     *    back and require OUR unique token — if another process won an
     *    interleaved delete/create, this attempt fails fast instead of
-    *    both proceeding.
+    *    both proceeding;
+    *  - SETTLE + SECOND VERIFY: a short pause then a re-read, so a
+    *    racer whose conditional delete was already in flight when our
+    *    lease landed is caught by whichever side reads last.
     *
-    * Any contention outcome throws IllegalStateException (the same
-    * fail-fast contract as a live foreign holder): takeover is for
-    * DEAD holders, and a raced takeover means the store has a live
-    * contender to back off from. */
+    * Residual exposure is one side's delete landing between the other
+    * side's settle re-read and its verb start — a sub-millisecond
+    * syscall window that also requires both processes to have observed
+    * the same dead holder; the heartbeat exists so a LIVE holder never
+    * presents that bait. Any contention outcome throws
+    * IllegalStateException (the same fail-fast contract as a live
+    * foreign holder): takeover is for DEAD holders, and a raced
+    * takeover means the store has a live contender to back off from. */
   private[graft] def takeOverStaleLease(s: SparkSession, f: FileSystem,
       lp: Path, store: String, observedMtime: Long): Unit = {
     val cur =
@@ -587,12 +625,41 @@ object DurableStores {
       throw new IllegalStateException(
         s"lost the stale-lease takeover race for store '$store' at $lp " +
           s"to ${readLease(f, lp)} — retry after it finishes")
-    val readBack = readLease(f, lp)
-    if (readBack != token) {
+    // verify (twice, with a settle between): our unique token must be
+    // what the file holds. A transient unreadable read must NOT strand
+    // the lease we just created — retry the read, and if it stays
+    // unreadable, remove OUR file (identified by the create's mtime)
+    // before backing off, so the store is not locked for staleMs with
+    // no holder.
+    val createdMtime =
+      try f.getFileStatus(lp).getModificationTime
+      catch { case _: java.io.IOException => -1L }
+    def verifiedRead(): String = {
+      var attempts = 0
+      var got = readLease(f, lp)
+      while (got == "<unreadable>" && attempts < 3) {
+        Thread.sleep(50); attempts += 1; got = readLease(f, lp)
+      }
+      got
+    }
+    def backOff(got: String): Nothing = {
+      if (got == "<unreadable>") {
+        // can't tell whose it is by content; the mtime can — only our
+        // own create is deleted, a racer's newer file is left alone
+        val curM =
+          try Some(f.getFileStatus(lp).getModificationTime)
+          catch { case _: java.io.IOException => None }
+        if (curM.contains(createdMtime)) f.delete(lp, false)
+      }
       throw new IllegalStateException(
         s"stale-lease takeover verification failed for store '$store' " +
-          s"at $lp: lease now held by $readBack — backing off")
+          s"at $lp: lease now held by $got — backing off")
     }
+    val first = verifiedRead()
+    if (first != token) backOff(first)
+    Thread.sleep(100) // settle: give a racer's in-flight delete time to land
+    val second = verifiedRead()
+    if (second != token) backOff(second)
   }
 
   // ---- accept-write serialization + per-batch commit markers --------

@@ -100,10 +100,14 @@ class ExtensionsSpec extends AnyFunSuite {
         df.collect().map(r => (r.getLong(0), r.getLong(1),
           Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
       assert(canon(q) === canon(viaDf))
-      // the SQL path plans the MERGE exec when forced...
-      assert(q.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==")(0).contains("AsofJoin"),
-        q.queryExecution.executedPlan.toString)
+      // the SQL path plans the MERGE exec when forced... ("AsofJoin"
+      // alone is a vacuous pin — it is a substring of
+      // "BroadcastAsofJoin", so also assert the broadcast exec is NOT
+      // what planned)
+      val mergePlan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(mergePlan.contains("AsofJoin") &&
+        !mergePlan.contains("BroadcastAsofJoin"), mergePlan)
       // ...and the broadcast exec on 'broadcast' (and 'auto' at this size)
       for (path <- Seq("broadcast", "auto")) {
         val qb = s.sql(sql.replace("'merge'", s"'$path'"))

@@ -525,7 +525,7 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
-  test("stale takeover: conditional delete and verified create close the double-grant") {
+  test("stale takeover: conditional delete and verified create guard the double-grant") {
     val s = spark
     import graft.storage.DurableStores
     import org.apache.hadoop.fs.Path

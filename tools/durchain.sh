@@ -38,6 +38,11 @@ for i in $(seq 1 120); do
   ls $GRAFT_STORE_ROOT/_meta/sketch_accept_*.lease >/dev/null 2>&1 && break
   sleep 2
 done
+# wait PAST the stale horizon before contending: the evidence is only
+# about the heartbeat if the lease is older than staleMs when the
+# contender stats it — without the delay a warm sbt gets there in ~15 s
+# and the ordinary live-holder path would fire regardless of heartbeat
+sleep 45
 sbt -batch "runMain graft.StoreChain leasetry $D" > $OUT/jvm5b.log 2>&1 || true
 grep -h '{"phase"' $OUT/jvm5b.log | tail -1 > $OUT/jvm5b.json
 wait $HOLDPID || true
