@@ -95,7 +95,8 @@ object Bench {
     "q14_running_window", "q73_asof_join", "q126_asof_join_native",
     "q127_asof_join_broadcast", "q128_asof_join_stored",
     "q129_asof_accept_probe", "q130_asof_join_native_split",
-    "q131_asof_join_stale", "q132_asof_join_sql")
+    "q131_asof_join_stale", "q132_asof_join_sql",
+    "q133_asof_join_sql_stale")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -3,13 +3,16 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, CreateStruct, Expression,
-  ExpressionInfo, IsNotNull, Literal}
+  Alias, Attribute, AttributeReference, Cast, CreateStruct, Expression,
+  ExpressionInfo, IsNotNull, Literal, Subtract, TimestampAddInterval,
+  UnaryMinus}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{
   BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{
+  DayTimeIntervalType, NumericType, StringType, TimestampNTZType,
+  TimestampType}
 
 /** The SQL surface of the native as-of operator family: a
   * table-valued function
@@ -49,11 +52,15 @@ import org.apache.spark.sql.types.StringType
 object AsofSqlJoin {
 
   /** Argument shape: (left_table, right_table, keys_csv, left_time,
-    * right_time, tie_break[, path]) — all string literals; path is
-    * 'auto' | 'broadcast' | 'merge'. */
+    * right_time, tie_break[, path[, max_stale]]) — all string
+    * literals; path is 'auto' | 'broadcast' | 'merge'; max_stale is
+    * the staleness bound ([[graft.operators.AsofJoin
+    * .asofJoinTolerance]] semantics) as a literal in the time axis's
+    * own arithmetic — '86400000000' for a day of epoch micros, or
+    * 'INTERVAL 1 DAY' for a timestamp axis. */
   val usage: String = "asof_join(left_table, right_table, " +
     "'k1,k2', left_time, right_time, tie_break[, " +
-    "'auto'|'broadcast'|'merge'])"
+    "'auto'|'broadcast'|'merge'[, max_stale]])"
 
   private def stringArg(e: Expression, what: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString
@@ -66,10 +73,10 @@ object AsofSqlJoin {
   /** The TVF builder ([[graft.GraftExtensions]] injects it as
     * `asof_join`). */
   val builder: Seq[Expression] => LogicalPlan = args => {
-    if (args.length < 6 || args.length > 7)
+    if (args.length < 6 || args.length > 8)
       throw new IllegalArgumentException(
-        s"asof_join takes 6 or 7 arguments, got ${args.length} — $usage")
-    val broadcast = if (args.length == 7)
+        s"asof_join takes 6 to 8 arguments, got ${args.length} — $usage")
+    val broadcast = if (args.length >= 7)
       stringArg(args(6), "path") match {
         case "auto" => None
         case "broadcast" => Some(true)
@@ -78,6 +85,21 @@ object AsofSqlJoin {
           s"asof_join: unknown path '$other' (auto|broadcast|merge)")
       }
     else None
+    // max_stale parses NOW (fail fast on syntax) and must fold to a
+    // literal — the bound is a constant of the query, not a per-row
+    // expression
+    val maxStale = if (args.length == 8) {
+      val text = stringArg(args(7), "max_stale")
+      val e =
+        try CatalystSqlParser.parseExpression(text)
+        catch {
+          case ex: Exception => throw new IllegalArgumentException(
+            s"asof_join: cannot parse max_stale '$text': ${ex.getMessage}")
+        }
+      require(e.foldable,
+        s"asof_join: max_stale must be a literal, got '$text'")
+      Some(Literal.create(e.eval(), e.dataType))
+    } else None
     def rel(i: Int, what: String) = UnresolvedRelation(
       CatalystSqlParser.parseMultipartIdentifier(stringArg(args(i), what)))
     val keys = stringArg(args(2), "keys")
@@ -85,7 +107,7 @@ object AsofSqlJoin {
     require(keys.nonEmpty, s"asof_join: keys must be non-empty — $usage")
     UnresolvedAsofJoin(rel(0, "left_table"), rel(1, "right_table"), keys,
       stringArg(args(3), "left_time"), stringArg(args(4), "right_time"),
-      stringArg(args(5), "tie_break"), broadcast)
+      stringArg(args(5), "tie_break"), broadcast, maxStale)
   }
 
   /** What [[graft.GraftExtensions]] passes to injectTableFunction. */
@@ -110,7 +132,8 @@ case class UnresolvedAsofJoin(
     leftTime: String,
     rightTime: String,
     tieBreak: String,
-    broadcast: Option[Boolean]) extends BinaryNode {
+    broadcast: Option[Boolean],
+    maxStale: Option[Literal] = None) extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildrenInternal(
@@ -171,7 +194,42 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
     val payload = rFresh.output.filterNot(a => u.keys.contains(a.name))
     val asofOut = AttributeReference(
       "asof", CreateStruct(payload).dataType, nullable = true)()
-    AsofJoinPlan(u.left, rFresh, lKeys, rKeys, lT, rT,
-      attr(rFresh, u.tieBreak, "right"), payload, asofOut, u.broadcast)
+    // the staleness bound: same precomputed-left-column mechanics as
+    // the DataFrame path, with the arithmetic constructed RESOLVED for
+    // the two time-axis shapes the engine supports from SQL — a
+    // numeric axis minus a numeric literal, and a timestamp axis minus
+    // a day-time interval literal (TimestampAddInterval of the negated interval;
+    // its session-timezone field is filled by the analyzer's
+    // ResolveTimeZone in the same fixpoint)
+    val boundExpr: Option[Expression] = u.maxStale.map { ms =>
+      (lT.dataType, ms.dataType) match {
+        case (t: NumericType, _: NumericType) =>
+          Subtract(lT, Cast(ms, t))
+        case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) =>
+          TimestampAddInterval(lT, UnaryMinus(ms))
+        case (t, s) => throw new IllegalArgumentException(
+          s"asof_join: max_stale of type $s cannot bound a $t time " +
+            "axis — use a numeric literal for a numeric axis, or a " +
+            "day-time INTERVAL literal for a timestamp axis")
+      }
+    }
+    boundExpr match {
+      case None =>
+        AsofJoinPlan(u.left, rFresh, lKeys, rKeys, lT, rT,
+          attr(rFresh, u.tieBreak, "right"), payload, asofOut, u.broadcast)
+      case Some(be) =>
+        require(u.left.output.forall(_.name != "__asof_bound"),
+          "asof_join: the left table may not use the reserved name " +
+            "__asof_bound")
+        val boundAlias = Alias(be, "__asof_bound")()
+        val leftB = Project(u.left.output :+ boundAlias, u.left)
+        val node = AsofJoinPlan(leftB, rFresh, lKeys, rKeys, lT, rT,
+          attr(rFresh, u.tieBreak, "right"), payload, asofOut, u.broadcast,
+          toleranceBound = Some(boundAlias.toAttribute))
+        // strip the helper column, exactly like the DataFrame path's
+        // drop — the all-attribute Project collapses into the user's
+        // own projection in the optimizer, so pruning is unaffected
+        Project(u.left.output :+ asofOut, node)
+    }
   }
 }

@@ -601,9 +601,34 @@ object EventsMerge {
         |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
   }
 
+  /** q131's STALENESS-BOUNDED lookup issued from PURE SQL — the
+    * `asof_join` TVF's 8th argument ('86400000000' = one day of epoch
+    * micros, the axis's own arithmetic) must thread the bound into the
+    * SAME kernel the DataFrame path uses ([[graft.plans.AsofMerger]]'s
+    * row-local comparison, pruning-transparent). Same DuckDB
+    * bounded-argmax oracle as q131: SQL and DataFrame tolerance cannot
+    * drift. */
+  private val q133AsofJoinSqlStale: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+      .createOrReplaceTempView("graft_asof_clicks")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .createOrReplaceTempView("graft_asof_purchases")
+    s.sql(
+      """SELECT user_id, event_id AS click_id,
+        |  asof.event_id AS purchase_id, asof.value AS purchase_value
+        |FROM asof_join('graft_asof_clicks', 'graft_asof_purchases',
+        |               'user_id', 'ts', 'ts', 'event_id', 'merge',
+        |               '86400000000')""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q132_asof_join_sql" -> q132AsofJoinSql,
+    "q133_asof_join_sql_stale" -> q133AsofJoinSqlStale,
     "q130_asof_join_native_split" -> q130AsofJoinNativeSplit,
     "q131_asof_join_stale" -> q131AsofJoinStale,
     "q127_asof_join_broadcast" -> q127AsofJoinBroadcast,
@@ -638,15 +663,7 @@ object EventsMerge {
         |  p.value AS purchase_value
         |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q73_asof_join" -> asofSql,
-    "q84_asof_join_split" -> asofSql,
-    "q126_asof_join_native" -> asofSql,
-    "q130_asof_join_native_split" -> asofSql,
-    "q132_asof_join_sql" -> asofSql,
-    // the staleness-bounded variant: same correlated argmax with the
-    // window's lower bound (1 day before the click)
-    "q131_asof_join_stale" ->
+  private lazy val asofStaleSql: String =
       """WITH c AS (
         |  SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'click'),
@@ -662,7 +679,19 @@ object EventsMerge {
         |  FROM c)
         |SELECT m.user_id, m.click_id, m.purchase_id,
         |  p.value AS purchase_value
-        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
+        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q73_asof_join" -> asofSql,
+    "q84_asof_join_split" -> asofSql,
+    "q126_asof_join_native" -> asofSql,
+    "q130_asof_join_native_split" -> asofSql,
+    "q132_asof_join_sql" -> asofSql,
+    // the staleness-bounded variant: same correlated argmax with the
+    // window's lower bound (1 day before the click) — shared by the
+    // DataFrame gate (q131) and its SQL-TVF twin (q133)
+    "q131_asof_join_stale" -> asofStaleSql,
+    "q133_asof_join_sql_stale" -> asofStaleSql,
     "q127_asof_join_broadcast" -> asofSql,
     "q128_asof_join_stored" -> asofSql,
     // q129's dimension = purchases ∪ the two accepted SENTINEL-user

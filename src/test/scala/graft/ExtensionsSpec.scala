@@ -145,15 +145,65 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(pnode.right.exists(_.isInstanceOf[LFilter]),
         "key predicate must mirror onto the right side")
       assert(pushed.collect().length === 10)
+      // the 8th argument is the staleness bound (asofJoinTolerance from
+      // SQL): numeric literal over the numeric axis, kernel-evaluated —
+      // equals the DataFrame operator, and pruning still fires
+      val staleSql = s.sql(
+        """SELECT lid, asof.v2 AS v2
+          |FROM asof_join('asof_sql_left', 'asof_sql_right',
+          |               'k', 't', 't', 'rid', 'merge', '2')""".stripMargin)
+      val staleDf = graft.operators.AsofJoin.asofJoinTolerance(
+        s.table("asof_sql_left"), s.table("asof_sql_right"),
+        Seq("k"), "t", "t", "rid",
+        maxStale = org.apache.spark.sql.functions.lit(2L), impl = "native")
+        .selectExpr("lid", "asof.v2 AS v2")
+      def canonS(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+      assert(canonS(staleSql) === canonS(staleDf))
+      assert(canonS(staleSql) !== canonS(pruned.selectExpr("lid", "v2")),
+        "fixture must exercise the bound (some winners nulled)")
+      val staleNode = staleSql.queryExecution.optimizedPlan.collect {
+        case a: graft.plans.AsofJoinPlan => a }
+      assert(staleNode.size === 1 && staleNode.head.toleranceBound.isDefined)
+      assert(staleNode.head.payload.map(_.name) === Seq("v2"),
+        "payload pruning must survive the SQL staleness bound")
+      // a timestamp axis takes a day-time INTERVAL literal
+      s.sql("""SELECT k, lid, timestamp_seconds(t * 3600) AS ts
+              |FROM asof_sql_left""".stripMargin)
+        .createOrReplaceTempView("asof_sql_left_ts")
+      s.sql("""SELECT k, rid, timestamp_seconds(t * 3600) AS ts, v1
+              |FROM asof_sql_right""".stripMargin)
+        .createOrReplaceTempView("asof_sql_right_ts")
+      val staleTs = s.sql(
+        """SELECT lid, asof.rid AS rid
+          |FROM asof_join('asof_sql_left_ts', 'asof_sql_right_ts',
+          |               'k', 'ts', 'ts', 'rid', 'broadcast',
+          |               'INTERVAL 2 HOURS')""".stripMargin)
+      val staleTsDf = graft.operators.AsofJoin.asofJoinTolerance(
+        s.table("asof_sql_left_ts"), s.table("asof_sql_right_ts"),
+        Seq("k"), "ts", "ts", "rid",
+        maxStale = org.apache.spark.sql.functions.expr("INTERVAL 2 HOURS"),
+        impl = "broadcast")
+        .selectExpr("lid", "asof.rid AS rid")
+      def canonT(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toSeq
+      assert(canonT(staleTs) === canonT(staleTsDf))
       // argument errors are loud and name the contract
       val e1 = intercept[Exception] {
         s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't')")
       }
-      assert(e1.getMessage.contains("6 or 7 arguments"))
+      assert(e1.getMessage.contains("6 to 8 arguments"))
       val e2 = intercept[Exception] {
         s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't', 'rid', 'sideways')")
       }
       assert(e2.getMessage.contains("unknown path"))
+      val e3 = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't', 'rid', 'merge', 'INTERVAL 1 DAY')")
+      }
+      assert(e3.getMessage.contains("cannot bound"),
+        "an interval bound over a numeric axis must fail loudly: " +
+          e3.getMessage)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
