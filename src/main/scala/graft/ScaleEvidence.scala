@@ -100,6 +100,35 @@ object ScaleEvidence {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Total shuffle-WRITE megabytes of one noop run of `df` — the
+    * bytes-on-the-wire measurement behind pruning claims (stage-level
+    * task metrics summed via a listener; the bus is async, so the sum
+    * is read after it settles). Rounded to 0.1 MB. */
+  private def shuffleWriteMb(spark: SparkSession, df: => DataFrame): Double = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) total.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      graft.engine.CacheRegistry.releaseAll()
+      var last = -1L
+      var settled = 0
+      var waited = 0
+      while (settled < 3 && waited < 5000) {
+        val cur = total.get()
+        if (cur == last) settled += 1 else { settled = 0; last = cur }
+        Thread.sleep(100); waited += 100
+      }
+      math.rint(total.get() / 1e6 * 10) / 10
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Write `df` to `root/name` and read it back — every sweep's
     * corpus-side inputs live in PARQUET, not .persist() caches (see
     * [[incrementalSweep]]'s honest-measurement notes). */
@@ -714,17 +743,48 @@ object ScaleEvidence {
       val bcastSec = timeNoop(bcast)
       val bdiff = canon(bcastComposed).exceptAll(canon(bcast)).count() +
         canon(bcast).exceptAll(canon(bcastComposed)).count()
+      // the TOLERANCE regime, measured on a 2-of-6-field read (the
+      // shape where pruning matters): the kernel bound must cost ~one
+      // comparison over the unbounded join on the SAME projection, and
+      // — the round-14 claim — must keep payload pruning alive, which
+      // the whole-struct post-condition rebuild (the pre-kernel
+      // formulation, kept here as the measured counterfactual) defeats.
+      // tol_shuffle_mb vs tol_post_shuffle_mb IS that claim in bytes:
+      // same inputs, same answers (tol_diff must be 0), the post form
+      // shuffles every payload column for a two-field read.
+      val stale = 100000L
+      def sel(df: DataFrame) =
+        df.selectExpr("k", "lid", "asof.p0 AS p0", "asof.p5 AS p5")
+      def tolKernel = sel(AsofJoin.asofJoinTolerance(
+        l, r, Seq("k"), "t", "t", "rid", lit(stale), impl = "native"))
+      def tolUnbounded = sel(AsofJoin.asofJoinNative(
+        l, r, Seq("k"), "t", "t", "rid", broadcast = Some(false)))
+      def tolPost = sel(AsofJoin.asofJoinNative(
+          l, r, Seq("k"), "t", "t", "rid", broadcast = Some(false))
+        .withColumn("asof", when(
+          col("asof").getField("t") >= col("t") - lit(stale), col("asof"))))
+      val tolSec = timeNoop(tolKernel)
+      val tolUnboundedSec = timeNoop(tolUnbounded)
+      val tolPostSec = timeNoop(tolPost)
+      val tolMb = shuffleWriteMb(spark, tolKernel)
+      val tolPostMb = shuffleWriteMb(spark, tolPost)
+      val tdiff = tolKernel.exceptAll(tolPost).count() +
+        tolPost.exceptAll(tolKernel).count()
       System.err.println(f"[scale-asof] n=$n%8d composed=$composedSec%7.2fs " +
         f"native=$nativeSec%7.2fs split=$splitSec%7.2fs diff=$diff " +
         f"sdiff=$sdiff share=$shareNative%.3f->$shareSplit%.3f " +
         f"bcast_composed=$bcastComposedSec%7.2fs bcast=$bcastSec%7.2fs " +
-        f"bdiff=$bdiff")
+        f"bdiff=$bdiff tol=$tolSec%6.2fs unbounded=$tolUnboundedSec%6.2fs " +
+        f"post=$tolPostSec%6.2fs mb=$tolMb%.1f vs $tolPostMb%.1f tdiff=$tdiff")
       s"""{"n":$n,"composed_sec":$composedSec,""" +
         s""""native_sec":$nativeSec,"asof_diff":$diff,""" +
         s""""split_sec":$splitSec,"split_diff":$sdiff,""" +
         s""""hot_share_native":$shareNative,"hot_share_split":$shareSplit,""" +
         s""""bcast_composed_sec":$bcastComposedSec,""" +
-        s""""bcast_sec":$bcastSec,"bcast_diff":$bdiff}"""
+        s""""bcast_sec":$bcastSec,"bcast_diff":$bdiff,""" +
+        s""""tol_sec":$tolSec,"tol_unbounded_sec":$tolUnboundedSec,""" +
+        s""""tol_post_sec":$tolPostSec,"tol_shuffle_mb":$tolMb,""" +
+        s""""tol_post_shuffle_mb":$tolPostMb,"tol_diff":$tdiff}"""
     }
     deleteRecursively(root)
     rows
@@ -830,7 +890,7 @@ object ScaleEvidence {
       "262144,1048576,4194304").split(",").map(_.trim.toLong).toSeq
     val asofPoints = asofSweep(spark, asofNs)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]},"incremental_clusters":{"what":"q123/q124's contract: stored labels + sketch tables at rest, fixed ingest batch (half cross-edges into existing clusters, half novel batch-only twins) - three paths: full-relabel incremental (q123 shape, corpus-sized output), label-DELTA incremental (q124's persisted accept shape - only changed/new labels materialize; delta_sec must stay near-flat as the corpus grows, its only corpus-scale work being narrow scans), and full re-sketch-and-recluster (full_sec grows with corpus token volume); path_diff and delta_diff must be 0 (identical labelings; delta checked after applying it over the stored labels)","points":[${incClustPoints.mkString(",")}]},"asof":{"what":"composed (union + ordered window, one combined-width shuffle + WindowExec per-key buffering) vs NATIVE custom-operator as-of join (per-side own-width shuffles, O(1) streaming merge - plans/AsofJoinExec) on at-rest inputs with a hot key (~25% of both sides) and a 6-column right payload; asof_diff must be 0 (identical answers). bcast_* is the dimension-sized regime: the same growing left against a FIXED 64k-row right, composed vs BroadcastAsofJoinExec (fact side never exchanged or sorted) - bcast_sec should stay near a plain left scan while bcast_composed_sec grows with the left's shuffle volume; bcast_diff must be 0. split_* is the NATIVE SKEW path (asofJoinNativeSplit: same exec planned over (key, time bucket) with carried per-bucket last rows): split_diff must be 0, and hot_share_* is the hot key's max per-task share of its own output rows - 1.0 on the plain native exec (ClusteredDistribution serializes the key on one task), dropping toward 1/numSplits on the split plan (coalescing off for the measurement)","points":[${asofPoints.mkString(",")}]}}"""
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]},"incremental_clusters":{"what":"q123/q124's contract: stored labels + sketch tables at rest, fixed ingest batch (half cross-edges into existing clusters, half novel batch-only twins) - three paths: full-relabel incremental (q123 shape, corpus-sized output), label-DELTA incremental (q124's persisted accept shape - only changed/new labels materialize; delta_sec must stay near-flat as the corpus grows, its only corpus-scale work being narrow scans), and full re-sketch-and-recluster (full_sec grows with corpus token volume); path_diff and delta_diff must be 0 (identical labelings; delta checked after applying it over the stored labels)","points":[${incClustPoints.mkString(",")}]},"asof":{"what":"composed (union + ordered window, one combined-width shuffle + WindowExec per-key buffering) vs NATIVE custom-operator as-of join (per-side own-width shuffles, O(1) streaming merge - plans/AsofJoinExec) on at-rest inputs with a hot key (~25% of both sides) and a 6-column right payload; asof_diff must be 0 (identical answers). bcast_* is the dimension-sized regime: the same growing left against a FIXED 64k-row right, composed vs BroadcastAsofJoinExec (fact side never exchanged or sorted) - bcast_sec should stay near a plain left scan while bcast_composed_sec grows with the left's shuffle volume; bcast_diff must be 0. split_* is the NATIVE SKEW path (asofJoinNativeSplit: same exec planned over (key, time bucket) with carried per-bucket last rows): split_diff must be 0, and hot_share_* is the hot key's max per-task share of its own output rows - 1.0 on the plain native exec (ClusteredDistribution serializes the key on one task), dropping toward 1/numSplits on the split plan (coalescing off for the measurement). tol_* is the STALENESS-BOUNDED regime on a 2-of-6-field read: tol_sec (kernel bound - one row-local comparison, pruning alive) vs tol_unbounded_sec (same pruned projection, no bound) vs tol_post_sec (the whole-struct post-condition rebuild, the pre-round-14 formulation kept as the counterfactual - it blinds PruneAsofPayload); tol_shuffle_mb vs tol_post_shuffle_mb is the pruning-transparency claim in shuffle-write bytes on identical inputs; tol_diff must be 0 (kernel == post-condition answers)","points":[${asofPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(
