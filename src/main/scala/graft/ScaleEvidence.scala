@@ -125,6 +125,12 @@ object ScaleEvidence {
         if (cur == last) settled += 1 else { settled = 0; last = cur }
         Thread.sleep(100); waited += 100
       }
+      // a timed-out settle means the async bus was still delivering:
+      // the recorded MB may undercount — say so, never silently
+      if (settled < 3)
+        System.err.println("[scale] WARNING: shuffle-metrics listener " +
+          "did not settle within 5 s under load — the recorded " +
+          "shuffle MB for this measurement may undercount")
       math.rint(total.get() / 1e6 * 10) / 10
     } finally spark.sparkContext.removeSparkListener(listener)
   }

@@ -90,15 +90,23 @@ object AsofSqlJoin {
     // expression
     val maxStale = if (args.length == 8) {
       val text = stringArg(args(7), "max_stale")
-      val e =
-        try CatalystSqlParser.parseExpression(text)
-        catch {
+      // folding stays inside the guard: a foldable-but-context-needing
+      // expression (e.g. a timestamp cast wanting a session timezone)
+      // must surface as the contract error, not a raw internal throw
+      val lit =
+        try {
+          val e = CatalystSqlParser.parseExpression(text)
+          require(e.foldable,
+            s"asof_join: max_stale must be a literal, got '$text'")
+          Literal.create(e.eval(), e.dataType)
+        } catch {
+          case ex: IllegalArgumentException => throw ex
           case ex: Exception => throw new IllegalArgumentException(
-            s"asof_join: cannot parse max_stale '$text': ${ex.getMessage}")
+            s"asof_join: cannot evaluate max_stale '$text' as a " +
+              s"literal (${ex.getClass.getSimpleName}: ${ex.getMessage}) " +
+              s"— $usage")
         }
-      require(e.foldable,
-        s"asof_join: max_stale must be a literal, got '$text'")
-      Some(Literal.create(e.eval(), e.dataType))
+      Some(lit)
     } else None
     def rel(i: Int, what: String) = UnresolvedRelation(
       CatalystSqlParser.parseMultipartIdentifier(stringArg(args(i), what)))
@@ -202,8 +210,18 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
     // its session-timezone field is filled by the analyzer's
     // ResolveTimeZone in the same fixpoint)
     val boundExpr: Option[Expression] = u.maxStale.map { ms =>
-      (lT.dataType, ms.dataType) match {
-        case (t: NumericType, _: NumericType) =>
+      val built = (lT.dataType, ms.dataType) match {
+        case (t: NumericType, s: NumericType) =>
+          // NEVER narrow the literal into the axis type: a non-ANSI
+          // cast would silently wrap ('86400000000' over an INT axis)
+          // or truncate ('1.5' over a LONG axis) — fail the way the
+          // DataFrame path's widening arithmetic + type require does
+          val widened = org.apache.spark.sql.catalyst.analysis
+            .TypeCoercion.findTightestCommonType(t, s)
+          require(widened.contains(t),
+            s"asof_join: max_stale type $s does not fit the $t time " +
+              "axis without narrowing — pass a literal of the axis's " +
+              "own arithmetic")
           Subtract(lT, Cast(ms, t))
         case (TimestampType | TimestampNTZType, _: DayTimeIntervalType) =>
           TimestampAddInterval(lT, UnaryMinus(ms))
@@ -212,6 +230,17 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
             "axis — use a numeric literal for a numeric axis, or a " +
             "day-time INTERVAL literal for a timestamp axis")
       }
+      // the kernels compare the bound and the candidate's time under
+      // ONE natural ordering built from the time type — mirror the
+      // DataFrame path's require so e.g. a decimal axis (where
+      // Subtract bumps precision and changes the UnsafeRow format)
+      // fails loudly on BOTH front doors instead of comparing garbage
+      require(built.dataType == rT.dataType,
+        s"asof_join: staleness bound type ${built.dataType} " +
+          s"(left_time - max_stale) must equal the right time type " +
+          s"${rT.dataType} — the kernels compare them under one " +
+          "natural ordering")
+      built
     }
     boundExpr match {
       case None =>

@@ -204,6 +204,31 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(e3.getMessage.contains("cannot bound"),
         "an interval bound over a numeric axis must fail loudly: " +
           e3.getMessage)
+      // a bound WIDER than the axis must fail loudly, never narrow-cast
+      // (a non-ANSI cast would wrap '86400000000' over an INT axis into
+      // an arbitrary window and silently wrong answers)
+      s.sql("""SELECT k, lid, CAST(t AS INT) AS t FROM asof_sql_left""")
+        .createOrReplaceTempView("asof_sql_left_int")
+      s.sql("""SELECT k, rid, CAST(t AS INT) AS t, v1 FROM asof_sql_right""")
+        .createOrReplaceTempView("asof_sql_right_int")
+      val e4 = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('asof_sql_left_int', 'asof_sql_right_int', 'k', 't', 't', 'rid', 'merge', '86400000000')")
+      }
+      assert(e4.getMessage.contains("without narrowing"), e4.getMessage)
+      // a fractional bound over an integral axis must fail, not truncate
+      val e5 = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't', 'rid', 'merge', '1.5')")
+      }
+      assert(e5.getMessage.contains("without narrowing"), e5.getMessage)
+      // a foldable-but-unevaluable bound (timezone-needing cast)
+      // surfaces as the contract error, not a raw internal throw
+      val e6 = intercept[Exception] {
+        s.sql("SELECT * FROM asof_join('asof_sql_left', 'asof_sql_right', 'k', 't', 't', 'rid', 'merge', \"CAST('2020-01-01' AS TIMESTAMP)\")")
+      }
+      assert(
+        e6.getMessage.contains("cannot evaluate max_stale") ||
+          e6.getMessage.contains("cannot bound"),
+        e6.getMessage)
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
