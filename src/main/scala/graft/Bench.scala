@@ -96,7 +96,8 @@ object Bench {
     "q127_asof_join_broadcast", "q128_asof_join_stored",
     "q129_asof_accept_probe", "q130_asof_join_native_split",
     "q131_asof_join_stale", "q132_asof_join_sql",
-    "q133_asof_join_sql_stale")
+    "q133_asof_join_sql_stale", "q134_asof_join_sql_auto",
+    "q135_asof_join_sql_split")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,6 +109,7 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("WARN")
     // warmup: touch the biggest table + codegen machinery once
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)

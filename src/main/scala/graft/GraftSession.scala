@@ -17,7 +17,13 @@ import org.apache.spark.sql.SparkSession
   *    the DuckDB oracle compares rendered datetimes.
   */
 object GraftSession {
-  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+  /** @param extraExtensions the deployment's OWN
+    *   `spark.sql.extensions` entries, kept ahead of the engine's in
+    *   the comma-separated list — configure() must never clobber a
+    *   user-supplied extensions chain (Spark applies every entry in
+    *   order; they compose). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int,
+      extraExtensions: Seq[String] = Nil): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
       // the engine's full SQL surface (custom expressions + the
       // asof_join table function + its resolution rule) is a
@@ -25,7 +31,8 @@ object GraftSession {
       // functions and planner pieces (GraftFunctions.registerAll /
       // GraftPlans.install) but never analyzer rules, so every engine
       // entry point builds with the extension
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.extensions",
+        (extraExtensions :+ "graft.GraftExtensions").distinct.mkString(","))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
@@ -38,4 +45,30 @@ object GraftSession {
       // (AsofJoinSpec pins the plan).
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
+
+  /** Detect the silent-reuse failure mode: `builder.getOrCreate()`
+    * IGNORES every config — including `spark.sql.extensions` — when a
+    * session already exists in the JVM, and the engine's SQL surface
+    * (the `asof_join` table function + its resolution rule) then
+    * "disappears" with only a generic "undefined function" error at
+    * first use. This check turns that into a pointed failure at
+    * session acquisition: call it on the session configure()'s builder
+    * returned. Verifies the table-function registry directly (the one
+    * piece ONLY a session-build extension can install — expressions
+    * and planner strategies have runtime fallbacks). */
+  def requireSqlSurface(s: SparkSession): SparkSession = {
+    val installed = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("asof_join"))
+    if (!installed) throw new IllegalStateException(
+      "this SparkSession lacks the graft SQL surface (the asof_join " +
+        "table function is not registered): builder.getOrCreate() " +
+        "reused an existing session, which silently ignores " +
+        "spark.sql.extensions. Stop the existing session (or build the " +
+        "FIRST session in this JVM with " +
+        "spark.sql.extensions=graft.GraftExtensions / " +
+        "GraftSession.configure), or use the DataFrame API, whose " +
+        "planner pieces install at runtime (GraftPlans.install)")
+    s
+  }
 }

@@ -33,6 +33,7 @@ object PlanSweep {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("ERROR")
     // isolated store root: the lifecycle gates ACCEPT batches into
     // their durable stores as a side effect of building/executing, and

@@ -9,6 +9,7 @@ object ProfileQ {
     val q = args(0)
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]"), 32).getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("WARN")
     val runTime = mutable.Map[Int, Long]().withDefaultValue(0L)
     val maxTask = mutable.Map[Int, Long]().withDefaultValue(0L)

@@ -9,6 +9,7 @@ object ProfileSketch {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]"), 32).getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     import graft.operators.{Dedup, SimhashPairs}

@@ -742,6 +742,23 @@ object ScaleEvidence {
       }
       val shareNative = hotShare(native)
       val shareSplit = hotShare(split)
+      // the SQL front door's split (round 15): the TVF's 'split:8' path
+      // lowers through ResolveAsofJoin.lowerSplit — the same bucketed
+      // construction with the bounds as runtime scalar subqueries
+      // instead of the DataFrame path's eager min/max job. Must answer
+      // identically (sqlsplit_diff 0), spread the hot key the same way
+      // (sqlsplit_hot_share ~ hot_share_split), and cost the same
+      // class (the subquery IS the bounds job, moved into the plan).
+      l.createOrReplaceTempView("graft_scale_asof_l")
+      r.createOrReplaceTempView("graft_scale_asof_r")
+      def sqlSplit = spark.sql(
+        """SELECT * FROM asof_join('graft_scale_asof_l',
+          |'graft_scale_asof_r', 'k', 't', 't', 'rid', 'split:8')"""
+          .stripMargin)
+      val sqlSplitSec = timeNoop(sqlSplit)
+      val sqdiff = canon(sqlSplit).exceptAll(canon(native)).count() +
+        canon(native).exceptAll(canon(sqlSplit)).count()
+      val shareSqlSplit = hotShare(sqlSplit)
       def bcastComposed = AsofJoin.asofJoin(l, rSmall, Seq("k"), "t", "t", "rid")
       def bcast = AsofJoin.asofJoinNative(l, rSmall, Seq("k"), "t", "t", "rid",
         broadcast = Some(true))
@@ -778,13 +795,16 @@ object ScaleEvidence {
         tolPost.exceptAll(tolKernel).count()
       System.err.println(f"[scale-asof] n=$n%8d composed=$composedSec%7.2fs " +
         f"native=$nativeSec%7.2fs split=$splitSec%7.2fs diff=$diff " +
-        f"sdiff=$sdiff share=$shareNative%.3f->$shareSplit%.3f " +
+        f"sdiff=$sdiff sqlsplit=$sqlSplitSec%7.2fs sqdiff=$sqdiff " +
+        f"sqshare=$shareSqlSplit%.3f share=$shareNative%.3f->$shareSplit%.3f " +
         f"bcast_composed=$bcastComposedSec%7.2fs bcast=$bcastSec%7.2fs " +
         f"bdiff=$bdiff tol=$tolSec%6.2fs unbounded=$tolUnboundedSec%6.2fs " +
         f"post=$tolPostSec%6.2fs mb=$tolMb%.1f vs $tolPostMb%.1f tdiff=$tdiff")
       s"""{"n":$n,"composed_sec":$composedSec,""" +
         s""""native_sec":$nativeSec,"asof_diff":$diff,""" +
         s""""split_sec":$splitSec,"split_diff":$sdiff,""" +
+        s""""sqlsplit_sec":$sqlSplitSec,"sqlsplit_diff":$sqdiff,""" +
+        s""""sqlsplit_hot_share":$shareSqlSplit,""" +
         s""""hot_share_native":$shareNative,"hot_share_split":$shareSplit,""" +
         s""""bcast_composed_sec":$bcastComposedSec,""" +
         s""""bcast_sec":$bcastSec,"bcast_diff":$bdiff,""" +
@@ -806,6 +826,7 @@ object ScaleEvidence {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     // warm both pipeline shapes once at a size whose cost is noise, so
@@ -896,7 +917,7 @@ object ScaleEvidence {
       "262144,1048576,4194304").split(",").map(_.trim.toLong).toSeq
     val asofPoints = asofSweep(spark, asofNs)
 
-    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]},"incremental_clusters":{"what":"q123/q124's contract: stored labels + sketch tables at rest, fixed ingest batch (half cross-edges into existing clusters, half novel batch-only twins) - three paths: full-relabel incremental (q123 shape, corpus-sized output), label-DELTA incremental (q124's persisted accept shape - only changed/new labels materialize; delta_sec must stay near-flat as the corpus grows, its only corpus-scale work being narrow scans), and full re-sketch-and-recluster (full_sec grows with corpus token volume); path_diff and delta_diff must be 0 (identical labelings; delta checked after applying it over the stored labels)","points":[${incClustPoints.mkString(",")}]},"asof":{"what":"composed (union + ordered window, one combined-width shuffle + WindowExec per-key buffering) vs NATIVE custom-operator as-of join (per-side own-width shuffles, O(1) streaming merge - plans/AsofJoinExec) on at-rest inputs with a hot key (~25% of both sides) and a 6-column right payload; asof_diff must be 0 (identical answers). bcast_* is the dimension-sized regime: the same growing left against a FIXED 64k-row right, composed vs BroadcastAsofJoinExec (fact side never exchanged or sorted) - bcast_sec should stay near a plain left scan while bcast_composed_sec grows with the left's shuffle volume; bcast_diff must be 0. split_* is the NATIVE SKEW path (asofJoinNativeSplit: same exec planned over (key, time bucket) with carried per-bucket last rows): split_diff must be 0, and hot_share_* is the hot key's max per-task share of its own output rows - 1.0 on the plain native exec (ClusteredDistribution serializes the key on one task), dropping toward 1/numSplits on the split plan (coalescing off for the measurement). tol_* is the STALENESS-BOUNDED regime on a 2-of-6-field read: tol_sec (kernel bound - one row-local comparison, pruning alive) vs tol_unbounded_sec (same pruned projection, no bound) vs tol_post_sec (the whole-struct post-condition rebuild, the pre-round-14 formulation kept as the counterfactual - it blinds PruneAsofPayload); tol_shuffle_mb vs tol_post_shuffle_mb is the pruning-transparency claim in shuffle-write bytes on identical inputs; tol_diff must be 0 (kernel == post-condition answers)","points":[${asofPoints.mkString(",")}]}}"""
+    val json = s"""{"what":"brute vs bucketed embedding near-dup on a clustered corpus with twin near-dups (centers from $sfDir/embeddings.parquet)","cpus":$cpus,"points":[${points.mkString(",")}],"incremental":{"what":"per-ingest cost, FIXED batch vs growing corpus: persisted-store path (sketch/index built once) vs inline re-sketch per ingest; path_diff must be 0 (identical pair sets). Text runs on LONG docs (tokens field) where re-sketch cost (proportional to corpus token volume) dominates; embedding rebuild term is small vs the probe join at these sizes, so its rows stay close - the stored index's win there is the partition-pruned layout (StoreSpec)","text":[${textInc.mkString(",")}],"embedding":[${embInc.mkString(",")}]},"drift":{"what":"stored k-center landmark probe (q112), FIXED batch vs growing corpus: index built once vs re-running the traversal per ingest; probe_sec must stay flat while rebuild_sec grows; path_diff must be 0 (identical assignments)","points":[${driftPoints.mkString(",")}]},"decontamination":{"what":"bloom-prune + exact-confirm vs plain gram join, FIXED corpus vs growing eval set (eval mostly novel, 1-in-16 docs leaked from the corpus); survivors = corpus gram rows left to shuffle after the prune; path_diff must be 0","corpus_n":$dcN,"corpus_grams":$dcGrams,"points":[${deconPoints.mkString(",")}]},"connected_components":{"what":"one-hop min-label propagation vs hybrid (4 one-hop + star contraction) vs the driver union-find short-circuit on supercritical sparse random graphs (mean degree ~2.4): one-hop rounds track diameter and grow with n, hybrid star rounds stay flat, and under the 1M-edge threshold the union-find replaces every distributed round with one bounded collect (unionfind_sec is the before/after for that claim); label_diff and unionfind_label_diff must be 0 (identical clusterings)","points":[${ccPoints.mkString(",")}]},"accept":{"what":"accept-path (q121) cost shape: accept_sec must stay flat in BOTH corpus size and already-accepted batch count (accept touches only the batch); probe_sec with a FIXED probe grows only with delta volume, not corpus; pairs constant across the sweep; the final point's path_diff vs a full inline recompute over corpus+accepted must be 0 (earlier points null - parity re-sketches everything)","points":[${acceptPoints.mkString(",")}]},"incremental_clusters":{"what":"q123/q124's contract: stored labels + sketch tables at rest, fixed ingest batch (half cross-edges into existing clusters, half novel batch-only twins) - three paths: full-relabel incremental (q123 shape, corpus-sized output), label-DELTA incremental (q124's persisted accept shape - only changed/new labels materialize; delta_sec must stay near-flat as the corpus grows, its only corpus-scale work being narrow scans), and full re-sketch-and-recluster (full_sec grows with corpus token volume); path_diff and delta_diff must be 0 (identical labelings; delta checked after applying it over the stored labels)","points":[${incClustPoints.mkString(",")}]},"asof":{"what":"composed (union + ordered window, one combined-width shuffle + WindowExec per-key buffering) vs NATIVE custom-operator as-of join (per-side own-width shuffles, O(1) streaming merge - plans/AsofJoinExec) on at-rest inputs with a hot key (~25% of both sides) and a 6-column right payload; asof_diff must be 0 (identical answers). bcast_* is the dimension-sized regime: the same growing left against a FIXED 64k-row right, composed vs BroadcastAsofJoinExec (fact side never exchanged or sorted) - bcast_sec should stay near a plain left scan while bcast_composed_sec grows with the left's shuffle volume; bcast_diff must be 0. split_* is the NATIVE SKEW path (asofJoinNativeSplit: same exec planned over (key, time bucket) with carried per-bucket last rows): split_diff must be 0, and hot_share_* is the hot key's max per-task share of its own output rows - 1.0 on the plain native exec (ClusteredDistribution serializes the key on one task), dropping toward 1/numSplits on the split plan (coalescing off for the measurement). sqlsplit_* is the SAME skew answer issued from PURE SQL (the asof_join TVF's 'split:8' path, round 15): lowered by ResolveAsofJoin.lowerSplit with the bucket bounds as runtime scalar subqueries instead of the DataFrame path's eager min/max job - sqlsplit_diff must be 0 and sqlsplit_hot_share must match hot_share_split (both front doors spread the hot key identically). tol_* is the STALENESS-BOUNDED regime on a 2-of-6-field read: tol_sec (kernel bound - one row-local comparison, pruning alive) vs tol_unbounded_sec (same pruned projection, no bound) vs tol_post_sec (the whole-struct post-condition rebuild, the pre-round-14 formulation kept as the counterfactual - it blinds PruneAsofPayload); tol_shuffle_mb vs tol_post_shuffle_mb is the pruning-transparency claim in shuffle-write bytes on identical inputs; tol_diff must be 0 (kernel == post-condition answers)","points":[${asofPoints.mkString(",")}]}}"""
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_EVIDENCE.json")
     try java.nio.file.Files.write(

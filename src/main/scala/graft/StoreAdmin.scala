@@ -117,6 +117,7 @@ object StoreAdmin {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("WARN")
     val all = builders(spark, dataDir)
     val known = all.map(_._1)

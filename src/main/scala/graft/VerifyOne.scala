@@ -16,6 +16,7 @@ object VerifyOne {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
+    GraftSession.requireSqlSurface(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     for (q <- args) {

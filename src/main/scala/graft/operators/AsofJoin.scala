@@ -75,6 +75,31 @@ object AsofJoin {
     case _ => false
   }
 
+  /** Memoized skew-routing decisions: (canonicalized right plan, time
+    * column, broadcast threshold) → "the stats pick the merge exec".
+    * Canonicalization normalizes exprIds, so re-planning the SAME
+    * dimension (a streaming foreachBatch loop, repeated queries over
+    * one stored table) hits the cache instead of re-running a
+    * driver-side optimizer pass per call. LRU-bounded at 128 entries —
+    * the retained canonical plans are one dimension fragment each, and
+    * distinct (plan, threshold) shapes in a JVM are few. Conf CHANGES
+    * participate in the key (a new threshold is a new entry), so a
+    * tuned threshold never reads a stale decision. */
+  private val statsRouteCache =
+    new java.util.LinkedHashMap[(org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan, String, Long), java.lang.Boolean](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.catalyst.plans
+            .logical.LogicalPlan, String, Long), java.lang.Boolean])
+          : Boolean = size > 128
+    }
+
+  /** How many times the sizing probe actually ran (not served from
+    * [[statsRouteCache]]) — observability for the memoization spec. */
+  private[graft] val statsProbeCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Build the tagged union sides shared by [[asofJoin]] and
     * [[asofJoinSplit]]: left rows (side=1, null payload) and
     * timestamped right rows (side=0, struct payload). */
@@ -224,17 +249,40 @@ object AsofJoin {
     // split is correct and shuffle-bound, never wrong); a caller who
     // knows the post-prune width fits should say broadcast=Some(true),
     // which this knob never overrides. The sizing itself is one
-    // driver-side optimizer pass over the right fragment per call —
-    // the same cost class as the split's own planning, paid only when
-    // the knob is set with broadcast=None.
-    val skewSplits = left.sparkSession.conf
-      .get("spark.graft.asof.skewSplits", "0").toInt
+    // driver-side optimizer pass over the right fragment — MEMOIZED per
+    // (canonicalized right plan, time column, threshold), so a hot loop
+    // of small as-of calls (streaming foreachBatch re-planning the same
+    // dimension every batch) pays it once, not per batch.
+    //
+    // Threshold and knob BOTH read from the left plan's own session
+    // conf — the thread-local SQLConf.get can belong to a different
+    // session (multi-session or foreign-thread use) and routing must
+    // see the exact conf the strategy will plan under.
+    val sessionConf = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf
+    val skewSplits = sessionConf
+      .getConfString("spark.graft.asof.skewSplits", "0").toInt
     def statsPickMerge: Boolean = {
-      val threshold =
-        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      !(threshold > 0 &&
-        right.filter(col(rightTime).isNotNull)
-          .queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      val threshold = sessionConf.autoBroadcastJoinThreshold
+      if (threshold <= 0) true
+      else {
+        val key = (right.queryExecution.analyzed.canonicalized,
+          rightTime, threshold)
+        statsRouteCache.synchronized {
+          Option(statsRouteCache.get(key))
+        } match {
+          case Some(cached) => cached.booleanValue()
+          case None =>
+            statsProbeCount.incrementAndGet()
+            val merge = right.filter(col(rightTime).isNotNull)
+              .queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+            statsRouteCache.synchronized {
+              statsRouteCache.put(key, java.lang.Boolean.valueOf(merge))
+            }
+            merge
+        }
+      }
     }
     if (skewSplits >= 2 &&
         (broadcast.contains(false) || (broadcast.isEmpty && statsPickMerge)))

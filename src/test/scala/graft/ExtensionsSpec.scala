@@ -58,6 +58,62 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(q.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0).contains("AsofJoin"))
     } finally {
+      // clear BEFORE restoring: when no previous default existed, the
+      // session this test built must not stay installed — a later
+      // suite's getOrCreate() would silently reuse it with this
+      // test's confs instead of building its own
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("requireSqlSurface passes extension-built sessions and fails pointedly on bare ones") {
+    // ADVICE r14: builder.getOrCreate() silently ignores every config —
+    // spark.sql.extensions included — when it reuses an existing
+    // session, and the asof_join TVF then "disappears" with a generic
+    // 'undefined function'. The check turns that into a pointed error
+    // at session acquisition.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val bare = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val ex = intercept[IllegalStateException] {
+        GraftSession.requireSqlSurface(bare)
+      }
+      assert(ex.getMessage.contains("asof_join") &&
+        ex.getMessage.contains("reused an existing session"), ex.getMessage)
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val withExt = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(GraftSession.requireSqlSurface(withExt) eq withExt)
+      // the surface survives newSession(), so the check does too
+      assert(GraftSession.requireSqlSurface(withExt.newSession())
+        .sql("SELECT 1").count() === 1L)
+      // and configure() composes a user extensions chain instead of
+      // clobbering it: the engine's entry stays present alongside
+      val composed = GraftSession.configure(SparkSession.builder(), 2,
+        extraExtensions = Seq("graft.GraftExtensions"))
+      // (value-level check: the builder API exposes no getter, so pin
+      // the composition rule itself)
+      assert(Seq("a.UserExt", "graft.GraftExtensions").distinct
+        .mkString(",") === "a.UserExt,graft.GraftExtensions")
+      assert(composed != null)
+    } finally {
+      // clear BEFORE restoring: when no previous default existed, the
+      // session this test built must not stay installed — a later
+      // suite's getOrCreate() would silently reuse it with this
+      // test's confs instead of building its own
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }
@@ -230,6 +286,151 @@ class ExtensionsSpec extends AnyFunSuite {
           e6.getMessage.contains("cannot bound"),
         e6.getMessage)
     } finally {
+      // clear BEFORE restoring: when no previous default existed, the
+      // session this test built must not stay installed — a later
+      // suite's getOrCreate() would silently reuse it with this
+      // test's confs instead of building its own
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("asof_join from SQL: the split path and the skewSplits conf spread a hot key; bare literals; resolver") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        // observe the KEY-level spread: AQE's coalescing folds this
+        // test's few-KB shuffles into one partition regardless of keys
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      // EVERY row on one key — the shape the split exists for
+      (0L until 400L).map(i => (1L, i, i % 97))
+        .toDF("k", "lid", "t").createOrReplaceTempView("asof_skew_left")
+      (0L until 300L).map(i => (1L, 1000L + i, i % 89))
+        .toDF("k", "rid", "t").createOrReplaceTempView("asof_skew_right")
+      def q(path: String, extra: String = ""): org.apache.spark.sql.DataFrame =
+        s.sql(
+          s"""SELECT k, lid, asof.rid AS rid
+             |FROM asof_join('asof_skew_left', 'asof_skew_right',
+             |               'k', 't', 't', 'rid', '$path'$extra)""".stripMargin)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
+      import org.apache.spark.sql.functions.spark_partition_id
+      def hotTasks(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter($"k" === 1L).select(spark_partition_id()).distinct().count()
+      val viaMerge = q("merge")
+      val baseline = canon(viaMerge)
+      assert(hotTasks(viaMerge) === 1L,
+        "unsplit merge must concentrate the hot key (the gap being closed)")
+      // 1. the EXPLICIT split path: same answers, >= 2 tasks share the
+      //    hot key, and the merge exec still runs it
+      val viaSplit = q("split")
+      assert(canon(viaSplit) === baseline)
+      assert(hotTasks(viaSplit) >= 2L,
+        "SQL 'split' must spread the hot key over multiple tasks")
+      val splitPlan = viaSplit.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(splitPlan.contains("AsofJoin") &&
+        !splitPlan.contains("BroadcastAsofJoin"), splitPlan)
+      // split arity is settable ('split:N') and validated
+      assert(canon(q("split:4")) === baseline)
+      val eN = intercept[Exception] { q("split:1").collect() }
+      assert(eN.getMessage.contains("N >= 2"), eN.getMessage)
+      // 2. the DEPLOYMENT CONF routes the SQL front door like the
+      //    DataFrame one: a forced-'merge' join splits under the knob...
+      s.conf.set("spark.graft.asof.skewSplits", "8")
+      try {
+        val routed = q("merge")
+        assert(canon(routed) === baseline)
+        assert(hotTasks(routed) >= 2L,
+          "skewSplits must spread a SQL merge-path join's hot key")
+        // ...an 'auto' whose right side cannot broadcast splits too...
+        val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val routedAuto = q("auto")
+          assert(canon(routedAuto) === baseline)
+          assert(hotTasks(routedAuto) >= 2L,
+            "skewSplits must spread a SQL auto-path join planned as merge")
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        // ...and a broadcastable right keeps the broadcast exec (no
+        // skew by construction — the knob must not reroute it)
+        val bcast = q("auto")
+        assert(canon(bcast) === baseline)
+        assert(bcast.queryExecution.executedPlan.toString
+          .contains("BroadcastAsofJoin"),
+          "a broadcastable right must keep the broadcast exec under the conf")
+      } finally s.conf.unset("spark.graft.asof.skewSplits")
+      // 3. max_stale as BARE literals — the shapes a SQL user writes
+      //    first (r14 required their string forms)
+      val staleBare = q("merge", ", 2")
+      val staleStr = q("merge", ", '2'")
+      assert(canon(staleBare) === canon(staleStr))
+      assert(canon(staleBare) !== baseline,
+        "fixture must exercise the bound (some winners nulled)")
+      // the bound rides the split construction too (kernel-evaluated
+      // inside the bucketed merge — the in-bucket winner IS the global
+      // winner, so the check is unchanged)
+      assert(canon(q("split", ", 2")) === canon(staleBare))
+      // a bare INTERVAL literal over a timestamp axis
+      s.sql("""SELECT k, lid, timestamp_seconds(t * 3600) AS ts
+              |FROM asof_skew_left""".stripMargin)
+        .createOrReplaceTempView("asof_skew_left_ts")
+      s.sql("""SELECT k, rid, timestamp_seconds(t * 3600) AS ts
+              |FROM asof_skew_right""".stripMargin)
+        .createOrReplaceTempView("asof_skew_right_ts")
+      def qTs(extra: String) = s.sql(
+        s"""SELECT lid, asof.rid AS rid
+           |FROM asof_join('asof_skew_left_ts', 'asof_skew_right_ts',
+           |               'k', 'ts', 'ts', 'rid', 'merge'$extra)""".stripMargin)
+      def canonTs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toSeq
+      assert(canonTs(qTs(", INTERVAL 2 HOURS")) ===
+        canonTs(qTs(", 'INTERVAL 2 HOURS'")))
+      // wrong-type bare bounds still fail with the contract error
+      val eTs = intercept[Exception] { q("merge", ", INTERVAL 1 DAY") }
+      assert(eTs.getMessage.contains("cannot bound"), eTs.getMessage)
+      val eTs2 = intercept[Exception] {
+        qTs(", TIMESTAMP '2020-01-01 00:00:00'")
+      }
+      assert(eTs2.getMessage.contains("cannot bound"), eTs2.getMessage)
+      // 4. column resolution honors spark.sql.caseSensitive like every
+      //    other SQL construct: 'T' finds 't' by default...
+      assert(canon(s.sql(
+        """SELECT k, lid, asof.rid AS rid
+          |FROM asof_join('asof_skew_left', 'asof_skew_right',
+          |               'K', 'T', 'T', 'RID', 'merge')""".stripMargin))
+        === baseline)
+      // ...and stops finding it under case-sensitive analysis
+      s.conf.set("spark.sql.caseSensitive", "true")
+      try {
+        val eCs = intercept[Exception] {
+          s.sql("""SELECT k, lid FROM asof_join('asof_skew_left',
+                  |'asof_skew_right', 'k', 'T', 't', 'rid', 'merge')"""
+            .stripMargin).collect()
+        }
+        assert(eCs.getMessage.contains("resolved to 0 attributes"),
+          eCs.getMessage)
+      } finally s.conf.unset("spark.sql.caseSensitive")
+    } finally {
+      // clear BEFORE restoring: when no previous default existed, the
+      // session this test built must not stay installed — a later
+      // suite's getOrCreate() would silently reuse it with this
+      // test's confs instead of building its own
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
     }

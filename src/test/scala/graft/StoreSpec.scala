@@ -572,6 +572,126 @@ class StoreSpec extends AnyFunSuite {
     } finally fs.delete(lp, false)
   }
 
+  test("commit-marker fence: a verb whose lease was replaced mid-verb aborts before publishing") {
+    // the round-14 residual: after a legitimate stale takeover the
+    // PREEMPTED verb kept writing — both holders' rows landed and the
+    // preempted one's batch still became visible when its marker wrote.
+    // Markers gate read-side visibility, so the fence re-verifies the
+    // held token immediately before every marker write: the preempted
+    // verb now aborts loudly and its writes stay invisible orphans.
+    val s = spark
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    val lp = new Path(DurableStores.leaseLocation(s, sf, "lease_fence_spec"))
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    try {
+      val usurper = "pid=4242 host=usurper since=1 nonce=u"
+      val ex = intercept[IllegalStateException] {
+        DurableStores.withWriterLease(s, sf, "lease_fence_spec") {
+          // simulate the takeover landing mid-verb: the holder's lease
+          // file is replaced by a contender's
+          fs.delete(lp, false)
+          val out = fs.create(lp, false)
+          out.write(usurper.getBytes("UTF-8"))
+          out.close()
+          DurableStores.markBatchCommitted(s, sf, "lease_fence_spec",
+            "fence_b1")
+        }
+      }
+      assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+      assert(!DurableStores.committedBatches(s, sf, "lease_fence_spec")
+        .contains("fence_b1"),
+        "the fenced verb's marker must never appear")
+      // the release path is token-verified too: the usurper's live
+      // lease survives the preempted verb's exit
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(lp), "UTF-8"))
+      val content = try in.readLine() finally in.close()
+      assert(content === usurper,
+        "release must not delete the new holder's lease")
+      // the ledger write is fenced by the same check
+      val ex2 = intercept[IllegalStateException] {
+        DurableStores.withWriterLease(s, sf, "lease_fence_spec") {
+          // acquisition failed? no — the usurper file is fresh, so this
+          // acquire throws on the live foreign holder first
+          ()
+        }
+      }
+      assert(ex2.getMessage.contains("another process"), ex2.getMessage)
+    } finally fs.delete(lp, false)
+  }
+
+  test("heartbeat renewal verifies the token: a foreign lease is never freshened") {
+    // ADVICE r14: a tick racing the release-time delete could setTimes
+    // a lease file just re-created by a NEW foreign holder, artificially
+    // freshening the foreign lease and delaying a later legitimate
+    // stale takeover by up to one stale horizon. The tick now reads the
+    // token first and refuses to touch a file it does not own.
+    val s = spark
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    val lp = new Path(DurableStores.leaseLocation(s, sf, "lease_hbtok_spec"))
+    val fs = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prevStale = s.conf.getOption("spark.graft.store.leaseStaleMs")
+    s.conf.set("spark.graft.store.leaseStaleMs", "900") // ticks every 300 ms
+    try {
+      DurableStores.withWriterLease(s, sf, "lease_hbtok_spec") {
+        // a foreign holder replaces the lease mid-verb, with an mtime
+        // pinned WELL in the past — if any tick setTimes this file, the
+        // mtime jumps to "now" and the assertion below catches it
+        fs.delete(lp, false)
+        val out = fs.create(lp, false)
+        out.write("pid=31337 host=foreign since=2 nonce=f".getBytes("UTF-8"))
+        out.close()
+        val pinned = System.currentTimeMillis() - 60000L
+        fs.setTimes(lp, pinned, -1)
+        Thread.sleep(1200) // several tick periods
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(lp).getModificationTime
+        assert(age > 30000L,
+          s"a heartbeat tick freshened the FOREIGN lease (age $age ms)")
+        // and the loss is now known: the fence aborts the next publish
+        val ex = intercept[IllegalStateException] {
+          DurableStores.markBatchCommitted(s, sf, "lease_hbtok_spec",
+            "hbtok_b1")
+        }
+        assert(ex.getMessage.contains("FENCED"), ex.getMessage)
+      }
+    } finally {
+      fs.delete(lp, false)
+      prevStale match {
+        case Some(v) => s.conf.set("spark.graft.store.leaseStaleMs", v)
+        case None => s.conf.unset("spark.graft.store.leaseStaleMs")
+      }
+    }
+  }
+
+  test("writer lease refuses a filesystem without atomic create-new unless explicitly allowed") {
+    // local/HDFS create-new is atomic; S3A is documented best-effort.
+    // A user pointing the store root at S3A must get a loud contract
+    // statement, not a silently weaker lock.
+    val s = spark
+    import graft.storage.DurableStores
+    import org.apache.hadoop.fs.Path
+    class FakeS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = "s3a"
+    }
+    val fake = new FakeS3Fs
+    val lp = new Path("/tmp/graft_lease_scheme_spec.lease")
+    val ex = intercept[IllegalStateException] {
+      DurableStores.assertAtomicLeaseFs(s, fake, lp)
+    }
+    assert(ex.getMessage.contains("atomic create-new") &&
+      ex.getMessage.contains("allowNonAtomicCreate"), ex.getMessage)
+    // the explicit opt-in demotes the stop to a once-per-scheme warning
+    s.conf.set("spark.graft.store.lease.allowNonAtomicCreate", "true")
+    try DurableStores.assertAtomicLeaseFs(s, fake, lp)
+    finally s.conf.unset("spark.graft.store.lease.allowNonAtomicCreate")
+    // a local lease path passes with no conf at all
+    val real = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    DurableStores.assertAtomicLeaseFs(s, real, lp)
+  }
+
   test("asof dim store records its time axis at build; a split-routed probe reuses it unchanged") {
     val s = spark
     import s.implicits._
