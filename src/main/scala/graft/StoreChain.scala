@@ -210,8 +210,94 @@ object StoreChain {
                 s""""holder":"$holder"}"""
           }
         println(out)
+      // ---- two-PROCESS commit-marker fence evidence ----------------
+      // `fencehold` takes the writer lease with the heartbeat DISABLED
+      // (the test hook simulating persistent renewal failure — the
+      // exact deployment the fence defends) and waits for a contender;
+      // `fencetake` then legitimately stale-takes the aged lease,
+      // commits its OWN marker (the rightful writer is not fenced),
+      // and holds while the preempted holder attempts to publish —
+      // which must abort FENCED with no marker landing. This is the
+      // cross-process form of StoreSpec's in-JVM fence pins: real
+      // pids, real takeover through takeOverStaleLease, real marker
+      // directory.
+      case "fencehold" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
+        spark.conf.set(
+          "spark.graft.store.lease.disableHeartbeatForTesting", "true")
+        val syncPath = new org.apache.hadoop.fs.Path(
+          sys.env("GRAFT_STORE_ROOT"), "_meta/fence_takeover.sync")
+        val fsys = syncPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        graft.storage.DurableStores.withWriterLease(
+            spark, dataDir, "fence_evidence") {
+          println(s"""{"phase":"fencehold","held":true,""" +
+            s""""heartbeat_disabled":true,""" +
+            s""""pid":${ProcessHandle.current().pid()}}""")
+          Console.flush()
+          // wait for the contender's takeover signal (written INSIDE
+          // its own held lease), then try to publish
+          val deadline = System.currentTimeMillis() + 300000L
+          while (!fsys.exists(syncPath) &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(500)
+          val out =
+            try {
+              graft.storage.DurableStores.markBatchCommitted(
+                spark, dataDir, "fence_evidence", "fence_preempted_b1")
+              s"""{"phase":"fencehold","fenced":false,""" +
+                s""""error":"MARKER LANDED — the fence did not fire"}"""
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("FENCED") =>
+                val present = graft.storage.DurableStores
+                  .committedBatches(spark, dataDir, "fence_evidence")
+                  .contains("fence_preempted_b1")
+                val msg = e.getMessage.replace("\\", "\\\\")
+                  .replace("\"", "\\\"").takeWhile(_ != '\n')
+                s"""{"phase":"fencehold","fenced":true,""" +
+                  s""""marker_present":$present,""" +
+                  s""""pid":${ProcessHandle.current().pid()},""" +
+                  s""""error":"$msg"}"""
+            }
+          println(out)
+        }
+      case "fencetake" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
+        val lp = new org.apache.hadoop.fs.Path(
+          graft.storage.DurableStores.leaseLocation(
+            spark, dataDir, "fence_evidence"))
+        val fsys = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val observedAge = System.currentTimeMillis() -
+          fsys.getFileStatus(lp).getModificationTime
+        graft.storage.DurableStores.withWriterLease(
+            spark, dataDir, "fence_evidence") {
+          // the rightful (new) holder is NOT fenced: its marker lands
+          graft.storage.DurableStores.markBatchCommitted(
+            spark, dataDir, "fence_evidence", "fence_takeover_b1")
+          val ownMarker = graft.storage.DurableStores
+            .committedBatches(spark, dataDir, "fence_evidence")
+            .contains("fence_takeover_b1")
+          println(s"""{"phase":"fencetake","took_over":true,""" +
+            s""""observed_lease_age_ms":$observedAge,""" +
+            s""""own_marker_committed":$ownMarker,""" +
+            s""""pid":${ProcessHandle.current().pid()}}""")
+          Console.flush()
+          // signal the preempted holder and stay holding while it
+          // attempts (and fails) to publish
+          val syncPath = new org.apache.hadoop.fs.Path(
+            sys.env("GRAFT_STORE_ROOT"), "_meta/fence_takeover.sync")
+          val out = fsys.create(syncPath, true)
+          out.write("taken".getBytes("UTF-8")); out.close()
+          Thread.sleep(
+            sys.env.getOrElse("GRAFT_FENCE_HOLD_SECS", "25").toInt * 1000L)
+        }
+        println(s"""{"phase":"fencetake","released":true}""")
       case other => sys.error(
-        s"unknown phase '$other' (accept|probe|compact|leasehold|leasetry)")
+        s"unknown phase '$other' " +
+          "(accept|probe|compact|leasehold|leasetry|fencehold|fencetake)")
     }
     spark.stop()
   }

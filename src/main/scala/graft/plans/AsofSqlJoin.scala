@@ -28,7 +28,9 @@ import org.apache.spark.sql.types.{
   * FROM asof_join('facts', 'price_history',
   *                'instrument_id', 'trade_ts', 'price_ts', 'seq')
   * -- optional 7th arg: 'auto' (default), 'broadcast', 'merge',
-  * --                   'split' (or 'split:N' for N time buckets)
+  * --                   'split' (or 'split:N' for N time buckets, or
+  * --                   'split:N:lo:hi' with caller-supplied time-axis
+  * --                   bounds that skip the bounds subquery)
   * -- optional 8th arg: a staleness bound — a bare numeric literal,
   * --                   INTERVAL literal, or their string forms
   * }}}
@@ -78,15 +80,21 @@ object AsofSqlJoin {
 
   /** Argument shape: (left_table, right_table, keys_csv, left_time,
     * right_time, tie_break[, path[, max_stale]]) — path is 'auto' |
-    * 'broadcast' | 'merge' | 'split'[':N'] as a string literal;
-    * max_stale is the staleness bound ([[graft.operators.AsofJoin
-    * .asofJoinTolerance]] semantics) as a foldable literal in the time
-    * axis's own arithmetic — `86400000000` (or '86400000000') for a
-    * day of epoch micros, `INTERVAL 1 DAY` (or 'INTERVAL 1 DAY') for a
-    * timestamp axis. */
+    * 'broadcast' | 'merge' | 'split'[':N'[':lo:hi']] as a string
+    * literal; max_stale is the staleness bound ([[graft.operators
+    * .AsofJoin.asofJoinTolerance]] semantics) as a foldable literal in
+    * the time axis's own arithmetic — `86400000000` (or '86400000000')
+    * for a day of epoch micros, `INTERVAL 1 DAY` (or 'INTERVAL 1 DAY')
+    * for a timestamp axis. 'split:N:lo:hi' supplies the time axis's
+    * (lo, hi) as doubles — a caller that already knows the range (a
+    * manifest note, a partition listing) skips the bounds subquery and
+    * its extra scan of both time columns; conservative or stale bounds
+    * are answer-safe (the bucket expression clamps), degenerate ones
+    * (hi <= lo) fall back to the unsplit merge exactly like the
+    * DataFrame path's `bounds` parameter. */
   val usage: String = "asof_join(left_table, right_table, " +
     "'k1,k2', left_time, right_time, tie_break[, " +
-    "'auto'|'broadcast'|'merge'|'split'[':N'][, max_stale]])"
+    "'auto'|'broadcast'|'merge'|'split'[':N'[':lo:hi']][, max_stale]])"
 
   private def stringArg(e: Expression, what: String): String = e match {
     case Literal(v, StringType) if v != null => v.toString
@@ -102,30 +110,40 @@ object AsofSqlJoin {
     if (args.length < 6 || args.length > 8)
       throw new IllegalArgumentException(
         s"asof_join takes 6 to 8 arguments, got ${args.length} — $usage")
-    val (broadcast, numSplits): (Option[Boolean], Option[Int]) =
+    val (broadcast, numSplits, splitBounds)
+        : (Option[Boolean], Option[Int], Option[(Double, Double)]) =
       if (args.length >= 7)
         stringArg(args(6), "path") match {
-          case "auto" => (None, None)
-          case "broadcast" => (Some(true), None)
-          case "merge" => (Some(false), None)
-          case "split" => (Some(false), Some(8))
+          case "auto" => (None, None, None)
+          case "broadcast" => (Some(true), None, None)
+          case "merge" => (Some(false), None, None)
+          case "split" => (Some(false), Some(8), None)
           case s if s.startsWith("split:") =>
-            val n =
-              try s.stripPrefix("split:").toInt
-              catch {
-                case _: NumberFormatException =>
-                  throw new IllegalArgumentException(
-                    s"asof_join: malformed split arity '$s' — use " +
-                      s"'split' or 'split:N' with integer N >= 2")
-              }
+            def malformed: Nothing = throw new IllegalArgumentException(
+              s"asof_join: malformed split path '$s' — use 'split', " +
+                "'split:N' with integer N >= 2, or 'split:N:lo:hi' " +
+                "with lo/hi the time axis's bounds as finite doubles")
+            val parts = s.stripPrefix("split:").split(":", -1).toSeq
+            val n = try parts.head.toInt
+              catch { case _: NumberFormatException => malformed }
             require(n >= 2,
               s"asof_join: split needs N >= 2 buckets, got $n")
-            (Some(false), Some(n))
+            val bounds = parts.tail match {
+              case Seq() => None
+              case Seq(loRaw, hiRaw) =>
+                val (lo, hi) = try (loRaw.toDouble, hiRaw.toDouble)
+                  catch { case _: NumberFormatException => malformed }
+                if (!java.lang.Double.isFinite(lo) ||
+                    !java.lang.Double.isFinite(hi)) malformed
+                Some((lo, hi))
+              case _ => malformed
+            }
+            (Some(false), Some(n), bounds)
           case other => throw new IllegalArgumentException(
             s"asof_join: unknown path '$other' " +
-              "(auto|broadcast|merge|split[:N])")
+              "(auto|broadcast|merge|split[:N[:lo:hi]])")
         }
-      else (None, None)
+      else (None, None, None)
     // max_stale resolves NOW (fail fast on syntax) and must fold to a
     // literal — the bound is a constant of the query, not a per-row
     // expression. Accepted shapes: a bare foldable numeric or day-time
@@ -167,7 +185,8 @@ object AsofSqlJoin {
     require(keys.nonEmpty, s"asof_join: keys must be non-empty — $usage")
     UnresolvedAsofJoin(rel(0, "left_table"), rel(1, "right_table"), keys,
       stringArg(args(3), "left_time"), stringArg(args(4), "right_time"),
-      stringArg(args(5), "tie_break"), broadcast, maxStale, numSplits)
+      stringArg(args(5), "tie_break"), broadcast, maxStale, numSplits,
+      splitBounds)
   }
 
   /** What [[graft.GraftExtensions]] passes to injectTableFunction. */
@@ -194,7 +213,8 @@ case class UnresolvedAsofJoin(
     tieBreak: String,
     broadcast: Option[Boolean],
     maxStale: Option[Literal] = None,
-    numSplits: Option[Int] = None) extends BinaryNode {
+    numSplits: Option[Int] = None,
+    splitBounds: Option[(Double, Double)] = None) extends BinaryNode {
   override lazy val resolved: Boolean = false
   override def output: Seq[Attribute] = Nil
   override protected def withNewChildrenInternal(
@@ -321,19 +341,29 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       val threshold = conf.autoBroadcastJoinThreshold
       threshold <= 0 || rFresh.stats.sizeInBytes > threshold
     }
-    val effectiveSplits: Option[Int] = u.numSplits.orElse {
-      if (skewSplits >= 2 && (u.broadcast.contains(false) ||
-          (u.broadcast.isEmpty && statsPickMerge))) Some(skewSplits)
-      else None
-    }
+    // caller-supplied degenerate bounds (hi <= lo — an empty or
+    // constant axis per the caller's own manifest) fall back to the
+    // unsplit merge, exactly like the DataFrame path's `bounds`
+    // parameter: buckets could not spread work anyway
+    val degenerateBounds =
+      u.splitBounds.exists { case (lo, hi) => !(hi > lo) }
+    val effectiveSplits: Option[Int] =
+      (if (degenerateBounds) None else u.numSplits).orElse {
+        if (!degenerateBounds && skewSplits >= 2 &&
+            (u.broadcast.contains(false) ||
+              (u.broadcast.isEmpty && statsPickMerge))) Some(skewSplits)
+        else None
+      }
+    val effectiveBroadcast =
+      if (degenerateBounds) Some(false) else u.broadcast
     effectiveSplits match {
       case Some(n) =>
-        lowerSplit(u, lKeys, lT, boundExpr, n, resolver)
+        lowerSplit(u, lKeys, lT, boundExpr, n, resolver, u.splitBounds)
       case None => boundExpr match {
         case None =>
           AsofJoinPlan(u.left, rFresh, lKeys, rKeys, lT, rT,
             attr(rFresh, u.tieBreak, "right"), payload,
-            asofAttr(payload), u.broadcast)
+            asofAttr(payload), effectiveBroadcast)
         case Some(be) =>
           require(u.left.output.forall(a =>
             !resolver(a.name, "__asof_bound")),
@@ -343,7 +373,7 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
           val leftB = Project(u.left.output :+ boundAlias, u.left)
           val node = AsofJoinPlan(leftB, rFresh, lKeys, rKeys, lT, rT,
             attr(rFresh, u.tieBreak, "right"), payload,
-            asofAttr(payload), u.broadcast,
+            asofAttr(payload), effectiveBroadcast,
             toleranceBound = Some(boundAlias.toAttribute))
           // strip the helper column, exactly like the DataFrame path's
           // drop — the all-attribute Project collapses into the user's
@@ -390,7 +420,8 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       u: UnresolvedAsofJoin,
       lKeys: Seq[Attribute], lT: Attribute,
       boundExpr: Option[Expression], numSplits: Int,
-      resolver: (String, String) => Boolean): LogicalPlan = {
+      resolver: (String, String) => Boolean,
+      suppliedBounds: Option[(Double, Double)] = None): LogicalPlan = {
     def attr(p: LogicalPlan, name: String, side: String): Attribute = {
       val hits = p.output.filter(a => resolver(a.name, name))
       require(hits.size == 1,
@@ -434,9 +465,19 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
         "__bounds")()), times)
     }
     def bucketOf(t: Expression): Expression = {
-      val sq = ScalarSubquery(boundsAgg())
-      val lo = GetStructField(sq, 0, Some("lo"))
-      val hi = GetStructField(sq, 1, Some("hi"))
+      // caller-supplied bounds ('split:N:lo:hi', already checked
+      // non-degenerate by lower()) become plain literals — no bounds
+      // subquery is built at all, so the plan never re-scans the two
+      // time columns for the range a manifest already knows; the clamp
+      // below keeps stale or conservative bounds answer-safe
+      val (lo: Expression, hi: Expression) = suppliedBounds match {
+        case Some((l, h)) =>
+          (Literal(l, DoubleType), Literal(h, DoubleType))
+        case None =>
+          val sq = ScalarSubquery(boundsAgg())
+          (GetStructField(sq, 0, Some("lo")),
+            GetStructField(sq, 1, Some("hi")))
+      }
       val d = Cast(t, DoubleType)
       val width = Divide(Subtract(hi, lo), Literal(numSplits.toDouble))
       val raw = Cast(Floor(Divide(Subtract(d, lo), width)), IntegerType)

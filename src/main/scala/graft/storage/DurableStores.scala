@@ -555,9 +555,19 @@ object DurableStores {
         st.lost = false
         val staleMs = leaseStaleMs(s)
         val period = math.max(staleMs / 3, 25L)
-        st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
-          () => heartbeatTick(f, lp, st),
-          period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        // TEST HOOK (cross-process fence evidence only — never set in
+        // production): simulates the heartbeat's persistent-failure
+        // mode (a connector without setTimes, a permissions change on
+        // _meta) by not scheduling renewals at all, so the lease ages
+        // past staleMs, a contender legitimately takes it over, and
+        // the FENCE — not the heartbeat — is what stops this verb.
+        val hbDisabled = s.conf
+          .getOption("spark.graft.store.lease.disableHeartbeatForTesting")
+          .exists(_.toBoolean)
+        if (!hbDisabled)
+          st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
+            () => heartbeatTick(f, lp, st),
+            period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       }
       st.holders += 1
     }

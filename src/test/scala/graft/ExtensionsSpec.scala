@@ -435,4 +435,82 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("asof_join from SQL: 'split:N:lo:hi' supplies the bounds and skips the bounds subquery") {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      (0L until 400L).map(i => (1L, i, i % 97))
+        .toDF("k", "lid", "t").createOrReplaceTempView("asof_sb_left")
+      (0L until 300L).map(i => (1L, 1000L + i, i % 89))
+        .toDF("k", "rid", "t").createOrReplaceTempView("asof_sb_right")
+      def q(path: String): org.apache.spark.sql.DataFrame = s.sql(
+        s"""SELECT k, lid, asof.rid AS rid
+           |FROM asof_join('asof_sb_left', 'asof_sb_right',
+           |               'k', 't', 't', 'rid', '$path')""".stripMargin)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
+      import org.apache.spark.sql.functions.spark_partition_id
+      def hotTasks(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter($"k" === 1L).select(spark_partition_id()).distinct().count()
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0).toLowerCase
+      val baseline = canon(q("merge"))
+      // the subquery-bounded split pays the bounds aggregate; the
+      // supplied-bounds split must NOT plan one (the very point: a
+      // manifest that knows the range skips the extra time-column scan)
+      assert(planOf(q("split:4")).contains("subquery"),
+        "fixture: the plain split's bounds must be a scalar subquery")
+      val exact = q("split:8:0:96") // the true time range
+      assert(canon(exact) === baseline)
+      assert(hotTasks(exact) >= 2L,
+        "supplied exact bounds must still spread the hot key")
+      assert(!planOf(exact).contains("subquery"),
+        "supplied bounds must not plan a bounds subquery")
+      // conservative (wider-than-true) bounds are answer-safe: the
+      // bucket expression clamps, only the spread changes
+      assert(canon(q("split:8:-1000:5000")) === baseline)
+      // degenerate supplied bounds (hi <= lo) fall back to the unsplit
+      // merge — the DataFrame `bounds` parameter's exact contract
+      val degenerate = q("split:8:7:7")
+      assert(canon(degenerate) === baseline)
+      assert(!planOf(degenerate).contains("subquery"))
+      assert(hotTasks(degenerate) === 1L,
+        "degenerate bounds must lower as the plain (unsplit) merge")
+      // malformed bounds keep the loud contract error
+      val e1 = intercept[Exception] { q("split:4:zero:10").collect() }
+      assert(e1.getMessage.contains("lo:hi"), e1.getMessage)
+      val e2 = intercept[Exception] { q("split:4:10").collect() }
+      assert(e2.getMessage.contains("lo:hi"), e2.getMessage)
+      // the staleness bound rides supplied bounds like the plain split
+      val staleSupplied = s.sql(
+        """SELECT k, lid, asof.rid AS rid
+          |FROM asof_join('asof_sb_left', 'asof_sb_right',
+          |               'k', 't', 't', 'rid', 'split:8:0:96', 2)"""
+          .stripMargin)
+      val staleMerge = s.sql(
+        """SELECT k, lid, asof.rid AS rid
+          |FROM asof_join('asof_sb_left', 'asof_sb_right',
+          |               'k', 't', 't', 'rid', 'merge', 2)""".stripMargin)
+      assert(canon(staleSupplied) === canon(staleMerge))
+      assert(canon(staleMerge) !== baseline,
+        "fixture must exercise the bound (some winners nulled)")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
