@@ -97,7 +97,7 @@ object Bench {
     "q129_asof_accept_probe", "q130_asof_join_native_split",
     "q131_asof_join_stale", "q132_asof_join_sql",
     "q133_asof_join_sql_stale", "q134_asof_join_sql_auto",
-    "q135_asof_join_sql_split")
+    "q135_asof_join_sql_split", "q136_asof_join_sql_split_bounds")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -672,9 +672,35 @@ object EventsMerge {
         |               'user_id', 'ts', 'ts', 'event_id', 'split:8')""".stripMargin)
   }
 
+  /** The stored-dimension skew shape from PURE SQL (round 15): the
+    * dimension at rest ([[asofDimStore]]) recorded its time axis in a
+    * manifest note at build; this gate reads the note
+    * ([[asofDimTimeBounds]]) and interpolates it into the TVF's
+    * 'split:8:lo:hi' path, so the lowering plans NO bounds subquery —
+    * the SQL twin of q128's `splitBounds` workflow (a caller that
+    * already knows the range never re-scans the time columns for it).
+    * Same oracle as the rest of the family: eleven plans, one
+    * contract. ExtensionsSpec pins the no-subquery plan shape. */
+  private val q136AsofJoinSqlSplitBounds: Q = (s, d) => {
+    import s.implicits._
+    eventsTsMicros(s, d).filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+      .createOrReplaceTempView("graft_asof_clicks_sb")
+    asofDimStore(s, d).createOrReplaceTempView("graft_asof_dim_sb")
+    val (lo, hi) = asofDimTimeBounds(s, d).getOrElse(sys.error(
+      "asof_dim ts_bounds note missing — the store build writes it"))
+    s.sql(
+      s"""SELECT user_id, event_id AS click_id,
+         |  asof.event_id AS purchase_id, asof.value AS purchase_value
+         |FROM asof_join('graft_asof_clicks_sb', 'graft_asof_dim_sb',
+         |               'user_id', 'ts', 'ts', 'event_id',
+         |               'split:8:$lo:$hi')""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_asof_join_sql_auto" -> q134AsofJoinSqlAuto,
     "q135_asof_join_sql_split" -> q135AsofJoinSqlSplit,
+    "q136_asof_join_sql_split_bounds" -> q136AsofJoinSqlSplitBounds,
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q132_asof_join_sql" -> q132AsofJoinSql,
     "q133_asof_join_sql_stale" -> q133AsofJoinSqlStale,
@@ -736,10 +762,12 @@ object EventsMerge {
     "q126_asof_join_native" -> asofSql,
     "q130_asof_join_native_split" -> asofSql,
     "q132_asof_join_sql" -> asofSql,
-    // SQL front-door twins of the auto (broadcast-planned) and split
-    // physical paths — the operator swap must never change the answer
+    // SQL front-door twins of the auto (broadcast-planned), split, and
+    // manifest-bounded split physical paths — the operator swap must
+    // never change the answer
     "q134_asof_join_sql_auto" -> asofSql,
     "q135_asof_join_sql_split" -> asofSql,
+    "q136_asof_join_sql_split_bounds" -> asofSql,
     // the staleness-bounded variant: same correlated argmax with the
     // window's lower bound (1 day before the click) — shared by the
     // DataFrame gate (q131) and its SQL-TVF twin (q133)
