@@ -103,7 +103,8 @@ object Bench {
     "q129_asof_accept_probe", "q130_asof_join_native_split",
     "q131_asof_join_stale", "q132_asof_join_sql",
     "q133_asof_join_sql_stale", "q134_asof_join_sql_auto",
-    "q135_asof_join_sql_split", "q136_asof_join_sql_split_bounds")
+    "q135_asof_join_sql_split", "q136_asof_join_sql_split_bounds",
+    "q137_asof_join_sql_skew_conf", "q138_asof_join_sql_split_stored")
 
   /** Reported per-query figure: the lower-middle order statistic.
     * Identical to the textbook median for odd sample counts; for EVEN

@@ -211,29 +211,38 @@ object StoreChain {
           }
         println(out)
       // ---- two-PROCESS commit-marker fence evidence ----------------
-      // `fencehold` takes the writer lease with the heartbeat DISABLED
-      // (the test hook simulating persistent renewal failure — the
-      // exact deployment the fence defends) and waits for a contender;
-      // `fencetake` then legitimately stale-takes the aged lease,
-      // commits its OWN marker (the rightful writer is not fenced),
-      // and holds while the preempted holder attempts to publish —
-      // which must abort FENCED with no marker landing. This is the
-      // cross-process form of StoreSpec's in-JVM fence pins: real
-      // pids, real takeover through takeOverStaleLease, real marker
-      // directory.
+      // `fencehold` takes the writer lease with its store root on the
+      // brokenmtime:// scheme ([[graft.storage.BrokenMtimeFileSystem]]
+      // — a local FS whose setTimes always throws), so the heartbeat
+      // RUNS but every renewal fails: the REAL production failure mode
+      // (a connector without mtime renewal) rather than the round-15
+      // kill-switch conf that silently skipped scheduling renewals.
+      // The lease ages past the stale horizon, `fencetake` (a healthy
+      // plain-file process on the same root) legitimately stale-takes
+      // it and commits its OWN marker (the rightful writer is not
+      // fenced), and the preempted holder's publish must abort FENCED
+      // with no marker landing. Exit code: 0 ONLY when the fence fired
+      // — a falsified run (marker landed, or the contender never
+      // arrived and this process would publish under its own
+      // still-valid lease) exits 1 so durchain.sh's set -e catches it
+      // instead of relying on manual jvm6a.json inspection.
       case "fencehold" =>
         sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
           spark.conf.set("spark.graft.store.leaseStaleMs", _))
-        spark.conf.set(
-          "spark.graft.store.lease.disableHeartbeatForTesting", "true")
+        spark.sparkContext.hadoopConfiguration.set("fs.brokenmtime.impl",
+          classOf[graft.storage.BrokenMtimeFileSystem].getName)
+        val plainRoot = new java.io.File(sys.env("GRAFT_STORE_ROOT"))
+          .getAbsolutePath
+        spark.conf.set("spark.graft.store.root", s"brokenmtime://$plainRoot")
         val syncPath = new org.apache.hadoop.fs.Path(
-          sys.env("GRAFT_STORE_ROOT"), "_meta/fence_takeover.sync")
+          plainRoot, "_meta/fence_takeover.sync")
         val fsys = syncPath.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        var fenced = false
         graft.storage.DurableStores.withWriterLease(
             spark, dataDir, "fence_evidence") {
           println(s"""{"phase":"fencehold","held":true,""" +
-            s""""heartbeat_disabled":true,""" +
+            s""""renewal_broken":"brokenmtime://",""" +
             s""""pid":${ProcessHandle.current().pid()}}""")
           Console.flush()
           // wait for the contender's takeover signal (written INSIDE
@@ -242,8 +251,14 @@ object StoreChain {
           while (!fsys.exists(syncPath) &&
               System.currentTimeMillis() < deadline)
             Thread.sleep(500)
+          val contenderSeen = fsys.exists(syncPath)
           val out =
-            try {
+            if (!contenderSeen)
+              s"""{"phase":"fencehold","fenced":false,""" +
+                s""""sync_timeout":true,""" +
+                s""""error":"the contender's takeover signal never """ +
+                s"""arrived — nothing contested this lease"}"""
+            else try {
               graft.storage.DurableStores.markBatchCommitted(
                 spark, dataDir, "fence_evidence", "fence_preempted_b1")
               s"""{"phase":"fencehold","fenced":false,""" +
@@ -251,6 +266,7 @@ object StoreChain {
             } catch {
               case e: IllegalStateException
                   if e.getMessage.contains("FENCED") =>
+                fenced = true
                 val present = graft.storage.DurableStores
                   .committedBatches(spark, dataDir, "fence_evidence")
                   .contains("fence_preempted_b1")
@@ -263,6 +279,7 @@ object StoreChain {
             }
           println(out)
         }
+        if (!fenced) { spark.stop(); sys.exit(1) }
       case "fencetake" =>
         sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
           spark.conf.set("spark.graft.store.leaseStaleMs", _))

@@ -100,6 +100,12 @@ object AsofJoin {
   private[graft] val statsProbeCount =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Current entry count of [[statsRouteCache]] — observability for
+    * the LRU-cap spec (a long-lived multi-tenant session planning many
+    * distinct right sides must not grow driver memory unboundedly). */
+  private[graft] def statsRouteCacheSize: Int =
+    statsRouteCache.synchronized(statsRouteCache.size)
+
   /** Build the tagged union sides shared by [[asofJoin]] and
     * [[asofJoinSplit]]: left rows (side=1, null payload) and
     * timestamped right rows (side=0, struct payload). */

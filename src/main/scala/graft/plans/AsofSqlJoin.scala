@@ -358,7 +358,16 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
       if (degenerateBounds) Some(false) else u.broadcast
     effectiveSplits match {
       case Some(n) =>
-        lowerSplit(u, lKeys, lT, boundExpr, n, resolver, u.splitBounds)
+        // bounds priority: caller literals ('split:N:lo:hi') > the
+        // catalog's recorded axis (a stored dimension's
+        // graft.asof.bounds.<timeCol> table property) > the subquery.
+        // A deployment that only sets skewSplits therefore skips the
+        // bounds scan over registered stored dimensions too — the
+        // r15 residual where only the explicit SQL form consumed
+        // manifest bounds.
+        val bounds = u.splitBounds
+          .orElse(catalogBounds(u.right, u.rightTime, resolver))
+        lowerSplit(u, lKeys, lT, boundExpr, n, resolver, bounds)
       case None => boundExpr match {
         case None =>
           AsofJoinPlan(u.left, rFresh, lKeys, rKeys, lT, rT,
@@ -386,6 +395,52 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
   private def asofAttr(payload: Seq[Attribute]): AttributeReference =
     AttributeReference(
       "asof", CreateStruct(payload).dataType, nullable = true)()
+
+  /** The right side's time-axis bounds from a catalog TABLE PROPERTY
+    * (`graft.asof.bounds.<timeCol>` = "lo,hi" as doubles — what
+    * stored-dimension builders like
+    * [[graft.queries.EventsMerge.asofDimStore]] record at build), so a
+    * conf-routed or plain-'split' lowering over a REGISTERED dimension
+    * skips its bounds subquery the way 'split:N:lo:hi' does — the
+    * catalog is the contract surface, no analyzer → store coupling.
+    * Trusted only when the right fragment reads exactly ONE catalog
+    * table: filters/projections above it can only NARROW the real axis
+    * (recorded bounds stay conservative, which the clamped bucket
+    * floor absorbs), while two tables make the recorded axis
+    * meaningless. SAFETY: both sides bucket through the same monotone
+    * clamped floor built from whatever (lo, hi) is used, so even
+    * stale or wrong-column bounds can never change answers — only
+    * spread quality. Degenerate or malformed values are ignored (the
+    * subquery path remains). */
+  private def catalogBounds(right: LogicalPlan, timeName: String,
+      resolver: (String, String) => Boolean): Option[(Double, Double)] = {
+    val tables = right.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.isDefined => lr.catalogTable.get
+      case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        h.tableMeta
+    }
+    tables match {
+      case Seq(ct) =>
+        ct.properties.collectFirst {
+          case (k, v) if k.startsWith("graft.asof.bounds.") &&
+              resolver(k.stripPrefix("graft.asof.bounds."), timeName) => v
+        }.flatMap { v =>
+          v.split(",") match {
+            case Array(loRaw, hiRaw) =>
+              try {
+                val (lo, hi) = (loRaw.toDouble, hiRaw.toDouble)
+                if (java.lang.Double.isFinite(lo) &&
+                    java.lang.Double.isFinite(hi) && hi > lo)
+                  Some((lo, hi))
+                else None
+              } catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
 
   /** The split construction, built directly in logical-plan form —
     * [[graft.operators.AsofJoin.asofJoinNativeSplit]]'s exact shape

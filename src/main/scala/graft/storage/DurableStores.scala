@@ -53,10 +53,16 @@ object DurableStores {
     * default) lets a bucketed layout declare a FINER at-rest sort than
     * its bucket key — e.g. bucket by entity, sort by (entity, time) —
     * which the re-registration DDL must preserve or a cold catalog
-    * would lose the scan's sort order and re-Sort on every read. */
+    * would lose the scan's sort order and re-Sort on every read.
+    * `props` are TABLE PROPERTIES the re-registration DDL must carry
+    * (e.g. the as-of dimension's `graft.asof.bounds.<timeCol>` axis,
+    * which the SQL split lowering reads from the catalog so a
+    * conf-routed skew split over a stored dimension skips its bounds
+    * subquery) — without them a cold catalog would silently lose the
+    * planner-visible facts the build recorded. */
   final case class TableMeta(name: String, layout: String,
       layoutCols: Seq[String], numBuckets: Int, schemaDdl: String,
-      sortCols: Seq[String] = Nil)
+      sortCols: Seq[String] = Nil, props: Seq[(String, String)] = Nil)
 
   object TableMeta {
     /** Metadata captured AFTER the build (the catalog schema is the
@@ -67,9 +73,10 @@ object DurableStores {
         numBuckets: Int): TableMeta =
       TableMeta(name, "bucketed", cols, numBuckets, s.table(name).schema.toDDL)
     def bucketedSorted(s: SparkSession, name: String, cols: Seq[String],
-        sortCols: Seq[String], numBuckets: Int): TableMeta =
+        sortCols: Seq[String], numBuckets: Int,
+        props: Seq[(String, String)] = Nil): TableMeta =
       TableMeta(name, "bucketed", cols, numBuckets,
-        s.table(name).schema.toDDL, sortCols)
+        s.table(name).schema.toDDL, sortCols, props)
     def partitioned(s: SparkSession, name: String,
         cols: Seq[String]): TableMeta =
       TableMeta(name, "partitioned", cols, 0, s.table(name).schema.toDDL)
@@ -164,9 +171,22 @@ object DurableStores {
     require(!params.contains("\n") && !params.contains("|"),
       s"store params must be newline- and pipe-free: $params")
     val body = (Seq(fp + "|" + params) ++ tables.map { t =>
+      // props ride an OPTIONAL 7th field (URL-encoded k=v pairs, comma-
+      // joined — values like "lo,hi" encode their commas); when props
+      // are present the sortCols field is always emitted (possibly
+      // empty) so field positions stay unambiguous. Old manifests (<= 6
+      // fields) parse with props Nil, like the sortCols migration.
+      val propsField =
+        if (t.props.isEmpty) Nil
+        else Seq(t.props.map { case (k, v) =>
+          java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+            java.net.URLEncoder.encode(v, "UTF-8")
+        }.mkString(","))
+      val sortField =
+        if (t.sortCols.isEmpty && propsField.isEmpty) Nil
+        else Seq(t.sortCols.mkString(","))
       (Seq(t.name, t.layout, t.numBuckets.toString,
-        t.layoutCols.mkString(","), t.schemaDdl) ++
-        (if (t.sortCols.isEmpty) Nil else Seq(t.sortCols.mkString(","))))
+        t.layoutCols.mkString(","), t.schemaDdl) ++ sortField ++ propsField)
         .mkString("\t")
     }).mkString("", "\n", "\n")
     writeAtomic(fs(s, p.toString), p, body)
@@ -187,11 +207,17 @@ object DurableStores {
       }
       val tables = Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).map { line =>
-          val a = line.split("\t", 6)
+          val a = line.split("\t", 7)
           TableMeta(a(0), a(1),
             if (a(3).isEmpty) Nil else a(3).split(",").toSeq,
             a(2).toInt, a(4),
-            if (a.length < 6 || a(5).isEmpty) Nil else a(5).split(",").toSeq)
+            if (a.length < 6 || a(5).isEmpty) Nil else a(5).split(",").toSeq,
+            if (a.length < 7 || a(6).isEmpty) Nil
+            else a(6).split(",").toSeq.map { kv =>
+              val Array(k, v) = kv.split("=", 2)
+              (java.net.URLDecoder.decode(k, "UTF-8"),
+                java.net.URLDecoder.decode(v, "UTF-8"))
+            })
         }.toVector
       Some((fp, params, tables))
     } finally in.close()
@@ -215,8 +241,15 @@ object DurableStores {
         s"PARTITIONED BY (${t.layoutCols.map(c => s"`$c`").mkString(", ")})"
       case _ => ""
     }
+    val propsClause =
+      if (t.props.isEmpty) ""
+      else t.props.map { case (k, v) =>
+        require(!k.contains("'") && !v.contains("'"),
+          s"table property must be quote-free: $k=$v")
+        s"'$k'='$v'"
+      }.mkString("TBLPROPERTIES (", ", ", ") ")
     s.sql(s"CREATE TABLE `${t.name}` (${t.schemaDdl}) USING parquet " +
-      s"$clause LOCATION '$loc'")
+      s"$clause ${propsClause}LOCATION '$loc'")
     if (t.layout == "partitioned")
       s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
   }
@@ -418,6 +451,12 @@ object DurableStores {
       * verifies it before every renewal and the commit-marker fence
       * re-verifies it before every visibility write. */
     var token: String = null
+    /** The backend the lease was acquired through (round 16: leases
+      * are pluggable — the FS file next to the manifest by default, a
+      * conditional-write HTTP endpoint for object-store roots); the
+      * heartbeat, fence, and release all go through the SAME backend
+      * the acquisition used. */
+    var backend: LeaseBackend = null
     /** Consecutive failed heartbeat renewals; read by the fence. */
     val failures = new java.util.concurrent.atomic.AtomicInteger(0)
     /** Set when a heartbeat READ the lease file and found a FOREIGN
@@ -447,7 +486,7 @@ object DurableStores {
   /** One heartbeat tick. The renewal VERIFIES the lease token before
     * touching the file: a tick racing the release-time delete (or a
     * stale takeover that already replaced the file) must never
-    * `setTimes` a lease a NEW foreign holder just created — that would
+    * freshen a lease a NEW foreign holder just created — that would
     * artificially freshen the foreign lease and delay a later
     * legitimate stale takeover by up to one stale horizon. A foreign
     * token marks the state `lost` (the commit-marker fence turns that
@@ -457,36 +496,26 @@ object DurableStores {
     * setTimes, a permissions change on _meta) means the
     * anti-preemption guarantee is gone and the operator must know
     * before a contender takes the lease over mid-verb. */
-  private def heartbeatTick(f: FileSystem, lp: Path,
-      st: LeaseState): Unit =
-    try {
-      readFirstLine(f, lp) match {
-        case Some(tok) if tok == st.token =>
-          f.setTimes(lp, System.currentTimeMillis(), -1)
-          st.failures.set(0)
-        case Some(foreign) =>
-          st.lost = true
-          System.err.println(s"[graft] ERROR: writer lease $lp is now " +
-            s"held by a FOREIGN token ($foreign) — this verb's lease was " +
-            "taken over; its next commit-marker write will abort")
-        case None =>
-          // absent or unreadable: do NOT touch (a foreign create could
-          // be landing right now); count it — a transient read blip
-          // resets on the next good tick, a real loss stays loud
-          countHeartbeatFailure(lp, st,
-            "the lease file is absent or unreadable")
-      }
-    } catch {
-      case e: Exception =>
-        countHeartbeatFailure(lp, st,
-          s"${e.getClass.getName}: ${e.getMessage}")
+  private def heartbeatTick(st: LeaseState): Unit =
+    st.backend.renew(st.token) match {
+      case RenewOutcome.Renewed => st.failures.set(0)
+      case RenewOutcome.Foreign(foreign) =>
+        st.lost = true
+        System.err.println(s"[graft] ERROR: writer lease " +
+          s"${st.backend.where} is now held by a FOREIGN token " +
+          s"($foreign) — this verb's lease was taken over; its next " +
+          "commit-marker write will abort")
+      case RenewOutcome.Failed(why) =>
+        // a transient blip resets on the next good tick, a real loss
+        // stays loud
+        countHeartbeatFailure(st.backend.where, st, why)
     }
 
-  private def countHeartbeatFailure(lp: Path, st: LeaseState,
+  private def countHeartbeatFailure(where: String, st: LeaseState,
       why: String): Unit =
     if (st.failures.incrementAndGet() >= 2)
       System.err.println(s"[graft] WARNING: writer-lease heartbeat " +
-        s"on $lp has failed ${st.failures.get()} times in a row " +
+        s"on $where has failed ${st.failures.get()} times in a row " +
         s"($why) — the lease can go stale mid-verb and a contender " +
         "may take it over")
 
@@ -542,32 +571,21 @@ object DurableStores {
       store: String)(body: => A): A = {
     val lp = leasePath(manifestPath(s, store, dataDir))
     val key = lp.toString
-    val f = fs(s, key)
     val st = leaseStates.synchronized(
       leaseStates.getOrElseUpdate(key, new LeaseState))
     st.synchronized {
       if (st.holders == 0) {
-        assertAtomicLeaseFs(s, f, lp)
+        st.backend = leaseBackendFor(s, lp)
         // throws on a live foreign holder; returns the token it wrote
-        st.token = acquireLeaseFile(s, f, lp, store)
+        st.token = acquireLease(s, st.backend, store)
         st.acquired = true
         st.failures.set(0)
         st.lost = false
         val staleMs = leaseStaleMs(s)
         val period = math.max(staleMs / 3, 25L)
-        // TEST HOOK (cross-process fence evidence only — never set in
-        // production): simulates the heartbeat's persistent-failure
-        // mode (a connector without setTimes, a permissions change on
-        // _meta) by not scheduling renewals at all, so the lease ages
-        // past staleMs, a contender legitimately takes it over, and
-        // the FENCE — not the heartbeat — is what stops this verb.
-        val hbDisabled = s.conf
-          .getOption("spark.graft.store.lease.disableHeartbeatForTesting")
-          .exists(_.toBoolean)
-        if (!hbDisabled)
-          st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
-            () => heartbeatTick(f, lp, st),
-            period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        st.heartbeat = leaseHeartbeats.scheduleWithFixedDelay(
+          () => heartbeatTick(st),
+          period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
       }
       st.holders += 1
     }
@@ -576,21 +594,71 @@ object DurableStores {
       st.holders -= 1
       if (st.holders == 0) {
         if (st.heartbeat != null) { st.heartbeat.cancel(false); st.heartbeat = null }
-        // only the JVM that created the file may delete it — release
-        // after a failed acquisition elsewhere must never destroy a
-        // foreign holder's live lease. TOKEN-VERIFIED: if the lease was
-        // taken over mid-verb (ours went stale, a contender replaced
-        // it), the file on disk is the NEW holder's — deleting it would
-        // strip a live writer of its lock at the exact moment two
-        // writers already collided
+        // only the acquirer may delete the lease — release after a
+        // failed acquisition elsewhere must never destroy a foreign
+        // holder's live lease. TOKEN-VERIFIED (inside the backend): if
+        // the lease was taken over mid-verb (ours went stale, a
+        // contender replaced it), the lease is the NEW holder's —
+        // deleting it would strip a live writer of its lock at the
+        // exact moment two writers already collided
         if (st.acquired) {
-          try {
-            if (readFirstLine(f, lp).contains(st.token)) f.delete(lp, false)
-          } catch { case _: java.io.IOException => () }
+          st.backend.release(st.token)
           st.acquired = false
           st.token = null
         }
       }
+    }
+  }
+
+  /** Which backend a store's writer lease lives on:
+    * `spark.graft.store.lease.backend` = `fs` (default — the lease
+    * file next to the manifest, atomic create-new where the filesystem
+    * has it) or `http` (a conditional-write endpoint named by
+    * `spark.graft.store.lease.http.url` — the real mutual-exclusion
+    * lease for object-store roots whose own create is not atomic). */
+  private def leaseBackendFor(s: SparkSession, lp: Path): LeaseBackend =
+    s.conf.getOption("spark.graft.store.lease.backend")
+      .getOrElse("fs") match {
+      case "fs" =>
+        val f = fs(s, lp.toString)
+        assertAtomicLeaseFs(s, f, lp)
+        new FsLeaseBackend(s, f, lp)
+      case "http" =>
+        val base = s.conf.getOption("spark.graft.store.lease.http.url")
+          .getOrElse(throw new IllegalArgumentException(
+            "spark.graft.store.lease.backend=http needs " +
+              "spark.graft.store.lease.http.url (a conditional-write " +
+              "endpoint honoring If-None-Match/If-Match)"))
+        new HttpLeaseBackend(base, lp.toString)
+      case other => throw new IllegalArgumentException(
+        s"unknown lease backend '$other' " +
+          "(spark.graft.store.lease.backend is 'fs' or 'http')")
+    }
+
+  /** Acquire a lease through `backend`: atomic create first; a live
+    * foreign holder fails fast with its identity; a holder older than
+    * the stale horizon is taken over (backend-atomic where the backend
+    * has conditional writes). */
+  private def acquireLease(s: SparkSession, backend: LeaseBackend,
+      store: String, retried: Boolean = false): String = {
+    val tok = newLeaseToken()
+    if (backend.tryCreate(tok)) return tok
+    val staleMs = leaseStaleMs(s)
+    backend.observe() match {
+      case Some(obs) if obs.ageMs > staleMs =>
+        backend.takeOver(obs, store)
+      case Some(obs) =>
+        throw new IllegalStateException(
+          s"store '$store' is being written by another process " +
+            s"(${obs.token.getOrElse("<unreadable>")}, lease " +
+            s"${backend.where}, age ${obs.ageMs} ms) — accepts and " +
+            "compacts are single-writer per store; retry after it " +
+            "finishes, or delete the lease if the holder is known dead")
+      case None =>
+        // released between our create attempt and the read: retry
+        if (!retried) acquireLease(s, backend, store, retried = true)
+        else sys.error(s"could not acquire writer lease for " +
+          s"store '$store' at ${backend.where}")
     }
   }
 
@@ -600,8 +668,10 @@ object DurableStores {
 
   /** Holder identity + a per-attempt nonce, so a takeover can verify
     * that the lease it reads back is the one IT created (two same-pid
-    * attempts in one millisecond are still distinguishable). */
-  private def leaseToken(): String =
+    * attempts in one millisecond are still distinguishable). Shared
+    * with every [[LeaseBackend]] so holder identities render uniformly
+    * in contention errors regardless of where the lease lives. */
+  private[storage] def newLeaseToken(): String =
     s"pid=${ProcessHandle.current().pid()} " +
       s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
       s"since=${System.currentTimeMillis()} " +
@@ -610,8 +680,13 @@ object DurableStores {
   private def readLease(f: FileSystem, lp: Path): String =
     readFirstLine(f, lp).getOrElse("<unreadable>")
 
+  /** First line of the lease file (the [[FsLeaseBackend]]'s read). */
+  private[storage] def readLeaseFirstLine(f: FileSystem,
+      lp: Path): Option[String] = readFirstLine(f, lp)
+
   /** Create-new the lease file with `token`; false if it exists. */
-  private def createLease(f: FileSystem, lp: Path, token: String): Boolean =
+  private[storage] def createLeaseFile(f: FileSystem, lp: Path,
+      token: String): Boolean =
     try {
       val out = f.create(lp, false) // create-new: fails if held
       try out.write(token.getBytes(StandardCharsets.UTF_8))
@@ -647,45 +722,17 @@ object DurableStores {
         s"the writer lease at $lp lives on '$scheme', which has no " +
           "atomic create-new: the single-writer lock would be advisory " +
           "only (two processes can both believe they created the " +
-          "lease). Point spark.graft.store.root at a filesystem with " +
-          "atomic create (HDFS, local, ABFS) or accept the weaker " +
-          "contract explicitly with " +
+          "lease). Point spark.graft.store.lease.backend=http (+ " +
+          "spark.graft.store.lease.http.url) at a conditional-write " +
+          "endpoint for a real lease, point spark.graft.store.root at " +
+          "a filesystem with atomic create (HDFS, local, ABFS), or " +
+          "accept the weaker contract explicitly with " +
           "spark.graft.store.lease.allowNonAtomicCreate=true")
       else if (warnedNonAtomicSchemes.add(scheme))
         System.err.println(s"[graft] WARNING: writer leases on " +
           s"'$scheme' are best-effort (no atomic create-new) — " +
           "spark.graft.store.lease.allowNonAtomicCreate=true accepted " +
           "the weaker single-writer contract")
-    }
-  }
-
-  private def acquireLeaseFile(s: SparkSession, f: FileSystem, lp: Path,
-      store: String, retried: Boolean = false): String = {
-    f.mkdirs(lp.getParent)
-    val tok = leaseToken()
-    if (createLease(f, lp, tok)) return tok
-    val staleMs = leaseStaleMs(s)
-    val st =
-      try Some(f.getFileStatus(lp))
-      catch { case _: java.io.FileNotFoundException => None }
-    st match {
-      case Some(stat)
-          if System.currentTimeMillis() - stat.getModificationTime >
-            staleMs =>
-        takeOverStaleLease(s, f, lp, store, stat.getModificationTime)
-      case Some(stat) =>
-        throw new IllegalStateException(
-          s"store '$store' is being written by another process " +
-            s"(${readLease(f, lp)}, lease $lp, age " +
-            s"${System.currentTimeMillis() - stat.getModificationTime} " +
-            "ms) — accepts and compacts are single-writer per store; " +
-            "retry after it finishes, or delete the lease if the " +
-            "holder is known dead")
-      case None =>
-        // released between our create attempt and the stat: retry
-        if (!retried) acquireLeaseFile(s, f, lp, store, retried = true)
-        else sys.error(s"could not acquire writer lease for " +
-          s"store '$store' at $lp")
     }
   }
 
@@ -707,20 +754,20 @@ object DurableStores {
     val lp = leasePath(manifestPath(s, store, dataDir))
     val stOpt = leaseStates.synchronized(leaseStates.get(lp.toString))
     stOpt.foreach { st =>
-      val (held, token, lost, fails) = st.synchronized(
-        (st.holders > 0 && st.acquired, st.token, st.lost,
+      val (held, token, backend, lost, fails) = st.synchronized(
+        (st.holders > 0 && st.acquired, st.token, st.backend, st.lost,
           st.failures.get()))
       if (held) {
         def abort(why: String): Nothing = throw new IllegalStateException(
           s"FENCED: refusing to write $what for store '$store' — $why " +
-            s"(lease $lp). The verb's writes stay invisible (no marker); " +
-            "re-run it once the writer contention is resolved")
+            s"(lease ${backend.where}). The verb's writes stay invisible " +
+            "(no marker); re-run it once the writer contention is resolved")
         if (lost) abort("the writer lease was taken over mid-verb (the " +
           "heartbeat read a foreign token)")
         if (fails >= 3) abort(s"the lease heartbeat has failed $fails " +
           "consecutive renewals, so the lease may be stale and taken " +
           "over")
-        val cur = readFirstLine(fs(s, lp.toString), lp)
+        val cur = backend.read()
         if (!cur.contains(token)) abort(
           s"the lease file no longer holds this process's token " +
             s"(now: ${cur.getOrElse("<absent>")})")
@@ -772,8 +819,8 @@ object DurableStores {
             "heartbeat arrived) — backing off; retry after it settles")
       case None => () // already deleted by a racer; contend on create
     }
-    val token = leaseToken()
-    if (!createLease(f, lp, token))
+    val token = newLeaseToken()
+    if (!createLeaseFile(f, lp, token))
       throw new IllegalStateException(
         s"lost the stale-lease takeover race for store '$store' at $lp " +
           s"to ${readLease(f, lp)} — retry after it finishes")

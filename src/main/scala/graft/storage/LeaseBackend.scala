@@ -1,0 +1,257 @@
+package graft.storage
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** One observation of a writer lease: the holder's token (None when
+  * the lease exists but is unreadable), its age, and an opaque
+  * `version` tag a conditional replacement can be predicated on — the
+  * file mtime rendered as a string for the FS backend, the ETag for
+  * the HTTP backend. */
+final case class LeaseObservation(
+    token: Option[String], ageMs: Long, version: String)
+
+/** What one heartbeat renewal saw. */
+sealed trait RenewOutcome
+object RenewOutcome {
+  /** The lease still held our token and its freshness was bumped. */
+  case object Renewed extends RenewOutcome
+  /** The lease now holds ANOTHER writer's token — it was taken over;
+    * the holder must fence (stop publishing) immediately. */
+  final case class Foreign(token: String) extends RenewOutcome
+  /** The renewal could not complete (absent/unreadable lease, IO
+    * error, a connector without the needed primitive) — counted, and
+    * loud after repeated failures, because persistent failure means
+    * the anti-preemption guarantee is gone. */
+  final case class Failed(why: String) extends RenewOutcome
+}
+
+/** The conditional-write surface [[DurableStores.withWriterLease]]
+  * needs, extracted (round 16) so the lease can live somewhere with
+  * REAL atomic primitives when the store root itself does not have
+  * them. Two implementations:
+  *
+  *  - [[FsLeaseBackend]] (default): the lease file next to the store
+  *    manifest — atomic create-new where the filesystem provides it
+  *    (HDFS, local, ABFS), with the stale-takeover race narrowed to a
+  *    stat→delete syscall window and re-verified (see
+  *    [[DurableStores.takeOverStaleLease]]).
+  *  - [[HttpLeaseBackend]]: a conditional-write HTTP endpoint
+  *    (`If-None-Match: *` create, `If-Match: <etag>` renew / replace /
+  *    delete — the S3-style precondition-PUT protocol), where create,
+  *    renewal, takeover, and release are all genuine compare-and-swap.
+  *    This is the real lease for object-store deployments whose store
+  *    root has no atomic create-new: point
+  *    `spark.graft.store.lease.backend=http` +
+  *    `spark.graft.store.lease.http.url` at any conditional-write
+  *    store and the s3a/s3n advisory-lock fallback is never needed.
+  *
+  * Every method is crash-tolerant in the same direction as the FS
+  * protocol: an unreachable backend makes acquisition FAIL (no verb
+  * runs unprotected) and renewal report Failed (the fence aborts
+  * publishes after repeated failures).
+  */
+trait LeaseBackend {
+  /** Atomically create the lease holding `token`; false when a lease
+    * already exists (or the backend errored — the caller then observes
+    * and decides between fail-fast and stale takeover). */
+  def tryCreate(token: String): Boolean
+
+  /** The current holder's token, or None when absent/unreadable. */
+  def read(): Option[String]
+
+  /** The current lease with age + version, or None when absent. */
+  def observe(): Option[LeaseObservation]
+
+  /** Refresh the lease's freshness iff it still holds `token`. */
+  def renew(token: String): RenewOutcome
+
+  /** Replace the lease observed as `obs` (stale — older than the
+    * configured horizon) with a NEW token this method generates, and
+    * return that token. Throws IllegalStateException when a contender
+    * won the race — takeover is for dead holders, and a raced takeover
+    * means a live contender to back off from. */
+  def takeOver(obs: LeaseObservation, store: String): String
+
+  /** Delete the lease iff it still holds `token` (a lease taken over
+    * by a new holder is never destroyed). Errors are swallowed — the
+    * lease then ages out via the stale horizon. */
+  def release(token: String): Unit
+
+  /** Human-readable locator for error messages. */
+  def where: String
+}
+
+/** The historical file-lease protocol behind the trait — all logic
+  * stays in [[DurableStores]]' private methods (token-verified
+  * heartbeat, conditional-delete + verified-create + settle takeover),
+  * this class only adapts the signatures. */
+private[storage] final class FsLeaseBackend(
+    s: org.apache.spark.sql.SparkSession, f: FileSystem, lp: Path)
+    extends LeaseBackend {
+  def tryCreate(token: String): Boolean = {
+    f.mkdirs(lp.getParent)
+    DurableStores.createLeaseFile(f, lp, token)
+  }
+  def read(): Option[String] = DurableStores.readLeaseFirstLine(f, lp)
+  def observe(): Option[LeaseObservation] =
+    try {
+      val st = f.getFileStatus(lp)
+      Some(LeaseObservation(read(),
+        System.currentTimeMillis() - st.getModificationTime,
+        st.getModificationTime.toString))
+    } catch { case _: java.io.FileNotFoundException => None }
+  def renew(token: String): RenewOutcome =
+    try {
+      read() match {
+        case Some(tok) if tok == token =>
+          f.setTimes(lp, System.currentTimeMillis(), -1)
+          RenewOutcome.Renewed
+        case Some(foreign) => RenewOutcome.Foreign(foreign)
+        case None =>
+          // absent or unreadable: do NOT touch (a foreign create could
+          // be landing right now)
+          RenewOutcome.Failed("the lease file is absent or unreadable")
+      }
+    } catch {
+      case e: Exception =>
+        RenewOutcome.Failed(s"${e.getClass.getName}: ${e.getMessage}")
+    }
+  def takeOver(obs: LeaseObservation, store: String): String =
+    DurableStores.takeOverStaleLease(s, f, lp, store, obs.version.toLong)
+  def release(token: String): Unit =
+    try { if (read().contains(token)) f.delete(lp, false) }
+    catch { case _: java.io.IOException => () }
+  def where: String = lp.toString
+}
+
+/** A lease on a conditional-write HTTP endpoint. Protocol (the
+  * S3-conditional-request shape, expressible by any object store or
+  * tiny sidecar service with compare-and-swap):
+  *
+  *  - create:  `PUT <url> If-None-Match: *` body = token → 2xx created,
+  *             412 = already held.
+  *  - read:    `GET <url>` → 200 body = token + `ETag` header +
+  *             freshness (`X-Lease-Mtime-Ms` millis, else
+  *             `Last-Modified`); 404 = absent.
+  *  - renew:   `PUT <url> If-Match: <etag>` body = token → 2xx bumps
+  *             freshness; 412 = the lease changed under us (foreign).
+  *  - replace: the same `If-Match` PUT with the NEW token — the
+  *             takeover is a single CAS, no settle window needed.
+  *  - release: `DELETE <url> If-Match: <etag>` after verifying the
+  *             body is still ours; 412 losses are swallowed (the new
+  *             holder keeps its lease).
+  *
+  * All calls use short timeouts: a hung endpoint must fail the verb
+  * loudly (acquisition) or count as a renewal failure (heartbeat →
+  * fence), never block a daemon thread forever. */
+private[storage] final class HttpLeaseBackend(base: String, key: String)
+    extends LeaseBackend {
+  private val url = new java.net.URL(base.stripSuffix("/") + "/" +
+    java.net.URLEncoder.encode(key, "UTF-8"))
+  def where: String = url.toString
+
+  private final case class Resp(code: Int, body: String,
+      etag: Option[String], mtimeMs: Option[Long])
+
+  private def call(method: String, headers: Seq[(String, String)],
+      body: Option[String]): Resp = {
+    val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    try {
+      c.setRequestMethod(method)
+      c.setConnectTimeout(5000)
+      c.setReadTimeout(10000)
+      headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+      body.foreach { b =>
+        c.setDoOutput(true)
+        val out = c.getOutputStream
+        try out.write(b.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      val code = c.getResponseCode
+      val in = if (code >= 400) c.getErrorStream else c.getInputStream
+      val text =
+        if (in == null) ""
+        else try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val mtime = Option(c.getHeaderField("X-Lease-Mtime-Ms"))
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .orElse(Option(c.getLastModified).filter(_ > 0))
+      Resp(code, text, Option(c.getHeaderField("ETag")), mtime)
+    } finally c.disconnect()
+  }
+
+  def tryCreate(token: String): Boolean =
+    try {
+      val r = call("PUT", Seq("If-None-Match" -> "*"), Some(token))
+      r.code >= 200 && r.code < 300
+    } catch { case _: java.io.IOException => false }
+
+  def read(): Option[String] =
+    try {
+      val r = call("GET", Nil, None)
+      if (r.code == 200) Some(r.body) else None
+    } catch { case _: java.io.IOException => None }
+
+  def observe(): Option[LeaseObservation] =
+    try {
+      val r = call("GET", Nil, None)
+      if (r.code != 200) None
+      else Some(LeaseObservation(Some(r.body),
+        r.mtimeMs.map(System.currentTimeMillis() - _).getOrElse(0L),
+        r.etag.getOrElse("")))
+    } catch { case _: java.io.IOException => None }
+
+  def renew(token: String): RenewOutcome =
+    try {
+      val cur = call("GET", Nil, None)
+      if (cur.code == 404)
+        RenewOutcome.Failed("the lease is absent")
+      else if (cur.code != 200)
+        RenewOutcome.Failed(s"GET returned ${cur.code}")
+      else if (cur.body != token)
+        RenewOutcome.Foreign(cur.body)
+      else {
+        val put = call("PUT",
+          Seq("If-Match" -> cur.etag.getOrElse("")), Some(token))
+        if (put.code >= 200 && put.code < 300) RenewOutcome.Renewed
+        else read() match {
+          // the CAS lost: whoever changed it owns the lease now
+          case Some(foreign) if foreign != token =>
+            RenewOutcome.Foreign(foreign)
+          case _ => RenewOutcome.Failed(s"renewal PUT returned ${put.code}")
+        }
+      }
+    } catch {
+      case e: java.io.IOException =>
+        RenewOutcome.Failed(s"${e.getClass.getName}: ${e.getMessage}")
+    }
+
+  def takeOver(obs: LeaseObservation, store: String): String = {
+    val token = DurableStores.newLeaseToken()
+    // one conditional PUT: lands only if the lease is byte-identical
+    // to the stale observation — a racing winner's new lease has a new
+    // ETag and the precondition fails
+    val r = call("PUT", Seq("If-Match" -> obs.version), Some(token))
+    if (r.code < 200 || r.code >= 300)
+      throw new IllegalStateException(
+        s"lost the stale-lease takeover race for store '$store' at " +
+          s"$where (HTTP ${r.code}, lease now " +
+          s"${read().getOrElse("<absent>")}) — retry after it finishes")
+    // verify the read-back (a 2xx from a non-conforming server that
+    // ignored the precondition must not grant two writers)
+    if (!read().contains(token))
+      throw new IllegalStateException(
+        s"stale-lease takeover verification failed for store '$store' " +
+          s"at $where: lease now held by " +
+          s"${read().getOrElse("<absent>")} — backing off")
+    token
+  }
+
+  def release(token: String): Unit =
+    try {
+      val cur = call("GET", Nil, None)
+      if (cur.code == 200 && cur.body == token)
+        call("DELETE", Seq("If-Match" -> cur.etag.getOrElse("")), None)
+    } catch { case _: java.io.IOException => () }
+}

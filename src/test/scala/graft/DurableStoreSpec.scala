@@ -116,6 +116,33 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_dim store: the recorded bounds TABLE PROPERTY survives cold-catalog re-registration") {
+    // round 16: the dimension's time axis rides the manifest's
+    // TableMeta props, so a cold catalog re-registers it and the SQL
+    // split lowering (ResolveAsofJoin.catalogBounds) keeps skipping its
+    // bounds subquery in every later session — not just the building
+    // one (ExtensionsSpec pins the plan shape; this pins durability)
+    withScratch(Seq("asof_dim")) { (root, data) =>
+      val s = spark
+      val tbl = Storage.tableNameFor("graft_asof_dim", data)
+      def props(): Map[String, String] = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .properties
+      graft.queries.EventsMerge.asofDimStore(s, data)
+      val recorded = props().get("graft.asof.bounds.ts")
+      assert(recorded.isDefined, "the build must record the bounds property")
+      val Array(lo, hi) = recorded.get.split(",").map(_.toDouble)
+      assert(hi > lo, s"recorded axis must be non-degenerate: $recorded")
+      val builtAt = storeMtimes(root)
+      coldCatalog(tbl)
+      graft.queries.EventsMerge.asofDimStore(s, data)
+      assert(props().get("graft.asof.bounds.ts") === recorded,
+        "re-registration must carry the recorded bounds property")
+      assert(storeMtimes(root) === builtAt,
+        "re-open rebuilt the asof_dim store instead of registering it")
+    }
+  }
+
   test("partitioned cosine store: partitions are recovered in the new catalog and still prune") {
     withScratch(Seq("cosine_index")) { (root, data) =>
       val s = spark

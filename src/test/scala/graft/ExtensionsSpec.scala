@@ -513,4 +513,101 @@ class ExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("conf-routed split reads catalog table-property bounds; views keep the subquery") {
+    // VERDICT r15 item 2: a deployment that only sets skewSplits must
+    // skip the bounds subquery over a REGISTERED stored dimension —
+    // the store build records the axis as the graft.asof.bounds.<col>
+    // table property and the lowering reads it from the catalog (no
+    // analyzer → store coupling). Unregistered views (q135's shape)
+    // keep the subquery path.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s.implicits._
+      (0L until 400L).map(i => (1L, i, i % 97))
+        .toDF("k", "lid", "t").createOrReplaceTempView("asof_cb_left")
+      // the dimension as a CATALOG table carrying its recorded axis
+      (0L until 300L).map(i => (1L, 1000L + i, i % 89))
+        .toDF("k", "rid", "t")
+        .write.mode("overwrite").saveAsTable("asof_cb_right")
+      s.sql("ALTER TABLE asof_cb_right SET TBLPROPERTIES " +
+        "('graft.asof.bounds.t'='0.0,96.0')")
+      // the same rows as a plain temp view: no catalog entry, no props
+      (0L until 300L).map(i => (1L, 1000L + i, i % 89))
+        .toDF("k", "rid", "t").createOrReplaceTempView("asof_cb_view")
+      def q(right: String): org.apache.spark.sql.DataFrame = s.sql(
+        s"""SELECT k, lid, asof.rid AS rid
+           |FROM asof_join('asof_cb_left', '$right',
+           |               'k', 't', 't', 'rid', 'merge')""".stripMargin)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).sortBy(_._2).toSeq
+      import org.apache.spark.sql.functions.spark_partition_id
+      def hotTasks(df: org.apache.spark.sql.DataFrame): Long = df
+        .filter($"k" === 1L).select(spark_partition_id()).distinct().count()
+      def planOf(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0).toLowerCase
+      val baseline = canon(q("asof_cb_right")) // unrouted merge
+      try {
+        // 8 splits (not 4): with only 4 buckets over 4 shuffle
+        // partitions, all four (k, bucket) pairs can hash-collide into
+        // one partition and the spread assertion flakes
+        s.conf.set("spark.graft.asof.skewSplits", "8")
+        // registered table: split shape, hot key spread, NO subquery —
+        // the catalog property supplied the bounds
+        val routed = q("asof_cb_right")
+        assert(canon(routed) === baseline)
+        assert(hotTasks(routed) >= 2L,
+          "the conf-routed split over the stored dim must spread the hot key")
+        assert(!planOf(routed).contains("subquery"),
+          "catalog-property bounds must skip the bounds subquery")
+        // a TEMP VIEW wrapping the catalog table still reaches the
+        // property (the resolved plan contains the relation) — the
+        // q138 gate's exact shape
+        s.table("asof_cb_right").createOrReplaceTempView("asof_cb_wrap")
+        assert(!planOf(q("asof_cb_wrap")).contains("subquery"))
+        // an unregistered view keeps the subquery path (q135's shape)
+        val viaView = q("asof_cb_view")
+        assert(canon(viaView) === baseline)
+        assert(planOf(viaView).contains("subquery"),
+          "a view with no catalog table must keep the bounds subquery")
+        // a right fragment reading the table TWICE is not trusted —
+        // the recorded single-axis fact is meaningless there
+        s.sql("""SELECT * FROM asof_cb_right
+                |UNION ALL SELECT * FROM asof_cb_right WHERE rid < 0"""
+          .stripMargin).createOrReplaceTempView("asof_cb_union")
+        assert(planOf(q("asof_cb_union")).contains("subquery"),
+          "a multi-relation right side must fall back to the subquery")
+        // a wrong-column or malformed property is ignored, not trusted
+        s.sql("ALTER TABLE asof_cb_right SET TBLPROPERTIES " +
+          "('graft.asof.bounds.t'='garbage')")
+        assert(planOf(q("asof_cb_right")).contains("subquery"),
+          "a malformed recorded axis must fall back to the subquery")
+        s.sql("ALTER TABLE asof_cb_right UNSET TBLPROPERTIES " +
+          "('graft.asof.bounds.t')")
+        s.sql("ALTER TABLE asof_cb_right SET TBLPROPERTIES " +
+          "('graft.asof.bounds.other_col'='0.0,96.0')")
+        assert(planOf(q("asof_cb_right")).contains("subquery"),
+          "another column's axis must not bound this join's time column")
+      } finally {
+        s.conf.unset("spark.graft.asof.skewSplits")
+        s.sql("DROP TABLE IF EXISTS asof_cb_right")
+      }
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

@@ -50,11 +50,15 @@ grep -h '{"phase"' $OUT/jvm5a.log | head -1 > $OUT/jvm5a.json
 sbt -batch "runMain graft.StoreChain leasetry $D" > $OUT/jvm5c.log 2>&1
 grep -h '{"phase"' $OUT/jvm5c.log | tail -1 > $OUT/jvm5c.json
 echo "=== JVM6 commit-marker fence (mid-verb takeover, two processes)"
-# fencehold runs with the heartbeat DISABLED (the test hook simulating
-# persistent renewal failure); its lease ages past the 8 s horizon, the
-# fencetake contender legitimately stale-takes it and commits its OWN
-# marker, and the preempted holder's publish must abort FENCED with no
-# marker landing — the cross-process form of StoreSpec's fence pins.
+# fencehold's store root rides brokenmtime:// (a local FS whose
+# setTimes always throws — the real connector-without-mtime-renewal
+# failure mode, replacing the r15 heartbeat kill-switch conf): its
+# heartbeat RUNS but every renewal fails, the lease ages past the 8 s
+# horizon, the fencetake contender legitimately stale-takes it and
+# commits its OWN marker, and the preempted holder's publish must
+# abort FENCED with no marker landing — the cross-process form of
+# StoreSpec's fence pins. fencehold exits nonzero unless the fence
+# actually fired, so set -e catches a falsified run.
 export GRAFT_LEASE_STALE_MS=8000
 rm -f $GRAFT_STORE_ROOT/_meta/fence_takeover.sync
 sbt -batch "runMain graft.StoreChain fencehold $D" > $OUT/jvm6a.log 2>&1 &
@@ -66,6 +70,9 @@ done
 sleep 10  # let the un-renewed lease cross the stale horizon
 sbt -batch "runMain graft.StoreChain fencetake $D" > $OUT/jvm6b.log 2>&1
 grep -h '{"phase"' $OUT/jvm6b.log | head -1 > $OUT/jvm6b.json
-wait $FENCEPID || true
+# no `|| true`: fencehold exits nonzero when the fence did NOT fire
+# (marker landed, or the contender never arrived) — set -e then fails
+# the whole evidence run instead of leaving a falsified jvm6a.json
+wait $FENCEPID
 grep -h '"phase":"fencehold","fenced"' $OUT/jvm6a.log | tail -1 > $OUT/jvm6a.json
 echo DONE
