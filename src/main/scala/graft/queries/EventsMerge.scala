@@ -427,7 +427,10 @@ object EventsMerge {
     graft.storage.DurableStores.withWriterLease(s, d, "asof_accept") {
     import graft.storage.{DurableStores, Storage}
     val delta0 = asofAcceptStore(s, d)
-    if (DurableStores.foldedBatches(s, d, "asof_accept").contains(batchId))
+    // committed-or-folded replays are no-ops (LlmOps.alreadyAccepted
+    // rationale: the marker certifies the partition, ids identify
+    // immutable content — only a crashed partial accept re-runs)
+    if (LlmOps.alreadyAccepted(s, d, "asof_accept", batchId))
       return
     LlmOps.requireMonotoneBatchId(s, d, "asof_accept", batchId, lineage)
     val others = LlmOps.committedDelta(s, d, "asof_accept", delta0)

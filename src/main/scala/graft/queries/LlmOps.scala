@@ -475,7 +475,7 @@ object LlmOps {
     import graft.storage.{DurableStores, Storage}
     clusterAcceptStore(s, d)
     // replay of a compact-folded batch: the labels are in the base
-    if (alreadyFolded(s, d, "cluster_accept", batchId)) return
+    if (alreadyAccepted(s, d, "cluster_accept", batchId)) return
     requireMonotoneBatchId(s, d, "cluster_accept", batchId, lineage)
     val (sh, bands, chunks) = sketchStore(s, d)
     val (ash, abands, achunks) = sketchAcceptStore(s, d)
@@ -888,7 +888,7 @@ object LlmOps {
     // (the rows answer from the base; re-writing them would double
     // probes) — the path a streaming checkpoint replay takes after
     // racing an admin compact
-    if (alreadyFolded(s, d, "sketch_accept", batchId)) return
+    if (alreadyAccepted(s, d, "sketch_accept", batchId)) return
     requireMonotoneBatchId(s, d, "sketch_accept", batchId, lineage)
     val (baseSh, _, _) = sketchStore(s, d)
     // collision universe: the base AND every other committed delta
@@ -989,7 +989,7 @@ object LlmOps {
     import graft.operators.EmbeddingDedup
     import graft.storage.Storage
     val delta0 = cosineAcceptStore(s, d)
-    if (alreadyFolded(s, d, "cosine_accept", batchId)) return
+    if (alreadyAccepted(s, d, "cosine_accept", batchId)) return
     requireMonotoneBatchId(s, d, "cosine_accept", batchId, lineage)
     val (cents, members) = cosineStore(s, d)
     val others = committedDelta(s, d, "cosine_accept", delta0)
@@ -1075,6 +1075,23 @@ object LlmOps {
   private def alreadyFolded(s: SparkSession, d: String, store: String,
       batchId: String): Boolean =
     graft.storage.DurableStores.foldedBatches(s, d, store).contains(batchId)
+
+  /** True when `batchId`'s accept is already fully visible — its
+    * commit marker is present (every delta table holds the batch: the
+    * marker writes LAST) or a compact folded it into the base. A
+    * replay is then a NO-OP by the store contract (round 16): batch
+    * ids identify immutable content (the id guards forbid the same
+    * row id under two batch ids), so re-running the verb could only
+    * rewrite byte-identical partitions — a batch-sized sketch plus
+    * partition rewrites bought nothing. The path that MUST do work —
+    * healing a crashed partial accept — never takes this exit: a
+    * crash before the marker leaves no marker, and the re-accept
+    * rewrites and then commits. One marker-dir listing + one ledger
+    * read, no Spark job. */
+  private[graft] def alreadyAccepted(s: SparkSession, d: String,
+      store: String, batchId: String): Boolean =
+    graft.storage.DurableStores.committedBatches(s, d, store)
+      .contains(batchId) || alreadyFolded(s, d, store, batchId)
 
   /** Fold committed sketch-accept batches into the sketch base.
     * Returns false (no-op) when nothing unfolded is committed. */

@@ -344,8 +344,11 @@ object MergeScaleQ {
     // base row would silently regress every entity a LATER folded
     // batch also touched back to pre-that-batch state. The rows
     // already answer from the base; the snapshot log still holds the
-    // batch's snapshots for future folds.
-    if (DurableStores.foldedBatches(s, d, "merge_log").contains(batchId))
+    // batch's snapshots for future folds. A COMMITTED unfolded batch
+    // replays as a no-op too (round 16, LlmOps.alreadyAccepted
+    // rationale): the marker certifies both delta partitions, and
+    // batch ids identify immutable content.
+    if (LlmOps.alreadyAccepted(s, d, "merge_log", batchId))
       return
     LlmOps.requireMonotoneBatchId(s, d, "merge_log", batchId, lineage)
     val hist = baseHistory(s, d)

@@ -266,6 +266,28 @@ object DurableStores {
   private[graft] def resetVerifiedForTest(): Unit =
     synchronized { verified.clear() }
 
+  /** How many opens actually ran RECOVER PARTITIONS (not skipped by
+    * the partition-set comparison) — observability for the spec. */
+  private[graft] val recoverCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The partition directory names present on disk for a partitioned
+    * table (e.g. "batch_id=b1") — one FS listing of the table root,
+    * compared against the catalog to decide whether RECOVER is
+    * needed. Store partition values are slug-like batch ids (the
+    * accept verbs and [[dropBatchPartitions]] enforce it), so the
+    * dir-name comparison is exact; any mismatch — including an
+    * escaping difference — errs toward running RECOVER. */
+  private def partitionDirNames(s: SparkSession, st: Storage,
+      t: TableMeta): Set[String] = {
+    val p = new Path(st.path(t.name))
+    val f = fs(s, st.path(t.name))
+    if (!f.exists(p)) Set.empty
+    else f.listStatus(p).toSeq
+      .filter(x => x.isDirectory && x.getPath.getName.contains("="))
+      .map(_.getPath.getName).toSet
+  }
+
   /** True when `name` is registered in the catalog AND its location is
     * the current root's path for it. A same-name table pointing
     * elsewhere is a relic of a different store root earlier in this
@@ -344,10 +366,29 @@ object DurableStores {
             } else if (t.layout == "partitioned") {
               // partitions added by ANOTHER process since this JVM
               // registered the table (cross-process accepts) are
-              // invisible until re-discovered — re-list on every open
-              // so a long-lived probe session sees them; one
-              // partition-dir listing per open, delta-table-sized
-              s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
+              // invisible until re-discovered — one partition-dir FS
+              // listing per open (delta-table-sized) detects them.
+              // RECOVER runs ONLY when the on-disk set differs from
+              // the catalog's: unconditional recovery (round 15)
+              // charged every store probe a catalog rewrite AND
+              // invalidated the table's cached file index, forcing
+              // the next scan to re-list every file — a fixed tax on
+              // every open of every partitioned store in a sweep
+              // the cheap dir-name comparison covers the single-column
+              // layouts every current store uses; a (future) nested
+              // layout falls back to unconditional recovery
+              val skip = t.layoutCols.size == 1 && {
+                val onDisk = partitionDirNames(s, st, t)
+                val inCatalog = s.sessionState.catalog
+                  .listPartitionNames(
+                    org.apache.spark.sql.catalyst.TableIdentifier(t.name))
+                  .toSet
+                onDisk == inCatalog
+              }
+              if (!skip) {
+                recoverCount.incrementAndGet()
+                s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
+              }
             }
           }
         case None =>
@@ -895,7 +936,11 @@ object DurableStores {
     * silently drop candidates at the verification join. Probes
     * therefore read only batches listed by [[committedBatches]]; a
     * crashed accept is invisible until re-accepted (idempotent — the
-    * partition rewrite heals it, then the marker commits it). */
+    * partition rewrite heals it, then the marker commits it). The
+    * marker doubles as the replay short-circuit: once it exists the
+    * accept verbs treat the batch's replay as a NO-OP (batch ids
+    * identify immutable content under the id guards), so only a
+    * marker-LESS partial accept ever re-runs the write. */
   def markBatchCommitted(s: SparkSession, dataDir: String, store: String,
       batchId: String): Unit = {
     fenceAgainstLostLease(s, dataDir, store, s"commit marker '$batchId'")

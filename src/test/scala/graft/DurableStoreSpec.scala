@@ -143,6 +143,39 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned store opens RECOVER only when the disk differs from the catalog") {
+    // round 16 (headline-tail trim): unconditional RECOVER PARTITIONS
+    // on every open charged each store probe a catalog rewrite and
+    // invalidated the cached file index; the open now compares the
+    // on-disk partition dirs against the catalog (one FS listing) and
+    // recovers only on a difference — cross-process visibility intact.
+    withScratch(Seq("asof_accept")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      graft.queries.EventsMerge.asofAcceptStore(s, data) // build
+      val tbl = Storage.tableNameFor("graft_asofacc", data)
+      val before = DurableStores.recoverCount.get()
+      graft.queries.EventsMerge.asofAcceptStore(s, data)
+      graft.queries.EventsMerge.asofAcceptStore(s, data)
+      assert(DurableStores.recoverCount.get() === before,
+        "a no-change open must skip RECOVER")
+      // a FOREIGN process lands a partition on disk behind this
+      // catalog's back (no in-JVM insertInto, no catalog update)
+      val st = new Storage(s, root)
+      Seq((990000001L, 990000002L, 3L, 4.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .write.mode("overwrite").parquet(st.path(tbl) + "/batch_id=zz9")
+      graft.queries.EventsMerge.asofAcceptStore(s, data)
+      assert(DurableStores.recoverCount.get() === before + 1,
+        "a new on-disk partition must trigger RECOVER")
+      assert(s.table(tbl).filter($"batch_id" === "zz9").count() === 1L,
+        "the foreign partition must be visible after the open")
+      // and the next open is quiet again
+      graft.queries.EventsMerge.asofAcceptStore(s, data)
+      assert(DurableStores.recoverCount.get() === before + 1)
+    }
+  }
+
   test("partitioned cosine store: partitions are recovered in the new catalog and still prune") {
     withScratch(Seq("cosine_index")) { (root, data) =>
       val s = spark

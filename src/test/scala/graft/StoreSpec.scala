@@ -947,6 +947,73 @@ class StoreSpec extends AnyFunSuite {
     graft.engine.CacheRegistry.releaseAll()
   }
 
+  test("a COMMITTED batch's replay is a no-op; a marker-less partial accept heals") {
+    // round 16 (headline-tail trim with a contract argument): the
+    // commit marker writes LAST and certifies every delta table holds
+    // the batch, and batch ids identify immutable content (the id
+    // guards forbid a row id under two batch ids) — so replaying a
+    // committed batch may skip the sketch + partition rewrites
+    // entirely. The path that must do work — healing a crashed accept
+    // that never reached its marker — still runs in full.
+    val s = spark
+    import s.implicits._
+    import graft.storage.{DurableStores, Storage}
+    import org.apache.hadoop.fs.Path
+    try {
+      val b = Seq(
+        (910051L, "replay shortcircuit evidence document unique veeblefetzer"))
+        .toDF("doc_id", "text")
+      val own = Some(Set("rp_b1"))
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "rp_b1", b,
+        "doc_id", "text", lineage = own)
+      def partitionMtimes(): Map[String, Long] = {
+        val root = DurableStores.root(s)
+        Seq("graft_sketchacc_shingles", "graft_sketchacc_bands",
+          "graft_sketchacc_chunks").flatMap { t =>
+          val p = new Path(
+            s"$root/${Storage.tableNameFor(t, sf)}/batch_id=rp_b1")
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          f.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+            .map(x => s"$t/${x.getPath.getName}" -> x.getModificationTime)
+        }.toMap
+      }
+      val committedAt = partitionMtimes()
+      assert(committedAt.nonEmpty)
+      // the replay: not one partition file is rewritten
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "rp_b1", b,
+        "doc_id", "text", lineage = own)
+      assert(partitionMtimes() === committedAt,
+        "a committed batch's replay must not rewrite partitions")
+      // crash simulation: a second batch's rows land in ONE table with
+      // no marker (the mid-accept crash window) — the accept must NOT
+      // short-circuit, it heals all three tables and then commits
+      val b2 = Seq(
+        (910052L, "healing path evidence document unique hobgoblinry"))
+        .toDF("doc_id", "text")
+      val own2 = Some(Set("rp_b1", "rp_b2"))
+      val sk = Dedup.corpusSketch(b2, "doc_id", "text")
+      DurableStores.withDynamicPartitionOverwrite(s) {
+        sk.select(col("doc"), col("sh"))
+          .withColumn("batch_id", lit("rp_b2"))
+          .write.mode("overwrite")
+          .insertInto(Storage.tableNameFor("graft_sketchacc_shingles", sf))
+      }
+      assert(!DurableStores.committedBatches(s, sf, "sketch_accept")
+        .contains("rp_b2"))
+      graft.queries.LlmOps.acceptSketchBatch(s, sf, "rp_b2", b2,
+        "doc_id", "text", lineage = own2)
+      assert(DurableStores.committedBatches(s, sf, "sketch_accept")
+        .contains("rp_b2"), "the healing re-accept must commit")
+      val (_, abands, _) = graft.queries.LlmOps.sketchAcceptStore(s, sf)
+      assert(abands.filter(col("batch_id") === "rp_b2").count() > 0L,
+        "the healing re-accept must fill the tables the crash missed")
+      graft.engine.CacheRegistry.releaseAll()
+    } finally {
+      DurableStores.drop(s, sf, "sketch_accept")
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
   test("a partial (uncommitted) accept is invisible until its commit marker exists") {
     val s = spark
     import s.implicits._
