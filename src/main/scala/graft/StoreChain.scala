@@ -312,9 +312,141 @@ object StoreChain {
             sys.env.getOrElse("GRAFT_FENCE_HOLD_SECS", "25").toInt * 1000L)
         }
         println(s"""{"phase":"fencetake","released":true}""")
+      // ---- two-PROCESS http (CAS endpoint) lease evidence ----------
+      // The jvm7 chain (r16 verdict item 4): the pluggable HTTP lease
+      // backend was spec-proven in-JVM (StoreSpec's CasLeaseServer);
+      // these phases drive the SAME contention + takeover + fenced-
+      // publish story across REAL processes against a real endpoint
+      // (tools/cas_server.py — If-None-Match/If-Match CAS, the
+      // object-store conditional-request shape). `httphold` acquires
+      // and publishes its lease KEY (so the orchestrator can look up
+      // the token), waits; durchain runs `httptry` while renewals are
+      // healthy (must fail fast on the live holder), then tells the
+      // endpoint to 503 the holder's renewals — the real "holder
+      // partitioned from the endpoint" failure — so the lease ages
+      // out, `httptake` legitimately stale-takes it with ONE
+      // conditional PUT, and the preempted holder's publish must
+      // abort FENCED. httphold exits nonzero unless the fence fired
+      // (set -e catches falsified runs, the jvm6 pattern).
+      case "httphold" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
+        spark.conf.set("spark.graft.store.lease.backend", "http")
+        spark.conf.set("spark.graft.store.lease.http.url",
+          sys.env("GRAFT_LEASE_HTTP_URL"))
+        val meta = new java.io.File(sys.env("GRAFT_STORE_ROOT"), "_meta")
+        meta.mkdirs()
+        val heldSync = new java.io.File(meta, "http_held.sync")
+        val takeSync = new java.io.File(meta, "http_takeover.sync")
+        var fenced = false
+        graft.storage.DurableStores.withWriterLease(
+            spark, dataDir, "http_evidence") {
+          val key = graft.storage.DurableStores.leaseLocation(
+            spark, dataDir, "http_evidence")
+          println(s"""{"phase":"httphold","held":true,"backend":"http",""" +
+            s""""pid":${ProcessHandle.current().pid()}}""")
+          Console.flush()
+          // publish the lease key so the orchestrator can read the
+          // token off the endpoint and partition our renewals
+          val w = new java.io.FileWriter(heldSync)
+          try w.write(key) finally w.close()
+          val deadline = System.currentTimeMillis() + 300000L
+          while (!takeSync.exists() &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(500)
+          val out =
+            if (!takeSync.exists())
+              s"""{"phase":"httphold","fenced":false,""" +
+                s""""sync_timeout":true,""" +
+                s""""error":"the contender's takeover signal never """ +
+                s"""arrived — nothing contested this lease"}"""
+            else try {
+              graft.storage.DurableStores.markBatchCommitted(
+                spark, dataDir, "http_evidence", "http_preempted_b1")
+              s"""{"phase":"httphold","fenced":false,""" +
+                s""""error":"MARKER LANDED — the fence did not fire"}"""
+            } catch {
+              case e: IllegalStateException
+                  if e.getMessage.contains("FENCED") =>
+                fenced = true
+                val present = graft.storage.DurableStores
+                  .committedBatches(spark, dataDir, "http_evidence")
+                  .contains("http_preempted_b1")
+                val msg = e.getMessage.replace("\\", "\\\\")
+                  .replace("\"", "\\\"").takeWhile(_ != '\n')
+                s"""{"phase":"httphold","fenced":true,""" +
+                  s""""marker_present":$present,""" +
+                  s""""pid":${ProcessHandle.current().pid()},""" +
+                  s""""error":"$msg"}"""
+            }
+          println(out)
+        }
+        if (!fenced) { spark.stop(); sys.exit(1) }
+      case "httptry" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
+        spark.conf.set("spark.graft.store.lease.backend", "http")
+        spark.conf.set("spark.graft.store.lease.http.url",
+          sys.env("GRAFT_LEASE_HTTP_URL"))
+        val out =
+          try {
+            graft.storage.DurableStores.withWriterLease(
+              spark, dataDir, "http_evidence")(())
+            s"""{"phase":"httptry","acquired":true,""" +
+              s""""pid":${ProcessHandle.current().pid()}}"""
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("another process") =>
+              val holder = e.getMessage
+                .split("\\(", 2)(1).split(", lease", 2)(0)
+              val age = "age (\\d+)\\s*ms".r
+                .findFirstMatchIn(e.getMessage)
+                .map(_.group(1)).getOrElse("-1")
+              s"""{"phase":"httptry","acquired":false,""" +
+                s""""pid":${ProcessHandle.current().pid()},""" +
+                s""""observed_lease_age_ms":$age,""" +
+                s""""holder":"$holder"}"""
+          }
+        println(out)
+      case "httptake" =>
+        sys.env.get("GRAFT_LEASE_STALE_MS").foreach(
+          spark.conf.set("spark.graft.store.leaseStaleMs", _))
+        spark.conf.set("spark.graft.store.lease.backend", "http")
+        spark.conf.set("spark.graft.store.lease.http.url",
+          sys.env("GRAFT_LEASE_HTTP_URL"))
+        // the contender's own observation of the dead holder's lease
+        // age, read through the SAME backend protocol
+        val observedAge = new graft.storage.HttpLeaseBackend(
+          sys.env("GRAFT_LEASE_HTTP_URL"),
+          graft.storage.DurableStores.leaseLocation(
+            spark, dataDir, "http_evidence"))
+          .observe().map(_.ageMs).getOrElse(-1L)
+        graft.storage.DurableStores.withWriterLease(
+            spark, dataDir, "http_evidence") {
+          // the rightful (new) holder is NOT fenced: its marker lands
+          graft.storage.DurableStores.markBatchCommitted(
+            spark, dataDir, "http_evidence", "http_takeover_b1")
+          val ownMarker = graft.storage.DurableStores
+            .committedBatches(spark, dataDir, "http_evidence")
+            .contains("http_takeover_b1")
+          println(s"""{"phase":"httptake","took_over":true,""" +
+            s""""observed_lease_age_ms":$observedAge,""" +
+            s""""own_marker_committed":$ownMarker,""" +
+            s""""pid":${ProcessHandle.current().pid()}}""")
+          Console.flush()
+          val takeSync = new java.io.File(
+            new java.io.File(sys.env("GRAFT_STORE_ROOT"), "_meta"),
+            "http_takeover.sync")
+          val w = new java.io.FileWriter(takeSync)
+          try w.write("taken") finally w.close()
+          Thread.sleep(
+            sys.env.getOrElse("GRAFT_FENCE_HOLD_SECS", "25").toInt * 1000L)
+        }
+        println(s"""{"phase":"httptake","released":true}""")
       case other => sys.error(
         s"unknown phase '$other' " +
-          "(accept|probe|compact|leasehold|leasetry|fencehold|fencetake)")
+          "(accept|probe|compact|leasehold|leasetry|fencehold|fencetake|" +
+          "httphold|httptry|httptake)")
     }
     spark.stop()
   }

@@ -396,49 +396,73 @@ object ResolveAsofJoin extends Rule[LogicalPlan] {
     AttributeReference(
       "asof", CreateStruct(payload).dataType, nullable = true)()
 
-  /** The right side's time-axis bounds from a catalog TABLE PROPERTY
+  /** The right side's time-axis bounds from catalog TABLE PROPERTIES
     * (`graft.asof.bounds.<timeCol>` = "lo,hi" as doubles — what
     * stored-dimension builders like
-    * [[graft.queries.EventsMerge.asofDimStore]] record at build), so a
-    * conf-routed or plain-'split' lowering over a REGISTERED dimension
-    * skips its bounds subquery the way 'split:N:lo:hi' does — the
-    * catalog is the contract surface, no analyzer → store coupling.
-    * Trusted only when the right fragment reads exactly ONE catalog
-    * table: filters/projections above it can only NARROW the real axis
-    * (recorded bounds stay conservative, which the clamped bucket
-    * floor absorbs), while two tables make the recorded axis
-    * meaningless. SAFETY: both sides bucket through the same monotone
-    * clamped floor built from whatever (lo, hi) is used, so even
-    * stale or wrong-column bounds can never change answers — only
-    * spread quality. Degenerate or malformed values are ignored (the
+    * [[graft.queries.EventsMerge.asofDimStore]] record at build and
+    * accept verbs keep widened), so a conf-routed or plain-'split'
+    * lowering over a REGISTERED dimension skips its bounds subquery
+    * the way 'split:N:lo:hi' does — the catalog is the contract
+    * surface, no analyzer → store coupling.
+    *
+    * Trusted through SHAPE-PRESERVING wrappers only (round 17 — the
+    * r16 verdict's item 5): union / project / filter / alias / view
+    * over leaf relations, i.e. exactly the base-∪-committed-deltas
+    * view a deployment actually queries. Catalog leaves contribute
+    * their recorded axis; the widened union (min lo, max hi) of every
+    * axis found is used. Non-catalog leaves (temp-view DataFrames,
+    * local relations — the delta legs) are permitted and contribute
+    * nothing: rows they add past the recorded axis clamp into the
+    * edge bucket, and the accept-side bounds refresh keeps the
+    * recorded axis covering committed deltas anyway. Any OTHER
+    * operator under the right side (a join, an aggregate) mixes time
+    * axes across roles — bail to the subquery. SAFETY: both sides
+    * bucket through the same monotone clamped floor built from
+    * whatever (lo, hi) is used, so even stale or wrong-column bounds
+    * can never change answers — only spread quality. Degenerate or
+    * malformed values contribute nothing (with none found, the
     * subquery path remains). */
   private def catalogBounds(right: LogicalPlan, timeName: String,
       resolver: (String, String) => Boolean): Option[(Double, Double)] = {
-    val tables = right.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if lr.catalogTable.isDefined => lr.catalogTable.get
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, LocalRelation, Project, SubqueryAlias, Union, View}
+    import org.apache.spark.sql.catalyst.catalog.CatalogTable
+    def leafTables(p: LogicalPlan): Option[Seq[CatalogTable]] = p match {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        Some(lr.catalogTable.toSeq)
       case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
-        h.tableMeta
-    }
-    tables match {
-      case Seq(ct) =>
-        ct.properties.collectFirst {
-          case (k, v) if k.startsWith("graft.asof.bounds.") &&
-              resolver(k.stripPrefix("graft.asof.bounds."), timeName) => v
-        }.flatMap { v =>
-          v.split(",") match {
-            case Array(loRaw, hiRaw) =>
-              try {
-                val (lo, hi) = (loRaw.toDouble, hiRaw.toDouble)
-                if (java.lang.Double.isFinite(lo) &&
-                    java.lang.Double.isFinite(hi) && hi > lo)
-                  Some((lo, hi))
-                else None
-              } catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }
+        Some(Seq(h.tableMeta))
+      case _: LocalRelation => Some(Nil)
+      case u: Union =>
+        val kids = u.children.map(leafTables)
+        if (kids.forall(_.isDefined)) Some(kids.flatten.flatten) else None
+      case p: Project => leafTables(p.child)
+      case f: Filter => leafTables(f.child)
+      case a: SubqueryAlias => leafTables(a.child)
+      case v: View => leafTables(v.child)
       case _ => None
+    }
+    def recordedAxis(ct: CatalogTable): Option[(Double, Double)] =
+      ct.properties.collectFirst {
+        case (k, v) if k.startsWith("graft.asof.bounds.") &&
+            resolver(k.stripPrefix("graft.asof.bounds."), timeName) => v
+      }.flatMap { v =>
+        v.split(",") match {
+          case Array(loRaw, hiRaw) =>
+            try {
+              val (lo, hi) = (loRaw.toDouble, hiRaw.toDouble)
+              if (java.lang.Double.isFinite(lo) &&
+                  java.lang.Double.isFinite(hi) && hi > lo)
+                Some((lo, hi))
+              else None
+            } catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
+    leafTables(right).flatMap { tables =>
+      val found = tables.flatMap(recordedAxis)
+      if (found.isEmpty) None
+      else Some((found.map(_._1).min, found.map(_._2).max))
     }
   }
 

@@ -301,7 +301,8 @@ object EventsMerge {
     import graft.storage.DurableStores
     val tbl = graft.storage.Storage.tableNameFor("graft_asof_dim", d)
     DurableStores.openOrBuild(s, d, "asof_dim", Seq(tbl),
-        params = asofDimParams) { st =>
+        params = asofDimParams, migrate = asofDimMigration(s, d),
+        foldGuards = Seq("asof_accept")) { st =>
       buildAsofDimBase(s, d, st, tbl,
         eventsTsMicros(s, d).filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value")))
@@ -384,14 +385,48 @@ object EventsMerge {
 
   // build-params shared by the base accessor, the accept companion,
   // and the compact fold — the two writers MUST stamp identical params
-  // or a reopened store would see a mismatch and silently rebuild from
-  // source, dropping folds (the same contract as LlmOps.sketchParams)
-  // "bounds=prop" invalidates stores built before the time axis was
-  // carried as a catalog table property (round 16) — a reopened old
-  // store would otherwise serve the layout without the planner-visible
-  // bounds and the conf-routed SQL split would silently keep its
-  // bounds subquery
-  private val asofDimParams = "buckets=16,sort=user_id.ts.event_id,bounds=prop"
+  // or a reopened store would see a mismatch and rebuild from source,
+  // dropping folds (the same contract as LlmOps.sketchParams).
+  // "bounds=prop" (round 16) marks stores that carry the time axis as
+  // a catalog table property; a store built under the bare layout
+  // params (round 15) has the SAME at-rest files, so reopening one is
+  // a params-only code upgrade — handled by [[asofDimMigration]]
+  // below, never by a rebuild (ADVICE r16: the r16 params bump made
+  // pre-r16 stores rebuild from source, silently discarding every
+  // accept batch a compact had folded into the base).
+  private val asofDimLayoutParams = "buckets=16,sort=user_id.ts.event_id"
+  private val asofDimParams = asofDimLayoutParams + ",bounds=prop"
+
+  /** In-place upgrade for asof stores built under the round-15 params
+    * (identical at-rest layout, no recorded bounds): derive the time
+    * axis from the EXISTING base — folds included, which is the whole
+    * point — record it as note + table property exactly like a fresh
+    * build, and re-stamp the manifest under the new params. The accept
+    * companion's layout never depended on the bounds param, so its
+    * migration is a pure re-stamp. Unknown old params fall through to
+    * the rebuild contract (which the fold guard vetoes while folds
+    * exist). */
+  private def asofDimMigration(s: SparkSession, d: String)
+      : graft.storage.DurableStores.Migration = (oldParams, _, tables) =>
+    if (oldParams != asofDimLayoutParams) None
+    else Some(tables.map { t =>
+      if (t.layout != "bucketed") t
+      else {
+        val b = s.table(t.name)
+          .agg(min(col("ts").cast("double")), max(col("ts").cast("double")))
+          .head()
+        if (b.isNullAt(0) || b.isNullAt(1)) t
+        else {
+          val v = s"${b.getDouble(0)},${b.getDouble(1)}"
+          graft.storage.DurableStores.writeNote(s, d, "asof_dim",
+            "ts_bounds", v)
+          s.sql(s"ALTER TABLE `${t.name}` SET TBLPROPERTIES " +
+            s"('graft.asof.bounds.ts'='$v')")
+          t.copy(props =
+            (t.props.toMap + ("graft.asof.bounds.ts" -> v)).toSeq)
+        }
+      }
+    })
 
   /** The asof_dim family's mutable ACCEPT companion: new state rows
     * (purchases) land as batch_id partitions, commit-marked last —
@@ -402,7 +437,8 @@ object EventsMerge {
     import graft.storage.{DurableStores, Storage}
     val tbl = Storage.tableNameFor("graft_asofacc", d)
     DurableStores.openOrBuild(s, d, "asof_accept", Seq(tbl),
-        params = asofDimParams) { st =>
+        params = asofDimParams,
+        migrate = asofDimMigration(s, d)) { st =>
       st.appendPartitioned(tbl,
         eventsTsMicros(s, d).filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id"), col("ts"), col("value"))
@@ -446,6 +482,41 @@ object EventsMerge {
         .insertInto(Storage.tableNameFor("graft_asofacc", d))
     }
     DurableStores.markBatchCommitted(s, d, "asof_accept", batchId)
+    refreshAsofBounds(s, d, rows)
+  }
+
+  /** Widen the recorded time axis (manifest note + catalog table
+    * property) to cover an accepted batch — round 17 (r16 verdict item
+    * 2): the bounds were written at build/compact only, so under the
+    * typical append-only pattern every accepted row lands PAST `hi`
+    * and the conf-routed skew split clamps the entire new range into
+    * the last time bucket — answer-safe (the bucket floor clamps) but
+    * the hot-key spread the split exists for erodes until compaction.
+    * One tiny agg over the batch the accept already materialized.
+    * Runs AFTER the commit marker, still under the writer lease:
+    * idempotent (pure widening), and a crash between marker and
+    * refresh only leaves the old conservative bounds — healed by the
+    * next accept or compact. */
+  private def refreshAsofBounds(s: SparkSession, d: String,
+      rows: DataFrame): Unit = {
+    import graft.storage.DurableStores
+    val b = rows.agg(min(col("ts").cast("double")),
+      max(col("ts").cast("double"))).head()
+    if (b.isNullAt(0) || b.isNullAt(1)) return
+    val (bLo, bHi) = (b.getDouble(0), b.getDouble(1))
+    val widened = asofDimTimeBounds(s, d) match {
+      case Some((lo, hi)) =>
+        if (bLo >= lo && bHi <= hi) None
+        else Some((math.min(lo, bLo), math.max(hi, bHi)))
+      case None => Some((bLo, bHi))
+    }
+    widened.foreach { case (lo, hi) =>
+      val v = s"$lo,$hi"
+      DurableStores.writeNote(s, d, "asof_dim", "ts_bounds", v)
+      DurableStores.updateTableProps(s, d, "asof_dim",
+        graft.storage.Storage.tableNameFor("graft_asof_dim", d),
+        Seq("graft.asof.bounds.ts" -> v))
+    }
   }
 
   /** As-of lookup against the EFFECTIVE dimension (base ⊕ committed
@@ -541,10 +612,14 @@ object EventsMerge {
     * reaches is pinned in AsofJoinSpec with its own batches.
     * Lineage-scoped so foreign accepts (StoreSpec, streams) can't
     * leak into the oracle compare. */
-  private val q129AsofAcceptProbe: Q = (s, d) => {
+  /** q129/q139's deterministic sentinel batches (transforms of the
+    * source purchases keyed to the disjoint user_id + 10M space — the
+    * scaladoc on [[q129AsofAcceptProbe]] has the full rationale),
+    * accepted idempotently under the a1/a2 lineage. */
+  private def acceptSentinelBatches(s: SparkSession, d: String): Unit = {
     import s.implicits._
-    val ev = eventsTsMicros(s, d)
-    val purchases = ev.filter($"event_type" === "purchase")
+    val purchases = eventsTsMicros(s, d)
+      .filter($"event_type" === "purchase")
       .select($"user_id", $"event_id", $"ts", $"value")
     val b1 = purchases.filter($"event_id" % 10 === 3)
       .select(($"user_id" + 10000000L).as("user_id"),
@@ -556,6 +631,12 @@ object EventsMerge {
         ($"ts" + 2000000L).as("ts"), ($"value" * 3).as("value"))
     acceptAsofDimBatch(s, d, "a1", b1, lineage = Some(Set("a1", "a2")))
     acceptAsofDimBatch(s, d, "a2", b2, lineage = Some(Set("a1", "a2")))
+  }
+
+  private val q129AsofAcceptProbe: Q = (s, d) => {
+    import s.implicits._
+    val ev = eventsTsMicros(s, d)
+    acceptSentinelBatches(s, d)
     val clicks = ev.filter($"event_type" === "click")
       .select($"user_id", $"event_id", $"ts")
     val probe = clicks.unionByName(clicks.select(
@@ -739,26 +820,44 @@ object EventsMerge {
     * path instead. The conf is set only while the plan is ANALYZED
     * (the lowering reads it during analysis; execution never re-reads
     * it), and restored in a finally so no other gate inherits it. */
-  private val q137AsofJoinSqlSkewConf: Q = (s, d) => {
-    import s.implicits._
-    val ev = eventsTsMicros(s, d)
-    ev.filter($"event_type" === "click")
-      .select($"user_id", $"event_id", $"ts")
-      .createOrReplaceTempView("graft_asof_clicks")
-    ev.filter($"event_type" === "purchase")
-      .select($"user_id", $"event_id", $"ts", $"value")
-      .createOrReplaceTempView("graft_asof_purchases")
-    val prev = s.conf.getOption("spark.graft.asof.skewSplits")
-    s.conf.set("spark.graft.asof.skewSplits", "8")
-    try s.sql(
-      """SELECT user_id, event_id AS click_id,
-        |  asof.event_id AS purchase_id, asof.value AS purchase_value
-        |FROM asof_join('graft_asof_clicks', 'graft_asof_purchases',
-        |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.graft.asof.skewSplits", v)
-      case None => s.conf.unset("spark.graft.asof.skewSplits")
+  private val q137AsofJoinSqlSkewConf: Q = (s, d) =>
+    inIsolatedSession(s) { s2 =>
+      import s2.implicits._
+      val ev = eventsTsMicros(s2, d)
+      ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+        .createOrReplaceTempView("graft_asof_clicks")
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .createOrReplaceTempView("graft_asof_purchases")
+      s2.conf.set("spark.graft.asof.skewSplits", "8")
+      s2.sql(
+        """SELECT user_id, event_id AS click_id,
+          |  asof.event_id AS purchase_id, asof.value AS purchase_value
+          |FROM asof_join('graft_asof_clicks', 'graft_asof_purchases',
+          |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
     }
+
+  /** Run `body` against a CLONED session (round 17 — r16 verdict item
+    * 7): the conf-routed gates set `spark.graft.asof.skewSplits`
+    * around analysis, and a try/finally restore on the SHARED session
+    * is only safe while nothing analyzes concurrently. `newSession()`
+    * shares the SparkContext, the external catalog (stored tables stay
+    * visible), and the injected extensions, but carries its OWN
+    * runtime conf and temp-view registry — so the knob (and the gate's
+    * temp views) can never leak into a caller's concurrent analysis.
+    * Deployment confs the caller set at runtime (`spark.graft.*` —
+    * store root, lease backend) are copied across; the returned
+    * DataFrame stays bound to the clone, which shares the context and
+    * outlives the call. */
+  private def inIsolatedSession[A](s: SparkSession)(
+      body: SparkSession => A): A = {
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      if (k.startsWith("spark.graft.")) s2.conf.set(k, v)
+    }
+    graft.GraftSession.requireSqlSurface(s2)
+    body(s2)
   }
 
   /** The conf-routed split over the STORED dimension (round 16): with
@@ -769,22 +868,66 @@ object EventsMerge {
     * note-interpolation workflow; ExtensionsSpec pins the plan). q135
     * keeps the subquery path: its views read raw parquet, no catalog
     * table, no property. Same oracle as the rest of the family. */
-  private val q138AsofJoinSqlSplitStored: Q = (s, d) => {
-    import s.implicits._
-    eventsTsMicros(s, d).filter($"event_type" === "click")
-      .select($"user_id", $"event_id", $"ts")
-      .createOrReplaceTempView("graft_asof_clicks_ss")
-    asofDimStore(s, d).createOrReplaceTempView("graft_asof_dim_ss")
-    val prev = s.conf.getOption("spark.graft.asof.skewSplits")
-    s.conf.set("spark.graft.asof.skewSplits", "8")
-    try s.sql(
-      """SELECT user_id, event_id AS click_id,
-        |  asof.event_id AS purchase_id, asof.value AS purchase_value
-        |FROM asof_join('graft_asof_clicks_ss', 'graft_asof_dim_ss',
-        |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.graft.asof.skewSplits", v)
-      case None => s.conf.unset("spark.graft.asof.skewSplits")
+  private val q138AsofJoinSqlSplitStored: Q = (s, d) =>
+    inIsolatedSession(s) { s2 =>
+      import s2.implicits._
+      eventsTsMicros(s2, d).filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+        .createOrReplaceTempView("graft_asof_clicks_ss")
+      asofDimStore(s2, d).createOrReplaceTempView("graft_asof_dim_ss")
+      s2.conf.set("spark.graft.asof.skewSplits", "8")
+      s2.sql(
+        """SELECT user_id, event_id AS click_id,
+          |  asof.event_id AS purchase_id, asof.value AS purchase_value
+          |FROM asof_join('graft_asof_clicks_ss', 'graft_asof_dim_ss',
+          |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
+    }
+
+  /** The EFFECTIVE dimension (base ∪ committed accept deltas) probed
+    * from PURE SQL through the conf-routed split (round 17 — the r16
+    * verdict's item 5): a deployment's real view of a mutable stored
+    * dimension is exactly this union, and the lowering must reach the
+    * base table's `graft.asof.bounds.ts` property THROUGH the
+    * union/project/filter wrappers and plan NO bounds subquery
+    * (ExtensionsSpec pins the shape). The accept-side bounds refresh
+    * ([[refreshAsofBounds]]) keeps the recorded axis covering the
+    * sentinel deltas, so the split spreads over the REAL (extended)
+    * range instead of clamping every accepted row into the edge
+    * bucket. Answers under q129's oracle: the SQL union and the
+    * two-leg DataFrame effective join ([[asofJoinEffective]]) cannot
+    * drift. Analyzed in an isolated session like q137/q138. */
+  private val q139AsofJoinSqlEffective: Q = (s, d) => {
+    // the same idempotent sentinel accepts as q129 (replays no-op)
+    acceptSentinelBatches(s, d)
+    inIsolatedSession(s) { s2 =>
+      import s2.implicits._
+      val ev = eventsTsMicros(s2, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      clicks.unionByName(clicks.select(
+          ($"user_id" + 10000000L).as("user_id"),
+          ($"event_id" + 300000000L).as("event_id"), $"ts"))
+        .createOrReplaceTempView("graft_asof_probe_eff")
+      asofDimStore(s2, d)
+      asofAcceptStore(s2, d)
+      val dimT = graft.storage.Storage.tableNameFor("graft_asof_dim", d)
+      val accT = graft.storage.Storage.tableNameFor("graft_asofacc", d)
+      // lineage-scoped delta leg (foreign accepts from StoreSpec or
+      // streams must not leak into the oracle compare); after a
+      // compact folds a1/a2 the partitions are gone and the same rows
+      // arrive from the base leg — the union is fold-invariant
+      s2.sql(
+        s"""SELECT user_id, event_id, ts, value FROM `$dimT`
+           |UNION ALL
+           |SELECT user_id, event_id, ts, value FROM `$accT`
+           |WHERE batch_id IN ('a1', 'a2')""".stripMargin)
+        .createOrReplaceTempView("graft_asof_dim_eff")
+      s2.conf.set("spark.graft.asof.skewSplits", "8")
+      s2.sql(
+        """SELECT user_id, event_id AS click_id,
+          |  asof.event_id AS purchase_id, asof.value AS purchase_value
+          |FROM asof_join('graft_asof_probe_eff', 'graft_asof_dim_eff',
+          |               'user_id', 'ts', 'ts', 'event_id', 'merge')""".stripMargin)
     }
   }
 
@@ -794,6 +937,7 @@ object EventsMerge {
     "q136_asof_join_sql_split_bounds" -> q136AsofJoinSqlSplitBounds,
     "q137_asof_join_sql_skew_conf" -> q137AsofJoinSqlSkewConf,
     "q138_asof_join_sql_split_stored" -> q138AsofJoinSqlSplitStored,
+    "q139_asof_join_sql_effective" -> q139AsofJoinSqlEffective,
     "q126_asof_join_native" -> q126AsofJoinNative,
     "q132_asof_join_sql" -> q132AsofJoinSql,
     "q133_asof_join_sql_stale" -> q133AsofJoinSqlStale,
@@ -849,36 +993,13 @@ object EventsMerge {
         |  p.value AS purchase_value
         |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q73_asof_join" -> asofSql,
-    "q84_asof_join_split" -> asofSql,
-    "q126_asof_join_native" -> asofSql,
-    "q130_asof_join_native_split" -> asofSql,
-    "q132_asof_join_sql" -> asofSql,
-    // SQL front-door twins of the auto (broadcast-planned), split, and
-    // manifest-bounded split physical paths — the operator swap must
-    // never change the answer
-    "q134_asof_join_sql_auto" -> asofSql,
-    "q135_asof_join_sql_split" -> asofSql,
-    "q136_asof_join_sql_split_bounds" -> asofSql,
-    // the deployment knob's SQL reroute (q137) and the conf-routed
-    // split over the stored dimension's catalog-property bounds (q138)
-    // are pure plan changes over the same correlated argmax
-    "q137_asof_join_sql_skew_conf" -> asofSql,
-    "q138_asof_join_sql_split_stored" -> asofSql,
-    // the staleness-bounded variant: same correlated argmax with the
-    // window's lower bound (1 day before the click) — shared by the
-    // DataFrame gate (q131) and its SQL-TVF twin (q133)
-    "q131_asof_join_stale" -> asofStaleSql,
-    "q133_asof_join_sql_stale" -> asofStaleSql,
-    "q127_asof_join_broadcast" -> asofSql,
-    "q128_asof_join_stored" -> asofSql,
-    // q129's dimension = purchases ∪ the two accepted SENTINEL-user
-    // batches (deterministic transforms of the source purchases, so
-    // the oracle reproduces them from events.parquet alone); the probe
-    // is clicks ∪ the matching sentinel clicks; interval arithmetic
-    // mirrors the gate's +1s/+2s micro shifts
-    "q129_asof_accept_probe" ->
+  /** q129/q139's shared oracle: dimension = purchases ∪ the two
+    * accepted SENTINEL-user batches (deterministic transforms of the
+    * source purchases, so the oracle reproduces them from
+    * events.parquet alone); probe = clicks ∪ the matching sentinel
+    * clicks; interval arithmetic mirrors the gates' +1s/+2s micro
+    * shifts. */
+  private lazy val q129EffectiveSql: String =
       """WITH c0 AS (
         |  SELECT user_id, event_id, ts FROM events
         |  WHERE event_type = 'click'),
@@ -907,7 +1028,37 @@ object EventsMerge {
         |  FROM c)
         |SELECT m.user_id, m.click_id, m.purchase_id,
         |  p.value AS purchase_value
-        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin,
+        |FROM m LEFT JOIN p ON p.event_id = m.purchase_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q73_asof_join" -> asofSql,
+    "q84_asof_join_split" -> asofSql,
+    "q126_asof_join_native" -> asofSql,
+    "q130_asof_join_native_split" -> asofSql,
+    "q132_asof_join_sql" -> asofSql,
+    // SQL front-door twins of the auto (broadcast-planned), split, and
+    // manifest-bounded split physical paths — the operator swap must
+    // never change the answer
+    "q134_asof_join_sql_auto" -> asofSql,
+    "q135_asof_join_sql_split" -> asofSql,
+    "q136_asof_join_sql_split_bounds" -> asofSql,
+    // the deployment knob's SQL reroute (q137) and the conf-routed
+    // split over the stored dimension's catalog-property bounds (q138)
+    // are pure plan changes over the same correlated argmax
+    "q137_asof_join_sql_skew_conf" -> asofSql,
+    "q138_asof_join_sql_split_stored" -> asofSql,
+    // the staleness-bounded variant: same correlated argmax with the
+    // window's lower bound (1 day before the click) — shared by the
+    // DataFrame gate (q131) and its SQL-TVF twin (q133)
+    "q131_asof_join_stale" -> asofStaleSql,
+    "q133_asof_join_sql_stale" -> asofStaleSql,
+    "q127_asof_join_broadcast" -> asofSql,
+    "q128_asof_join_stored" -> asofSql,
+    // q139 = q129's effective dimension probed from pure SQL (the
+    // base-∪-deltas union) — same accepted sentinel batches, same
+    // oracle, conf-routed split with catalog-carried bounds
+    "q139_asof_join_sql_effective" -> q129EffectiveSql,
+    "q129_asof_accept_probe" -> q129EffectiveSql,
     "q58_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

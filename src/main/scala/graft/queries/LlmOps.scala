@@ -384,7 +384,7 @@ object LlmOps {
     // are the corpus-sized frame, so this is the join whose Exchange
     // matters. The layout param invalidates pre-bucketed stores.
     DurableStores.openOrBuild(s, d, "clusters", Seq(tbl),
-        params = clusterParams) { st =>
+        params = clusterParams, foldGuards = Seq("cluster_accept")) { st =>
       graft.engine.CacheRegistry.withRetained {
         val (sh, bands, chunks) = sketchStore(s, d)
         st.appendBucketed(tbl, Dedup.connectedComponents(
@@ -675,7 +675,7 @@ object LlmOps {
     val bandT = Storage.tableNameFor("graft_sketch_bands", d)
     val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
     DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT),
-        params = sketchParams) { st =>
+        params = sketchParams, foldGuards = Seq("sketch_accept")) { st =>
       graft.engine.CacheRegistry.withRetained {
         val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
           t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
@@ -720,7 +720,7 @@ object LlmOps {
     val centT = Storage.tableNameFor("graft_cosidx_cents", d)
     val memT = Storage.tableNameFor("graft_cosidx_members", d)
     DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT),
-        params = cosineParams) { st =>
+        params = cosineParams, foldGuards = Seq("cosine_accept")) { st =>
       graft.engine.CacheRegistry.withRetained {
         val idx = EmbeddingDedup.buildCosineIndex(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),

@@ -138,7 +138,8 @@ object MergeScaleQ {
     val tbl = graft.storage.Storage.tableNameFor("graft_merged_base", d)
     val keys = Seq("website_id", "site_submission_id")
     DurableStores.openOrBuild(s, d, "merged_base", Seq(tbl),
-        params = s"cutoff=$cutoff,buckets=32") { st =>
+        params = s"cutoff=$cutoff,buckets=32",
+        foldGuards = Seq("merge_log")) { st =>
       st.appendBucketed(tbl,
         Merge.mergeSubmissions(bucketedNested(s, d)
           .filter(col("scan_datetime") <= lit(cutoff).cast("timestamp"))),

@@ -250,8 +250,14 @@ object DurableStores {
       }.mkString("TBLPROPERTIES (", ", ", ") ")
     s.sql(s"CREATE TABLE `${t.name}` (${t.schemaDdl}) USING parquet " +
       s"$clause ${propsClause}LOCATION '$loc'")
-    if (t.layout == "partitioned")
+    if (t.layout == "partitioned") {
       s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
+      // seed the freshness signature so the very next open's
+      // conditional-RECOVER check can skip (the registration itself
+      // just recovered everything)
+      partitionSigCache((root(s), t.name)) =
+        partitionDirSignatures(s, st, t)
+    }
   }
 
   /** (root, store, dataDir) combinations already fingerprint-checked
@@ -262,31 +268,40 @@ object DurableStores {
   private val verified =
     scala.collection.mutable.Map.empty[(String, String, String), Seq[TableMeta]]
 
-  /** For specs simulating a cold JVM: forget fingerprint checks. */
+  /** For specs simulating a cold JVM: forget fingerprint checks and
+    * partition freshness signatures. */
   private[graft] def resetVerifiedForTest(): Unit =
-    synchronized { verified.clear() }
+    synchronized { verified.clear(); partitionSigCache.clear() }
 
   /** How many opens actually ran RECOVER PARTITIONS (not skipped by
     * the partition-set comparison) — observability for the spec. */
   private[graft] val recoverCount =
     new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** The partition directory names present on disk for a partitioned
-    * table (e.g. "batch_id=b1") — one FS listing of the table root,
-    * compared against the catalog to decide whether RECOVER is
-    * needed. Store partition values are slug-like batch ids (the
-    * accept verbs and [[dropBatchPartitions]] enforce it), so the
+  /** The partition directories present on disk for a partitioned
+    * table (name, e.g. "batch_id=b1" → dir mtime) — one FS listing of
+    * the table root, compared against the catalog (names) and the
+    * JVM's last-seen signature (mtimes) to decide whether RECOVER /
+    * refresh is needed. Store partition values are slug-like batch ids
+    * (the accept verbs and [[dropBatchPartitions]] enforce it), so the
     * dir-name comparison is exact; any mismatch — including an
     * escaping difference — errs toward running RECOVER. */
-  private def partitionDirNames(s: SparkSession, st: Storage,
-      t: TableMeta): Set[String] = {
+  private def partitionDirSignatures(s: SparkSession, st: Storage,
+      t: TableMeta): Map[String, Long] = {
     val p = new Path(st.path(t.name))
     val f = fs(s, st.path(t.name))
-    if (!f.exists(p)) Set.empty
+    if (!f.exists(p)) Map.empty
     else f.listStatus(p).toSeq
       .filter(x => x.isDirectory && x.getPath.getName.contains("="))
-      .map(_.getPath.getName).toSet
+      .map(x => x.getPath.getName -> x.getModificationTime).toMap
   }
+
+  /** Last-seen (name → dir mtime) signature per registered partitioned
+    * table — the cheap freshness check backing the conditional-RECOVER
+    * skip (see the open loop in [[openOrBuild]]). Bounded by the
+    * partitioned tables a JVM touches. */
+  private val partitionSigCache =
+    scala.collection.mutable.Map.empty[(String, String), Map[String, Long]]
 
   /** True when `name` is registered in the catalog AND its location is
     * the current root's path for it. A same-name table pointing
@@ -334,13 +349,35 @@ object DurableStores {
     * baked into the at-rest layout: sketch k/bands/chunks, index cell
     * counts, merge cutoffs, bucket counts) both match — a code change
     * to any build parameter invalidates the store exactly like
-    * regenerated source data does. Before a build, stale same-name
+    * regenerated source data does, UNLESS the caller supplies a
+    * `migrate` hook that upgrades the old layout in place (round 17;
+    * see [[Migration]]). When no migration applies and the mismatch is
+    * params-only, the rebuild is VETOED while any `foldGuards` store
+    * (or this store itself) has a non-empty folded ledger: compacted
+    * accept batches live ONLY in this base, and a silent rebuild from
+    * source would discard them unrecoverably. Before a build, stale same-name
     * catalog entries (a store built under a different root earlier in
     * this JVM) and leftover location files from a crashed build are
     * dropped, so the build always starts clean and append-mode writes
     * can never double rows. */
+  /** Params-only upgrade hook for [[openOrBuild]]: invoked when the
+    * manifest's source fingerprint still matches but its build-params
+    * string differs — a CODE upgrade over unchanged data. Receives
+    * (oldParams, storage, old table metas; the old tables are already
+    * registered in the catalog so the hook can ALTER/scan them) and
+    * returns the re-stamped metas to record under the NEW params for
+    * an in-place migration, or None to fall through to the historical
+    * drop-and-rebuild (which the fold guard may veto — see
+    * [[openOrBuild]]). */
+  type Migration = (String, Storage, Seq[TableMeta]) => Option[Seq[TableMeta]]
+
+  /** The default [[Migration]]: no in-place path, rebuild. */
+  val noMigration: Migration = (_, _, _) => None
+
   def openOrBuild(s: SparkSession, dataDir: String, store: String,
-      tableNames: Seq[String], params: String = "")(
+      tableNames: Seq[String], params: String = "",
+      migrate: Migration = noMigration,
+      foldGuards: Seq[String] = Nil)(
       build: Storage => Seq[TableMeta]): Unit =
     synchronized {
       val r = root(s)
@@ -349,13 +386,61 @@ object DurableStores {
       val key = (r, store, dataDir)
       val cached: Option[Seq[TableMeta]] = verified.get(key).orElse {
         val m = readManifest(s, mp)
+        val fp = fingerprint(s, dataDir)
         val current = m.collect {
-          case (fp, p, tables) if fp == fingerprint(s, dataDir) &&
+          case (f0, p, tables) if f0 == fp &&
             p == params && tables.forall(t => st.exists(t.name)) => tables
         }
-        if (m.isDefined && current.isEmpty) dropFiles(s, st, mp, m.get._3)
-        current.foreach(tables => verified(key) = tables)
-        current
+        // params-only mismatch on UNCHANGED source data: a code
+        // upgrade, not a data change — offer the caller's in-place
+        // migration before the destructive drop-and-rebuild (the old
+        // tables are registered first so the hook can ALTER/scan them)
+        val migrated: Option[Seq[TableMeta]] =
+          if (current.isDefined) None
+          else m.collect {
+            case (f0, oldP, tables) if f0 == fp && oldP != params &&
+              tables.forall(t => st.exists(t.name)) => (oldP, tables)
+          }.flatMap { case (oldP, tables) =>
+            tables.foreach { t =>
+              if (!registeredHere(s, st, t.name)) {
+                dropRelation(s, t.name)
+                register(s, st, t)
+              }
+            }
+            migrate(oldP, st, tables).map { newTables =>
+              writeManifest(s, mp, fp, params, newTables)
+              newTables
+            }
+          }
+        val use = current.orElse(migrated)
+        if (m.isDefined && use.isEmpty) {
+          // ADVICE r16 (medium): rebuilding from SOURCE permanently
+          // discards every accept batch a compact has FOLDED into this
+          // store's base — the folded ledger marks their ids replay-
+          // no-op and their delta partitions are already deleted. On a
+          // params-only mismatch (fp matches — the user changed
+          // nothing; the CODE bumped its params) that loss must be
+          // loud, not silent. A fingerprint change keeps the
+          // documented rebuild contract (source regenerated — the
+          // whole derived store, folds included, is stale).
+          if (m.exists { case (f0, _, _) => f0 == fp }) {
+            val atRisk = (store +: foldGuards).distinct
+              .filter(g => foldedBatches(s, dataDir, g).nonEmpty)
+            if (atRisk.nonEmpty) sys.error(
+              s"refusing to rebuild store '$store' (data dir $dataDir) " +
+                s"over a params change ('${m.get._2}' -> '$params'): " +
+                s"compacted accept batches are folded into its base " +
+                s"(non-empty folded ledger for ${atRisk.mkString(", ")}) " +
+                "and a rebuild from source would silently discard them " +
+                "— their ids replay as no-ops. Either upgrade the code " +
+                "path to pass a `migrate` hook for the old params, or " +
+                "drop the store explicitly (StoreAdmin drop / " +
+                "DurableStores.drop) to accept the loss.")
+          }
+          dropFiles(s, st, mp, m.get._3)
+        }
+        use.foreach(tables => verified(key) = tables)
+        use
       }
       cached match {
         case Some(tables) =>
@@ -373,21 +458,44 @@ object DurableStores {
               // charged every store probe a catalog rewrite AND
               // invalidated the table's cached file index, forcing
               // the next scan to re-list every file — a fixed tax on
-              // every open of every partitioned store in a sweep
+              // every open of every partitioned store in a sweep.
+              // INVARIANT the skip leans on (ADVICE r16): committed
+              // partitions are immutable at the file level — every
+              // mutating verb ADDS or REMOVES a partition dir
+              // (accepts write new batch dirs, replays no-op, folds
+              // delete dirs), never rewrites files under an existing
+              // one. As hardening against a future verb breaking it,
+              // the comparison also includes each partition dir's
+              // MTIME against the JVM's last-seen signature: adding /
+              // removing / renaming files under a dir bumps its
+              // mtime, so an in-place rewrite triggers a cache
+              // refresh here instead of serving stale file listings.
               // the cheap dir-name comparison covers the single-column
               // layouts every current store uses; a (future) nested
               // layout falls back to unconditional recovery
+              val sigKey = (r, t.name)
+              val onDisk = partitionDirSignatures(s, st, t)
+              // no cached signature yet (first open after an in-JVM
+              // build): names matching the catalog is the r16 check —
+              // skip and ADOPT the current mtimes as the baseline;
+              // later opens then notice in-place rewrites against it
               val skip = t.layoutCols.size == 1 && {
-                val onDisk = partitionDirNames(s, st, t)
                 val inCatalog = s.sessionState.catalog
                   .listPartitionNames(
                     org.apache.spark.sql.catalyst.TableIdentifier(t.name))
                   .toSet
-                onDisk == inCatalog
+                onDisk.keySet == inCatalog &&
+                  partitionSigCache.get(sigKey).forall(_ == onDisk)
               }
-              if (!skip) {
+              if (skip) partitionSigCache(sigKey) = onDisk
+              else {
                 recoverCount.incrementAndGet()
                 s.sql(s"ALTER TABLE `${t.name}` RECOVER PARTITIONS")
+                // refresh the cached file index too: RECOVER fixes
+                // partition NAMES; an mtime-only difference means
+                // files changed under known partitions
+                s.catalog.refreshTable(t.name)
+                partitionSigCache(sigKey) = onDisk
               }
             }
           }
@@ -465,6 +573,38 @@ object DurableStores {
     val np = notePath(manifestPath(s, store, dataDir), key)
     readFirstLine(fs(s, np.toString), np)
   }
+
+  /** Merge `props` into one table's recorded properties — live
+    * (`ALTER TABLE SET TBLPROPERTIES`, so this session's planner sees
+    * them immediately) AND in the store manifest (so a cold catalog
+    * re-registers them). Round 17: accept verbs use this to keep
+    * planner-visible metadata (the as-of time-axis bounds) fresh as
+    * deltas extend past the build-time values, instead of waiting for
+    * the next compact. Callers run under the store family's writer
+    * lease, which serializes the manifest rewrite cross-process the
+    * same way compaction's is. No-op when the manifest is absent (a
+    * mid-rebuild crash window — the rebuild re-derives the props). */
+  def updateTableProps(s: SparkSession, dataDir: String, store: String,
+      tableName: String, props: Seq[(String, String)]): Unit =
+    synchronized {
+      val mp = manifestPath(s, store, dataDir)
+      readManifest(s, mp).foreach { case (fp, params, tables) =>
+        val updated = tables.map { t =>
+          if (t.name != tableName) t
+          else t.copy(props = (t.props.toMap ++ props.toMap).toSeq)
+        }
+        writeManifest(s, mp, fp, params, updated)
+        // refresh the in-JVM cache only where the open already
+        // verified the fingerprint — never seed a verification here
+        val key = (root(s), store, dataDir)
+        if (verified.contains(key)) verified(key) = updated
+        props.foreach { case (k, v) =>
+          require(!k.contains("'") && !v.contains("'"),
+            s"table property must be quote-free: $k=$v")
+          s.sql(s"ALTER TABLE `$tableName` SET TBLPROPERTIES ('$k'='$v')")
+        }
+      }
+    }
 
   // ---- cross-process writer lease ------------------------------------
 
@@ -670,7 +810,15 @@ object DurableStores {
             "spark.graft.store.lease.backend=http needs " +
               "spark.graft.store.lease.http.url (a conditional-write " +
               "endpoint honoring If-None-Match/If-Match)"))
-        new HttpLeaseBackend(base, lp.toString)
+        // per-call IO budgets scale with the lease period so a hung
+        // endpoint's tick (2 calls × 2 attempts, worst case) releases
+        // its shared heartbeat-pool thread well before OTHER leases'
+        // renewals approach their stale horizon; the caps keep the
+        // 30-minute default at the historical 5 s connect / 10 s read
+        val staleMs = leaseStaleMs(s)
+        val connectMs = math.max(100L, math.min(5000L, staleMs / 24)).toInt
+        val readMs = math.max(200L, math.min(10000L, staleMs / 12)).toInt
+        new HttpLeaseBackend(base, lp.toString, connectMs, readMs)
       case other => throw new IllegalArgumentException(
         s"unknown lease backend '$other' " +
           "(spark.graft.store.lease.backend is 'fs' or 'http')")

@@ -143,10 +143,32 @@ private[storage] final class FsLeaseBackend(
   *             body is still ours; 412 losses are swallowed (the new
   *             holder keeps its lease).
   *
-  * All calls use short timeouts: a hung endpoint must fail the verb
-  * loudly (acquisition) or count as a renewal failure (heartbeat →
-  * fence), never block a daemon thread forever. */
-private[storage] final class HttpLeaseBackend(base: String, key: String)
+  * All calls use short timeouts SCALED TO THE LEASE PERIOD (round 17
+  * — the r16 advisor's heartbeat-starvation finding): renewals share
+  * a small daemon pool with every other held lease, so one hung
+  * endpoint must release its thread well inside the staleMs/3 renewal
+  * period instead of holding it for a fixed 15 s while OTHER stores'
+  * renewals queue toward their stale horizon. The caps keep the
+  * 30-minute default at the historical 5 s/10 s; a spec-sized
+  * staleMs shrinks them proportionally.
+  *
+  * A 200 that carries neither `X-Lease-Mtime-Ms` nor `Last-Modified`,
+  * or no `ETag`, is a PROTOCOL ERROR, not a fresh lease: synthesizing
+  * age 0 would make a dead holder's lease immortal (never crosses the
+  * stale horizon) and an empty-ETag `If-Match` can never succeed — the
+  * store would wedge with a misleading "age 0 ms" contention error
+  * until an operator deleted the lease by hand. [[observe]] throws
+  * with the missing header's name; [[renew]] reports the tick Failed.
+  *
+  * Renewals retry ONCE in-tick before reporting Failed: each Failed
+  * tick counts toward the 3-consecutive-failure fence arm, so without
+  * the retry a ~3×(staleMs/3) transient network blip could fence a
+  * healthy writer's publish. A sustained outage still fails both
+  * attempts of three consecutive ticks and fences exactly as before
+  * (StoreSpec pins both directions). Foreign outcomes are never
+  * retried — a foreign token is definitive, not transient. */
+private[graft] final class HttpLeaseBackend(base: String, key: String,
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000)
     extends LeaseBackend {
   private val url = new java.net.URL(base.stripSuffix("/") + "/" +
     java.net.URLEncoder.encode(key, "UTF-8"))
@@ -160,8 +182,8 @@ private[storage] final class HttpLeaseBackend(base: String, key: String)
     val c = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
     try {
       c.setRequestMethod(method)
-      c.setConnectTimeout(5000)
-      c.setReadTimeout(10000)
+      c.setConnectTimeout(connectTimeoutMs)
+      c.setReadTimeout(readTimeoutMs)
       headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
       body.foreach { b =>
         c.setDoOutput(true)
@@ -193,16 +215,40 @@ private[storage] final class HttpLeaseBackend(base: String, key: String)
       if (r.code == 200) Some(r.body) else None
     } catch { case _: java.io.IOException => None }
 
+  /** Throws (does not return a perpetually-fresh observation) when the
+    * endpoint answered 200 without a freshness header or without an
+    * ETag — see the class doc's protocol-error rationale. */
   def observe(): Option[LeaseObservation] =
     try {
       val r = call("GET", Nil, None)
       if (r.code != 200) None
-      else Some(LeaseObservation(Some(r.body),
-        r.mtimeMs.map(System.currentTimeMillis() - _).getOrElse(0L),
-        r.etag.getOrElse("")))
+      else {
+        val age = r.mtimeMs.map(System.currentTimeMillis() - _)
+          .getOrElse(throw new IllegalStateException(
+            s"lease endpoint $where answered 200 without X-Lease-Mtime-Ms " +
+              "or Last-Modified — refusing to synthesize age 0 (the lease " +
+              "would never cross the stale horizon); the endpoint must " +
+              "report lease freshness"))
+        val etag = r.etag.getOrElse(throw new IllegalStateException(
+          s"lease endpoint $where answered 200 without an ETag — a " +
+            "conditional takeover (If-Match) is impossible against it; " +
+            "the endpoint must version the lease"))
+        Some(LeaseObservation(Some(r.body), age, etag))
+      }
     } catch { case _: java.io.IOException => None }
 
-  def renew(token: String): RenewOutcome =
+  def renew(token: String): RenewOutcome = {
+    val first = renewOnce(token)
+    first match {
+      // one immediate in-tick retry before the tick counts toward the
+      // fence arm — transient-blip tolerance without weakening the
+      // sustained-outage fence (class doc)
+      case RenewOutcome.Failed(_) => renewOnce(token)
+      case definitive => definitive
+    }
+  }
+
+  private def renewOnce(token: String): RenewOutcome =
     try {
       val cur = call("GET", Nil, None)
       if (cur.code == 404)
@@ -211,9 +257,12 @@ private[storage] final class HttpLeaseBackend(base: String, key: String)
         RenewOutcome.Failed(s"GET returned ${cur.code}")
       else if (cur.body != token)
         RenewOutcome.Foreign(cur.body)
+      else if (cur.etag.isEmpty)
+        RenewOutcome.Failed(
+          s"GET answered 200 without an ETag — cannot renew conditionally")
       else {
         val put = call("PUT",
-          Seq("If-Match" -> cur.etag.getOrElse("")), Some(token))
+          Seq("If-Match" -> cur.etag.get), Some(token))
         if (put.code >= 200 && put.code < 300) RenewOutcome.Renewed
         else read() match {
           // the CAS lost: whoever changed it owns the lease now
@@ -251,7 +300,10 @@ private[storage] final class HttpLeaseBackend(base: String, key: String)
   def release(token: String): Unit =
     try {
       val cur = call("GET", Nil, None)
-      if (cur.code == 200 && cur.body == token)
-        call("DELETE", Seq("If-Match" -> cur.etag.getOrElse("")), None)
+      // a 200 without an ETag is the class-doc protocol error — skip
+      // the conditional delete rather than issue an If-Match: "" that
+      // can never match (errors here are swallowed by contract)
+      if (cur.code == 200 && cur.body == token && cur.etag.nonEmpty)
+        call("DELETE", Seq("If-Match" -> cur.etag.get), None)
     } catch { case _: java.io.IOException => () }
 }

@@ -102,4 +102,51 @@ class BenchSpec extends AnyFunSuite {
     assert(out.passes == 1 && out.budgetExceeded && !out.stoppedMidPass)
     assert(r.trace.size == 3)
   }
+
+  test("only a clean finished run writes the official artifact path; " +
+      "degraded runs land on the _partial sibling") {
+    // r16: the driver's 1-pass budget-exceeded run overwrote the
+    // committed clean headline artifact in the working tree — anyone
+    // reading the tree saw the cold-sample noise as "latest"
+    val official = "BENCH_HEADLINE_latest.json"
+    assert(Bench.partialSibling(official)
+      === "BENCH_HEADLINE_latest_partial.json")
+    assert(Bench.partialSibling("noext") === "noext_partial")
+    assert(Bench.finalOutPath(official, budgetExceeded = false,
+      cappedCount = 0) === official)
+    assert(Bench.finalOutPath(official, budgetExceeded = true,
+      cappedCount = 0) === "BENCH_HEADLINE_latest_partial.json")
+    assert(Bench.finalOutPath(official, budgetExceeded = false,
+      cappedCount = 2) === "BENCH_HEADLINE_latest_partial.json")
+  }
+
+  test("the artifact JSON carries n_samples, the statistic name, and the calibration") {
+    // r16 verdict item 1 + the advisor's statistic-naming finding: a
+    // one-pass driver artifact must be gradable from its own fields —
+    // per-query sample counts, which order statistic the figures are,
+    // and a machine-speed reference to normalize by
+    val json = Bench.renderArtifactJson(
+      results = Seq(("qa", 1.0, 1.5, 9.0, 3), ("qb", 2.0, 2.0, 2.0, 1)),
+      calCpuSec = 0.4, calScanSec = 0.6, sfDir = "/tmp/sf", mode = "headline",
+      nQueries = 2, passes = 3, passStartedAt = Seq("t1", "t2", "t3"),
+      budgetSec = 600.0, budgetExceeded = false, partialPass = false,
+      queryCapSec = 60.0, capped = Nil)
+    assert(json.contains("\"n_samples\":{\"qa\":3,\"qb\":1}"), json)
+    assert(json.contains("\"statistic\":\"median_lower_middle\""), json)
+    assert(json.contains("\"calibration_sec\":1.0"), json)
+    assert(json.contains("\"calibration\":{\"cpu_sec\":0.4,\"scan_sec\":0.6}"),
+      json)
+    assert(json.contains("\"queries\":{\"qa\":1.5,\"qb\":2.0}"), json)
+  }
+
+  test("the CPU calibration probe measures fixed work and returns wall seconds") {
+    // data-independent by construction; just pin that it runs, returns
+    // a plausible positive duration, and is repeatable within an order
+    // of magnitude on one machine (the artifact's cross-machine use
+    // only needs it to scale with machine speed)
+    val a = Bench.cpuProbe()
+    val b = Bench.cpuProbe()
+    assert(a > 0.0 && b > 0.0)
+    assert(a / b < 10.0 && b / a < 10.0)
+  }
 }

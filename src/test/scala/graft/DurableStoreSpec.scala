@@ -173,6 +173,24 @@ class DurableStoreSpec extends AnyFunSuite {
       // and the next open is quiet again
       graft.queries.EventsMerge.asofAcceptStore(s, data)
       assert(DurableStores.recoverCount.get() === before + 1)
+      // ADVICE r16: a cross-process IN-PLACE rewrite under an EXISTING
+      // partition dir (names unchanged — the catalog comparison alone
+      // would skip) bumps the dir's mtime; the signature check must
+      // refresh instead of serving the stale cached file listing
+      s.table(tbl).filter($"batch_id" === "zz9").count() // warm the index
+      Thread.sleep(1100) // local-FS dir mtimes are second-granular
+      Seq((990000001L, 990000003L, 5L, 6.0))
+        .toDF("user_id", "event_id", "ts", "value")
+        .write.mode("overwrite").parquet(st.path(tbl) + "/batch_id=zz9")
+      graft.queries.EventsMerge.asofAcceptStore(s, data)
+      assert(DurableStores.recoverCount.get() === before + 2,
+        "an in-place partition rewrite must trigger a refresh")
+      assert(s.table(tbl).filter($"batch_id" === "zz9")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+        === Set(990000003L),
+        "the rewritten partition's files must be re-listed")
+      graft.queries.EventsMerge.asofAcceptStore(s, data)
+      assert(DurableStores.recoverCount.get() === before + 2)
     }
   }
 
@@ -284,6 +302,197 @@ class DurableStoreSpec extends AnyFunSuite {
         params = "n=2")(build(2))
       assert(s.table(tbl).count() === 2)
       assert(storeMtimes(root) !== m1)
+    }
+  }
+
+  /** The store's manifest file under `root/_meta` (glob by store
+    * prefix — the digest half of the name is private). */
+  private def manifestFile(root: String, store: String): Path =
+    scala.util.Using.resource(Files.list(Paths.get(root, "_meta"))) {
+      _.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(store + "_") && n.endsWith(".meta")
+      }.findFirst.orElseThrow(() =>
+        new AssertionError(s"no manifest for $store under $root/_meta"))
+    }
+
+  test("params-only mismatch runs the caller's in-place migration instead of a rebuild") {
+    // ADVICE r16 (medium): a params bump used to drop-and-rebuild from
+    // SOURCE — silently discarding compact-folded accept batches. A
+    // caller-supplied migration re-stamps the existing layout under
+    // the new params; the builder must never run.
+    withScratch(Seq("spec_migrate")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      val tbl = Storage.tableNameFor("graft_spec_migrate", data)
+      def build(n: Int): Storage => Seq[DurableStores.TableMeta] = st => {
+        st.appendTable(tbl, (1 to n).map(_.toLong).toDF("x"))
+        Seq(DurableStores.TableMeta.plain(s, tbl))
+      }
+      var migrated = 0
+      val migration: DurableStores.Migration = (oldP, _, tables) =>
+        if (oldP != "v=1") None
+        else {
+          migrated += 1
+          s.sql(s"ALTER TABLE `$tbl` SET TBLPROPERTIES ('spec.mig'='yes')")
+          Some(tables.map(t =>
+            t.copy(props = (t.props.toMap + ("spec.mig" -> "yes")).toSeq)))
+        }
+      DurableStores.openOrBuild(s, data, "spec_migrate", Seq(tbl),
+        params = "v=1")(build(1))
+      val dataFiles = storeMtimes(root).filter(_._1.contains("graft_spec"))
+      // reopen under the NEW params with the migration: in place —
+      // table files untouched, row count unchanged, builder not run
+      coldCatalog(tbl)
+      DurableStores.openOrBuild(s, data, "spec_migrate", Seq(tbl),
+        params = "v=2", migrate = migration)(build(99))
+      assert(migrated === 1)
+      assert(s.table(tbl).count() === 1, "migration must keep the rows")
+      assert(storeMtimes(root).filter(_._1.contains("graft_spec"))
+        === dataFiles, "migration must not rewrite the at-rest files")
+      // the manifest now records v=2 WITH the re-stamped props: a cold
+      // reopen under v=2 pure-re-registers (no migration, no build)
+      // and the migrated property survives into the fresh catalog
+      coldCatalog(tbl)
+      DurableStores.openOrBuild(s, data, "spec_migrate", Seq(tbl),
+        params = "v=2", migrate = migration)(build(50))
+      assert(migrated === 1, "a matching manifest must not re-migrate")
+      assert(s.table(tbl).count() === 1)
+      val props = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).properties
+      assert(props.get("spec.mig").contains("yes"),
+        s"re-registration must carry the migrated prop, got $props")
+    }
+  }
+
+  test("params-only rebuild is refused while folded batches exist (no migration path)") {
+    withScratch(Seq("spec_guard")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      val tbl = Storage.tableNameFor("graft_spec_guard", data)
+      def build(n: Int): Storage => Seq[DurableStores.TableMeta] = st => {
+        st.appendTable(tbl, (1 to n).map(_.toLong).toDF("x"))
+        Seq(DurableStores.TableMeta.plain(s, tbl))
+      }
+      DurableStores.openOrBuild(s, data, "spec_guard", Seq(tbl),
+        params = "v=1")(build(3))
+      // a compact folded batch b1 into this base: its rows exist ONLY
+      // here now — the ledger is the proof
+      DurableStores.retireFoldedBatches(s, data, "spec_guard", Set("b1"))
+      coldCatalog(tbl)
+      val ex = intercept[RuntimeException] {
+        DurableStores.openOrBuild(s, data, "spec_guard", Seq(tbl),
+          params = "v=2")(build(9))
+      }
+      assert(ex.getMessage.contains("refusing to rebuild") &&
+        ex.getMessage.contains("spec_guard"), ex.getMessage)
+      assert(s.table(tbl).count() === 3, "the veto must leave the store")
+      // a FINGERPRINT change keeps the documented rebuild contract
+      // (source regenerated: the whole derived store is stale) even
+      // while the ledger is non-empty
+      val orders = Paths.get(data, "orders.parquet")
+      Files.setLastModifiedTime(orders,
+        java.nio.file.attribute.FileTime.fromMillis(
+          Files.getLastModifiedTime(orders).toMillis + 5000))
+      coldCatalog(tbl)
+      DurableStores.openOrBuild(s, data, "spec_guard", Seq(tbl),
+        params = "v=2")(build(9))
+      assert(s.table(tbl).count() === 9)
+    }
+  }
+
+  test("a pre-r16 asof_dim store upgrades in place: folds kept, bounds re-derived and recorded") {
+    // the concrete store the ADVICE finding named: r15 manifests carry
+    // the bare layout params; reopening with r16+ code must migrate —
+    // not rebuild from source, which would discard the compact-folded
+    // accept batch for good (its id sits in the folded ledger, so the
+    // replay is a no-op and the rows are unrecoverable).
+    withScratch(Seq("asof_dim", "asof_accept")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      val tbl = Storage.tableNameFor("graft_asof_dim", data)
+      graft.queries.EventsMerge.asofDimStore(s, data)
+      graft.queries.EventsMerge.acceptAsofDimBatch(s, data, "mig_b1",
+        Seq((990000077L, 990000601L, 500000L, 9.9))
+          .toDF("user_id", "event_id", "ts", "value"),
+        lineage = Some(Set("mig_b1")))
+      assert(graft.queries.EventsMerge.compactAsofDimStore(s, data),
+        "the fold must run")
+      assert(DurableStores.foldedBatches(s, data, "asof_accept")
+        .contains("mig_b1"))
+      // rewind the manifest to its r15 form: bare layout params, no
+      // props field — and delete the note + live property so the
+      // migration's re-derivation is observable
+      val mf = manifestFile(root, "asof_dim")
+      val lines = Files.readString(mf).split("\n").toSeq
+      val head = lines.head.split("\\|", 2)
+      val oldHead = head(0) + "|buckets=16,sort=user_id.ts.event_id"
+      val oldTables = lines.tail.map(_.split("\t").take(6).mkString("\t"))
+      Files.writeString(mf, (oldHead +: oldTables).mkString("\n") + "\n")
+      // the rewrite bypassed Hadoop's ChecksumFileSystem — drop the
+      // stale .crc sidecar so the reader sees the edited manifest
+      Files.deleteIfExists(
+        mf.getParent.resolve("." + mf.getFileName.toString + ".crc"))
+      scala.util.Using.resource(Files.list(Paths.get(root, "_meta"))) {
+        _.filter(_.getFileName.toString.contains("note_ts_bounds"))
+          .forEach(p => Files.delete(p))
+      }
+      val baseFiles = storeMtimes(root)
+        .filter(_._1.contains("graft_asof_dim"))
+      coldCatalog(tbl)
+      // the reopen migrates: no exception (the fold guard would veto a
+      // rebuild), no file rewritten, folded row still served
+      graft.queries.EventsMerge.asofDimStore(s, data)
+      assert(storeMtimes(root).filter(_._1.contains("graft_asof_dim"))
+        === baseFiles, "migration must not rebuild the base")
+      assert(s.table(tbl).filter(col("event_id") === 990000601L)
+        .count() === 1, "the folded batch's row must survive the upgrade")
+      val props = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).properties
+      assert(props.contains("graft.asof.bounds.ts"),
+        s"migration must record the bounds property, got $props")
+      assert(DurableStores.readNote(s, data, "asof_dim", "ts_bounds")
+        .isDefined, "migration must re-derive the bounds note")
+    }
+  }
+
+  test("an accept past the recorded hi widens the bounds note + property, surviving a cold reopen") {
+    // VERDICT r16 item 2: bounds were recorded at build/compact only,
+    // so append-only accepts eroded the conf-routed split's spread —
+    // every post-hi row clamped into the last time bucket until a
+    // compact. The accept now widens the recorded axis in the same
+    // verb, under the same writer lease.
+    withScratch(Seq("asof_dim", "asof_accept")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      val tbl = Storage.tableNameFor("graft_asof_dim", data)
+      graft.queries.EventsMerge.asofDimStore(s, data)
+      val Some((lo0, hi0)) =
+        graft.queries.EventsMerge.asofDimTimeBounds(s, data)
+      val past = (hi0 + 7e6).toLong
+      graft.queries.EventsMerge.acceptAsofDimBatch(s, data, "wid_b1",
+        Seq((990000088L, 990000701L, past, 1.5))
+          .toDF("user_id", "event_id", "ts", "value"),
+        lineage = Some(Set("wid_b1")))
+      val Some((lo1, hi1)) =
+        graft.queries.EventsMerge.asofDimTimeBounds(s, data)
+      assert(lo1 === lo0 && hi1 >= past.toDouble,
+        s"accept must widen ($lo0,$hi0) past $past, got ($lo1,$hi1)")
+      // the catalog property widened live AND survives a cold catalog
+      def prop(): String = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+        .properties("graft.asof.bounds.ts")
+      assert(prop() === s"$lo1,$hi1")
+      coldCatalog(tbl)
+      graft.queries.EventsMerge.asofDimStore(s, data)
+      assert(prop() === s"$lo1,$hi1",
+        "the widened property must ride the manifest into a cold catalog")
+      // idempotent: a replayed accept (no-op) must not disturb it
+      graft.queries.EventsMerge.acceptAsofDimBatch(s, data, "wid_b1",
+        Seq((990000088L, 990000701L, past, 1.5))
+          .toDF("user_id", "event_id", "ts", "value"),
+        lineage = Some(Set("wid_b1")))
+      assert(prop() === s"$lo1,$hi1")
     }
   }
 

@@ -514,6 +514,43 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("conf-routed SQL gates analyze in an isolated session: the caller's conf and views stay untouched") {
+    // VERDICT r16 item 7: q137/q138/q139 set skewSplits around
+    // analysis; a try/finally restore on the SHARED session was racy
+    // under concurrent analysis. The gates now clone the session
+    // (newSession shares context + external catalog + extensions, owns
+    // conf + temp views), so the knob can never leak — not even
+    // mid-analysis, because the caller's conf is simply never written.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val df = graft.queries.EventsMerge
+        .queries("q137_asof_join_sql_skew_conf")(s, "/root/testdata/sf0.001")
+      // the clone really analyzed under the knob: the conf-routed
+      // split's bounds ride a scalar subquery (q135's pinned shape)
+      assert(df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).toLowerCase.contains("subquery"),
+        "the gate must have analyzed through the conf-routed split")
+      assert(df.count() > 0)
+      assert(s.conf.getOption("spark.graft.asof.skewSplits").isEmpty,
+        "the skewSplits knob must never land on the caller's session")
+      assert(!s.catalog.tableExists("graft_asof_clicks"),
+        "gate temp views must not leak into the caller's session")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("conf-routed split reads catalog table-property bounds; views keep the subquery") {
     // VERDICT r15 item 2: a deployment that only sets skewSplits must
     // skip the bounds subquery over a REGISTERED stored dimension —
@@ -558,6 +595,21 @@ class ExtensionsSpec extends AnyFunSuite {
         df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0).toLowerCase
       val baseline = canon(q("asof_cb_right")) // unrouted merge
+      // base ∪ delta — the effective-dimension view a deployment
+      // actually queries (round 17): the catalog base carries the
+      // recorded axis; the delta leg is a property-less temp view
+      // whose rows extend PAST the axis (the append-only accept shape)
+      (0L until 50L).map(i => (1L, 2000L + i, 96L + (i % 7)))
+        .toDF("k", "rid", "t").createOrReplaceTempView("asof_cb_delta")
+      s.sql("""SELECT * FROM asof_cb_right
+              |UNION ALL SELECT * FROM asof_cb_delta""".stripMargin)
+        .createOrReplaceTempView("asof_cb_eff")
+      val effBaseline = canon(q("asof_cb_eff"))
+      // a JOIN under the right side mixes time axes across roles —
+      // the shape the lowering must NOT trust
+      s.sql("""SELECT a.k, a.rid, a.t FROM asof_cb_right a
+              |JOIN asof_cb_right b ON a.rid = b.rid""".stripMargin)
+        .createOrReplaceTempView("asof_cb_join")
       try {
         // 8 splits (not 4): with only 4 buckets over 4 shuffle
         // partitions, all four (k, bucket) pairs can hash-collide into
@@ -581,13 +633,29 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(canon(viaView) === baseline)
         assert(planOf(viaView).contains("subquery"),
           "a view with no catalog table must keep the bounds subquery")
-        // a right fragment reading the table TWICE is not trusted —
-        // the recorded single-axis fact is meaningless there
+        // the base-∪-delta view reaches the BASE's property through
+        // the union/project wrappers (r16 verdict item 5): no bounds
+        // subquery, answers identical (the past-axis delta rows clamp
+        // into the edge bucket), hot key still spread
+        val eff = q("asof_cb_eff")
+        assert(canon(eff) === effBaseline)
+        assert(!planOf(eff).contains("subquery"),
+          "base-UNION-delta must resolve the base table's recorded axis")
+        assert(hotTasks(eff) >= 2L,
+          "the split over the effective view must still spread the hot key")
+        // reading the same table twice through a union stays shape-
+        // preserving: the widened union of identical axes is the axis
         s.sql("""SELECT * FROM asof_cb_right
                 |UNION ALL SELECT * FROM asof_cb_right WHERE rid < 0"""
           .stripMargin).createOrReplaceTempView("asof_cb_union")
-        assert(planOf(q("asof_cb_union")).contains("subquery"),
-          "a multi-relation right side must fall back to the subquery")
+        val selfUnion = q("asof_cb_union")
+        assert(canon(selfUnion) === baseline)
+        assert(!planOf(selfUnion).contains("subquery"),
+          "a self-union right side resolves the shared recorded axis")
+        // any non-shape-preserving operator (a join) bails to the
+        // subquery — the recorded axes are meaningless across roles
+        assert(planOf(q("asof_cb_join")).contains("subquery"),
+          "a join-shaped right side must fall back to the subquery")
         // a wrong-column or malformed property is ignored, not trusted
         s.sql("ALTER TABLE asof_cb_right SET TBLPROPERTIES " +
           "('graft.asof.bounds.t'='garbage')")

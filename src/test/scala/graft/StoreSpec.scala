@@ -713,6 +713,15 @@ class StoreSpec extends AnyFunSuite {
       entry = Some(Entry(body, newEtag(), mtimeMs))
     }
     def clear(): Unit = synchronized { entry = None }
+    /** Fault injection: the next `n` requests answer 503 (a transient
+      * endpoint fault — the flaky-server renewal case). */
+    private var failRemaining = 0
+    def failNext(n: Int): Unit = synchronized { failRemaining = n }
+    /** Protocol-conformance injection: serve 200s WITHOUT the named
+      * header — the non-conforming endpoint [[HttpLeaseBackend]] must
+      * refuse to treat as fresh/versioned. */
+    @volatile var omitMtime = false
+    @volatile var omitEtag = false
     val server: com.sun.net.httpserver.HttpServer =
       com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -720,8 +729,9 @@ class StoreSpec extends AnyFunSuite {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       def respond(code: Int, text: String, e: Option[Entry]): Unit = {
         e.foreach { en =>
-          ex.getResponseHeaders.set("ETag", en.etag)
-          ex.getResponseHeaders.set("X-Lease-Mtime-Ms", en.mtimeMs.toString)
+          if (!omitEtag) ex.getResponseHeaders.set("ETag", en.etag)
+          if (!omitMtime)
+            ex.getResponseHeaders.set("X-Lease-Mtime-Ms", en.mtimeMs.toString)
         }
         val bytes = text.getBytes("UTF-8")
         ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
@@ -734,6 +744,10 @@ class StoreSpec extends AnyFunSuite {
       def header(k: String): Option[String] =
         Option(ex.getRequestHeaders.getFirst(k))
       synchronized {
+        if (failRemaining > 0) {
+          failRemaining -= 1
+          respond(503, "injected transient fault", None)
+        } else
         (ex.getRequestMethod, header("If-None-Match"), header("If-Match")) match {
           case ("GET", _, _) => entry match {
             case Some(e) => respond(200, e.body, Some(e))
@@ -833,6 +847,78 @@ class StoreSpec extends AnyFunSuite {
       }
       srv.stop()
     }
+  }
+
+  test("http lease renewals retry once in-tick: a flaky endpoint never fences, a sustained outage still does") {
+    // VERDICT r16 item 3: each Failed tick counts toward the
+    // 3-consecutive-failure fence arm, so a server dropping every
+    // first connection must NOT produce Failed ticks (the in-tick
+    // retry absorbs it), while a sustained outage must keep failing —
+    // and a foreign token must stay definitive (never retried into a
+    // false Renewed).
+    import graft.storage.{HttpLeaseBackend, RenewOutcome}
+    val srv = new CasLeaseServer
+    try {
+      val be = new HttpLeaseBackend(srv.url, "retry_spec",
+        connectTimeoutMs = 500, readTimeoutMs = 1000)
+      assert(be.tryCreate("tok_mine"))
+      // transient: the tick's first GET eats the injected 503; the
+      // retry completes GET+PUT and the tick reports Renewed
+      srv.failNext(1)
+      assert(be.renew("tok_mine") == RenewOutcome.Renewed)
+      // sustained outage: both attempts fail, the tick reports Failed
+      // (three such ticks arm the fence exactly as before)
+      srv.failNext(100)
+      assert(be.renew("tok_mine").isInstanceOf[RenewOutcome.Failed])
+      srv.failNext(0)
+      // foreign is definitive: no retry may launder it into Renewed
+      srv.force("tok_foreign", System.currentTimeMillis())
+      assert(be.renew("tok_mine") == RenewOutcome.Foreign("tok_foreign"))
+    } finally srv.stop()
+  }
+
+  test("http lease 200s without freshness or ETag are protocol errors, not fresh leases") {
+    // ADVICE r16: synthesizing ageMs=0 for an endpoint that reports no
+    // freshness makes a dead holder's lease immortal, and an empty
+    // ETag turns takeover into If-Match: "" which can never succeed —
+    // the store wedges with a misleading "age 0 ms" error. The backend
+    // must name the missing header instead.
+    import graft.storage.{HttpLeaseBackend, RenewOutcome}
+    val srv = new CasLeaseServer
+    try {
+      val be = new HttpLeaseBackend(srv.url, "proto_spec",
+        connectTimeoutMs = 500, readTimeoutMs = 1000)
+      srv.force("tok_dead", System.currentTimeMillis() - 3600000L)
+      srv.omitMtime = true
+      val e1 = intercept[IllegalStateException](be.observe())
+      assert(e1.getMessage.contains("X-Lease-Mtime-Ms"), e1.getMessage)
+      srv.omitMtime = false
+      srv.omitEtag = true
+      val e2 = intercept[IllegalStateException](be.observe())
+      assert(e2.getMessage.contains("ETag"), e2.getMessage)
+      // renewal against the ETag-less endpoint reports Failed (naming
+      // the header), never a silent unconditional write
+      be.renew("tok_dead") match {
+        case RenewOutcome.Failed(why) => assert(why.contains("ETag"), why)
+        case other => fail(s"expected Failed, got $other")
+      }
+      // and an acquisition that must observe the held lease fails
+      // loudly instead of reporting a perpetually-fresh holder
+      val s = spark
+      s.conf.set("spark.graft.store.lease.backend", "http")
+      s.conf.set("spark.graft.store.lease.http.url", srv.url)
+      try {
+        val e3 = intercept[IllegalStateException] {
+          graft.storage.DurableStores.withWriterLease(
+            s, sf, "proto_err_spec")(())
+        }
+        assert(e3.getMessage.contains("ETag") ||
+          e3.getMessage.contains("X-Lease-Mtime-Ms"), e3.getMessage)
+      } finally {
+        s.conf.unset("spark.graft.store.lease.backend")
+        s.conf.unset("spark.graft.store.lease.http.url")
+      }
+    } finally srv.stop()
   }
 
   test("a broken-renewal filesystem (setTimes throws) loses the lease and the fence fires") {

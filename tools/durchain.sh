@@ -75,4 +75,52 @@ grep -h '{"phase"' $OUT/jvm6b.log | head -1 > $OUT/jvm6b.json
 # the whole evidence run instead of leaving a falsified jvm6a.json
 wait $FENCEPID
 grep -h '"phase":"fencehold","fenced"' $OUT/jvm6a.log | tail -1 > $OUT/jvm6a.json
+echo "=== JVM7 http lease backend (real CAS endpoint, two processes)"
+# The pluggable http lease across REAL processes (r16 verdict item 4):
+# a local conditional-write endpoint (tools/cas_server.py — the
+# If-None-Match/If-Match primitives an object store gives you), a
+# holder, a live contender that must fail fast, then the endpoint
+# starts 503ing the HOLDER's renewals (a real network-partition
+# failure, injected at the server — no client-side switch), its lease
+# ages past the 8 s horizon, the contender stale-takes it with ONE
+# conditional PUT, and the preempted holder's publish aborts FENCED.
+# httphold exits nonzero unless the fence fired (set -e catches it).
+export GRAFT_LEASE_STALE_MS=8000
+CASPORT=18089
+python3 tools/cas_server.py $CASPORT > $OUT/jvm7_cas.log 2>&1 &
+CASPID=$!
+sleep 2
+export GRAFT_LEASE_HTTP_URL="http://127.0.0.1:$CASPORT/lease"
+rm -f $GRAFT_STORE_ROOT/_meta/http_held.sync $GRAFT_STORE_ROOT/_meta/http_takeover.sync
+sbt -batch "runMain graft.StoreChain httphold $D" > $OUT/jvm7a.log 2>&1 &
+HTTPPID=$!
+for i in $(seq 1 120); do
+  [ -f $GRAFT_STORE_ROOT/_meta/http_held.sync ] && break
+  sleep 2
+done
+# live contention while renewals are healthy: must fail fast with the
+# holder's identity and a sub-horizon observed age
+sbt -batch "runMain graft.StoreChain httptry $D" > $OUT/jvm7b.log 2>&1 || true
+grep -h '{"phase"' $OUT/jvm7b.log | tail -1 > $OUT/jvm7b.json
+# partition the holder from the endpoint: read its token off the
+# lease, then tell the server to 503 that token's PUTs (renewals)
+python3 - <<'PYEOF' > $OUT/jvm7_partition.log 2>&1
+import os, urllib.request, urllib.parse
+root = os.environ["GRAFT_STORE_ROOT"]
+base = os.environ["GRAFT_LEASE_HTTP_URL"]
+key = open(os.path.join(root, "_meta", "http_held.sync")).read().strip()
+url = base + "/" + urllib.parse.quote(key, safe="")
+token = urllib.request.urlopen(url).read().decode()
+ctrl = base.rsplit("/", 1)[0] + "/__control/drop-renewals"
+req = urllib.request.Request(ctrl, data=token.encode(), method="POST")
+print(urllib.request.urlopen(req).read().decode())
+print("dropped renewals for:", token)
+PYEOF
+sleep 12  # the un-renewed lease crosses the 8 s stale horizon
+sbt -batch "runMain graft.StoreChain httptake $D" > $OUT/jvm7c.log 2>&1
+grep -h '{"phase"' $OUT/jvm7c.log | head -1 > $OUT/jvm7c.json
+# no `|| true`: httphold exits nonzero when the fence did NOT fire
+wait $HTTPPID
+grep -h '"phase":"httphold","fenced"' $OUT/jvm7a.log | tail -1 > $OUT/jvm7a.json
+kill $CASPID 2>/dev/null || true
 echo DONE
