@@ -508,7 +508,15 @@ object EventsMerge {
       case Some((lo, hi)) =>
         if (bLo >= lo && bHi <= hi) None
         else Some((math.min(lo, bLo), math.max(hi, bHi)))
-      case None => Some((bLo, bHi))
+      // no recorded axis (pre-note store, empty-dim build, or a
+      // deleted/corrupted sidecar): record NOTHING. Widening is only
+      // safe relative to an existing axis — stamping the BATCH's
+      // min/max as the store's whole axis would clamp the entire base
+      // into edge buckets (answer-safe but the spread collapses
+      // store-wide, worse than the subquery fallback callers use when
+      // no bounds exist). The next build/compact re-derives the full
+      // axis through buildAsofDimBase.
+      case None => None
     }
     widened.foreach { case (lo, hi) =>
       val v = s"$lo,$hi"
@@ -850,13 +858,37 @@ object EventsMerge {
     * store root, lease backend) are copied across; the returned
     * DataFrame stays bound to the clone, which shares the context and
     * outlives the call. */
+  /** One clone per PARENT session, cached (weakly, so a stopped
+    * parent's clone can be collected): every `newSession()` builds a
+    * full SessionState and registers a listener bus on the shared
+    * context — per-call clones would accumulate across a bench sweep
+    * and bill that construction to the measured gate. The cache is
+    * safe because every conf-routed gate sets the SAME knob value
+    * (skewSplits=8) and owns distinct temp-view names; a future gate
+    * needing a DIFFERENT conf value must take its own clone. */
+  private val isolatedSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+
   private def inIsolatedSession[A](s: SparkSession)(
       body: SparkSession => A): A = {
-    val s2 = s.newSession()
-    s.conf.getAll.foreach { case (k, v) =>
-      if (k.startsWith("spark.graft.")) s2.conf.set(k, v)
+    val s2 = isolatedSessions.synchronized {
+      var c = isolatedSessions.get(s)
+      if (c == null) {
+        c = s.newSession()
+        graft.GraftSession.requireSqlSurface(c)
+        isolatedSessions.put(s, c)
+      }
+      c
     }
-    graft.GraftSession.requireSqlSurface(s2)
+    // re-sync the caller's deployment confs each use (store root,
+    // lease knobs may have changed — or been UNSET — between gate
+    // invocations; the gate's own knob is set inside `body` after
+    // this sync, so clearing stale graft keys first is safe)
+    val parentGraft = s.conf.getAll.filter(_._1.startsWith("spark.graft."))
+    s2.conf.getAll.keysIterator
+      .filter(k => k.startsWith("spark.graft.") && !parentGraft.contains(k))
+      .toSeq.foreach(s2.conf.unset)
+    parentGraft.foreach { case (k, v) => s2.conf.set(k, v) }
     body(s2)
   }
 

@@ -396,11 +396,15 @@ object DurableStores {
         // migration before the destructive drop-and-rebuild (the old
         // tables are registered first so the hook can ALTER/scan them)
         val migrated: Option[Seq[TableMeta]] =
-          if (current.isDefined) None
+          if (current.isDefined || (migrate eq noMigration)) None
           else m.collect {
             case (f0, oldP, tables) if f0 == fp && oldP != params &&
               tables.forall(t => st.exists(t.name)) => (oldP, tables)
           }.flatMap { case (oldP, tables) =>
+            // the hook needs the old tables queryable (ALTER/scan) —
+            // registration happens here, not earlier, so a
+            // plain-rebuild path never pays catalog churn for tables
+            // about to be dropped
             tables.foreach { t =>
               if (!registeredHere(s, st, t.name)) {
                 dropRelation(s, t.name)
@@ -422,8 +426,12 @@ object DurableStores {
           // nothing; the CODE bumped its params) that loss must be
           // loud, not silent. A fingerprint change keeps the
           // documented rebuild contract (source regenerated — the
-          // whole derived store, folds included, is stale).
-          if (m.exists { case (f0, _, _) => f0 == fp }) {
+          // whole derived store, folds included, is stale), and so
+          // does a MISSING-FILES manifest whose params still match
+          // (the base is already gone — a veto could never bring the
+          // folds back, only wedge the store; the historical
+          // self-heal rebuild is the only option left).
+          if (m.exists { case (f0, p0, _) => f0 == fp && p0 != params }) {
             val atRisk = (store +: foldGuards).distinct
               .filter(g => foldedBatches(s, dataDir, g).nonEmpty)
             if (atRisk.nonEmpty) sys.error(
@@ -587,6 +595,13 @@ object DurableStores {
   def updateTableProps(s: SparkSession, dataDir: String, store: String,
       tableName: String, props: Seq[(String, String)]): Unit =
     synchronized {
+      // validate BEFORE any write: a quoted value persisted into the
+      // manifest would poison every later cold re-registration
+      // (register() refuses it), bricking the store until hand-edited
+      props.foreach { case (k, v) =>
+        require(!k.contains("'") && !v.contains("'"),
+          s"table property must be quote-free: $k=$v")
+      }
       val mp = manifestPath(s, store, dataDir)
       readManifest(s, mp).foreach { case (fp, params, tables) =>
         val updated = tables.map { t =>
@@ -599,8 +614,6 @@ object DurableStores {
         val key = (root(s), store, dataDir)
         if (verified.contains(key)) verified(key) = updated
         props.foreach { case (k, v) =>
-          require(!k.contains("'") && !v.contains("'"),
-            s"table property must be quote-free: $k=$v")
           s.sql(s"ALTER TABLE `$tableName` SET TBLPROPERTIES ('$k'='$v')")
         }
       }
@@ -811,13 +824,16 @@ object DurableStores {
               "spark.graft.store.lease.http.url (a conditional-write " +
               "endpoint honoring If-None-Match/If-Match)"))
         // per-call IO budgets scale with the lease period so a hung
-        // endpoint's tick (2 calls × 2 attempts, worst case) releases
-        // its shared heartbeat-pool thread well before OTHER leases'
-        // renewals approach their stale horizon; the caps keep the
-        // 30-minute default at the historical 5 s connect / 10 s read
+        // endpoint's tick releases its shared heartbeat-pool thread
+        // inside the staleMs/3 renewal period instead of starving
+        // OTHER leases' renewals. Worst tick = 2 attempts × 3 calls
+        // (GET + PUT + the lost-CAS verification read), so per-call
+        // (connect + read) ≤ staleMs/18 bounds a tick at staleMs/4 <
+        // the period; the caps keep the 30-minute default at the
+        // historical 5 s connect / 10 s read
         val staleMs = leaseStaleMs(s)
-        val connectMs = math.max(100L, math.min(5000L, staleMs / 24)).toInt
-        val readMs = math.max(200L, math.min(10000L, staleMs / 12)).toInt
+        val connectMs = math.max(100L, math.min(5000L, staleMs / 72)).toInt
+        val readMs = math.max(200L, math.min(10000L, staleMs / 36)).toInt
         new HttpLeaseBackend(base, lp.toString, connectMs, readMs)
       case other => throw new IllegalArgumentException(
         s"unknown lease backend '$other' " +

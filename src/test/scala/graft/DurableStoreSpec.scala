@@ -386,6 +386,11 @@ class DurableStoreSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("refusing to rebuild") &&
         ex.getMessage.contains("spec_guard"), ex.getMessage)
+      // the veto left the at-rest store intact: reopening under the
+      // OLD params re-registers and serves it (the vetoed open itself
+      // registers nothing — it threw)
+      DurableStores.openOrBuild(s, data, "spec_guard", Seq(tbl),
+        params = "v=1")(build(99))
       assert(s.table(tbl).count() === 3, "the veto must leave the store")
       // a FINGERPRINT change keeps the documented rebuild contract
       // (source regenerated: the whole derived store is stale) even
@@ -398,6 +403,21 @@ class DurableStoreSpec extends AnyFunSuite {
       DurableStores.openOrBuild(s, data, "spec_guard", Seq(tbl),
         params = "v=2")(build(9))
       assert(s.table(tbl).count() === 9)
+      // and a SAME-PARAMS manifest whose table files went missing
+      // keeps the historical self-heal rebuild even over a non-empty
+      // ledger: the base is already gone — a veto could never bring
+      // the folds back, only wedge the store (r17 review)
+      val st = new Storage(s, root)
+      scala.util.Using.resource(
+          java.nio.file.Files.walk(Paths.get(st.path(tbl)))) {
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      coldCatalog(tbl)
+      DurableStores.openOrBuild(s, data, "spec_guard", Seq(tbl),
+        params = "v=2")(build(5))
+      assert(s.table(tbl).count() === 5,
+        "missing files + matching params must self-heal, not veto")
     }
   }
 
@@ -493,6 +513,26 @@ class DurableStoreSpec extends AnyFunSuite {
           .toDF("user_id", "event_id", "ts", "value"),
         lineage = Some(Set("wid_b1")))
       assert(prop() === s"$lo1,$hi1")
+      // a MISSING axis is never replaced by a batch-only one (r17
+      // review): widening is only safe relative to an existing axis —
+      // the batch's hour-wide min/max stamped as the store's whole
+      // axis would clamp the entire base into edge buckets. Delete
+      // the note, accept another past-hi batch: nothing recorded,
+      // the stale-but-valid property left alone.
+      scala.util.Using.resource(Files.list(Paths.get(root, "_meta"))) {
+        _.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("asof_dim_") && n.contains("note_ts_bounds")
+        }.forEach(p => Files.deleteIfExists(p))
+      }
+      graft.queries.EventsMerge.acceptAsofDimBatch(s, data, "wid_b2",
+        Seq((990000089L, 990000702L, past + 9000000L, 2.5))
+          .toDF("user_id", "event_id", "ts", "value"),
+        lineage = Some(Set("wid_b1", "wid_b2")))
+      assert(graft.queries.EventsMerge.asofDimTimeBounds(s, data).isEmpty,
+        "no batch-only axis may be recorded for a store without one")
+      assert(prop() === s"$lo1,$hi1",
+        "the still-valid catalog property must not be narrowed")
     }
   }
 

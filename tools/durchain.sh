@@ -89,6 +89,10 @@ export GRAFT_LEASE_STALE_MS=8000
 CASPORT=18089
 python3 tools/cas_server.py $CASPORT > $OUT/jvm7_cas.log 2>&1 &
 CASPID=$!
+# the CAS server must die with the script even when set -e aborts a
+# falsified run mid-phase — otherwise it squats the port (and its
+# dropped-token state) for the next chain run
+trap 'kill $CASPID 2>/dev/null || true' EXIT
 sleep 2
 export GRAFT_LEASE_HTTP_URL="http://127.0.0.1:$CASPORT/lease"
 rm -f $GRAFT_STORE_ROOT/_meta/http_held.sync $GRAFT_STORE_ROOT/_meta/http_takeover.sync
@@ -119,8 +123,12 @@ PYEOF
 sleep 12  # the un-renewed lease crosses the 8 s stale horizon
 sbt -batch "runMain graft.StoreChain httptake $D" > $OUT/jvm7c.log 2>&1
 grep -h '{"phase"' $OUT/jvm7c.log | head -1 > $OUT/jvm7c.json
-# no `|| true`: httphold exits nonzero when the fence did NOT fire
-wait $HTTPPID
+# distill the holder's evidence BEFORE asserting its exit code, so a
+# falsified run still leaves jvm7a.json for the post-mortem; the
+# assertion itself stays — the chain must fail unless the fence fired
+set +e; wait $HTTPPID; HTTPRC=$?; set -e
 grep -h '"phase":"httphold","fenced"' $OUT/jvm7a.log | tail -1 > $OUT/jvm7a.json
+[ $HTTPRC -eq 0 ]
 kill $CASPID 2>/dev/null || true
+trap - EXIT
 echo DONE
