@@ -14,24 +14,32 @@ import scala.collection.mutable
 class BenchSpec extends AnyFunSuite {
 
   /** A clock that advances by each measured duration, like the real
-    * wall clock does over real queries. */
-  private final class FakeRun(durations: Map[String, Double]) {
+    * wall clock does over real queries. `cancelAtSec` simulates the
+    * cap watchdog: a duration past it produces a CANCELLED sample
+    * billed at the cancellation point, like the real runWithCap does. */
+  private final class FakeRun(durations: Map[String, Double],
+      cancelAtSec: Double = Double.MaxValue) {
     var now = 0.0
     val trace = mutable.ArrayBuffer.empty[(Int, String)]
     private var currentPass = 0
     val samples = mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val capped = mutable.LinkedHashSet.empty[String]
-    def measure(name: String): Double = {
+    val billed = mutable.Map.empty[String, Double]
+    def measure(name: String): Bench.Sample = {
       val sec = durations(name)
-      now += sec
+      val cancelled = sec > cancelAtSec
+      // a cancelled job bills the cancellation point, not its full
+      // duration — that is the whole point of the watchdog
+      val b = if (cancelled) cancelAtSec else sec
+      now += b
       trace += ((currentPass, name))
-      sec
+      Bench.Sample(if (cancelled) cancelAtSec else sec, b, cancelled)
     }
     def run(names: Seq[String], runs: Int, budgetSec: Double,
         queryCapSec: Double = Double.MaxValue): Bench.PassOutcome =
       Bench.runPasses(names, measure, samples, capped, runs, budgetSec,
-        queryCapSec, () => now,
+        queryCapSec, () => now, billed,
         onPassStart = () => currentPass += 1)
   }
 
@@ -93,6 +101,93 @@ class BenchSpec extends AnyFunSuite {
     assert(r.capped.toSeq == Seq("qb"))
     assert(r.samples("qb").size == 1)
     assert(r.samples("qa").size == 3 && r.samples("qc").size == 3)
+    // the un-cancelled over-cap run billed its full duration, and the
+    // artifact must say so
+    assert(r.billed("qb") == 99.0)
+  }
+
+  test("a CANCELLED query records the cap value as its sample and bills " +
+      "only up to the cancellation") {
+    // r17 verdict item 1a: a 'capped' cold q65 still billed 140.6 s of
+    // the 600 s budget because the cap only marked — with cancellation
+    // the budget spend is bounded at the cap
+    val r = new FakeRun(Map("qa" -> 1.0, "qb" -> 140.0, "qc" -> 1.0),
+      cancelAtSec = 60.0)
+    val out = r.run(names, runs = 3, budgetSec = 1e9, queryCapSec = 60.0)
+    assert(out.passes == 3)
+    assert(r.capped.toSeq == Seq("qb"))
+    assert(r.samples("qb") == List(60.0),
+      "a cancelled sample reports the cap value, not a bogus duration")
+    assert(r.billed("qb") == 60.0, "the cancellation must bound the spend")
+    // total wall: qb billed 60 once + qa/qc 3 passes each
+    assert(r.now == 60.0 + 6.0)
+  }
+
+  test("runWithCap cancels an in-flight run at the cap and reports the " +
+      "billed wall time") {
+    // the spy-cancellable 'session': run blocks until cancel() releases
+    // it — exactly the shape of a Spark job group cancellation
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    var cancelCalls = 0
+    val s = Bench.runWithCap("spy", capSec = 0.2,
+      cancel = () => { cancelCalls += 1; latch.countDown() },
+      run = () => {
+        if (!latch.await(30, java.util.concurrent.TimeUnit.SECONDS))
+          fail("the watchdog never fired")
+        throw new RuntimeException("job cancelled") // like a real cancel
+      })
+    assert(cancelCalls == 1)
+    assert(s.cancelled)
+    assert(s.sec == 0.2, "a cancelled sample reports the cap value")
+    assert(s.billedSec >= 0.2 && s.billedSec < 10.0,
+      s"billed must be the real (bounded) wall time, got ${s.billedSec}")
+  }
+
+  test("runWithCap leaves a fast run alone: no cancel, real duration") {
+    var cancelCalls = 0
+    val s = Bench.runWithCap("fast", capSec = 30.0,
+      cancel = () => cancelCalls += 1,
+      run = () => Thread.sleep(20))
+    assert(cancelCalls == 0 && !s.cancelled)
+    assert(s.sec >= 0.02 && s.sec == s.billedSec)
+  }
+
+  test("demotion planning: nothing demoted at the committed calibration, " +
+      "heavy inline twins demoted on a slow machine, stored twins stay") {
+    // r17 verdict item 1b — the committed artifacts must be unchanged
+    // on a fast machine
+    val names = Bench.headline.toSeq.sorted
+    assert(Bench.planDemotions(names, runs = 3, budgetSec = 600.0,
+      calibrationSec = Bench.refCalibrationSec, queryCapSec = 60.0).isEmpty)
+    // a 4x-slower VM (r16's driver band): the estimate cannot fit 3
+    // passes, the inline composites demote in the declared order
+    val slow = Bench.planDemotions(names, runs = 3, budgetSec = 600.0,
+      calibrationSec = Bench.refCalibrationSec * 4, queryCapSec = 60.0)
+    assert(slow.nonEmpty)
+    assert(slow == Bench.demotable.take(slow.size),
+      s"demotions must follow the declared deterministic order, got $slow")
+    // every demoted inline form's stored twin must NOT be demotable
+    val storedTwins = Seq("q117_incremental_merge_stored",
+      "q119_curation_stored", "q120_semantic_dedup_stored",
+      "q91_incremental_dedup_stored")
+    assert(storedTwins.forall(t => !Bench.demotable.contains(t)))
+  }
+
+  test("a simulated slow run with demotions applied finishes under budget") {
+    // the whole point of item 1b: after demotion, 3 passes of the
+    // remaining set at 4x-scaled historical medians fit 600 s cleanly
+    val scale = 4.0
+    val all = Bench.headline.toSeq.sorted
+    val demoted = Bench.planDemotions(all, runs = 3, budgetSec = 600.0,
+      calibrationSec = Bench.refCalibrationSec * scale, queryCapSec = 60.0)
+    val active = all.filterNot(demoted.contains)
+    val durations = active.map(n =>
+      n -> Bench.headlineHist(n).medianSec * scale).toMap
+    val r = new FakeRun(durations)
+    val out = r.run(active, runs = 3, budgetSec = 600.0, queryCapSec = 60.0)
+    assert(!out.budgetExceeded && out.passes == 3,
+      s"demoted slow run must finish clean, wall=${r.now}")
+    assert(active.forall(n => r.samples(n).size == 3))
   }
 
   test("budget crossed during pass 1 skips pass 2 entirely " +
@@ -137,6 +232,23 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"calibration\":{\"cpu_sec\":0.4,\"scan_sec\":0.6}"),
       json)
     assert(json.contains("\"queries\":{\"qa\":1.5,\"qb\":2.0}"), json)
+    assert(json.contains("\"billed_sec\":{}") &&
+      json.contains("\"demoted\":[]"), json)
+  }
+
+  test("the artifact JSON carries billed_sec for capped queries and the demoted list") {
+    // r17 verdict item 5: a reader must see from the artifact alone
+    // that the cancellation bounded the capped query's spend
+    val json = Bench.renderArtifactJson(
+      results = Seq(("qa", 1.0, 1.5, 9.0, 3), ("qb", 60.0, 60.0, 60.0, 1)),
+      calCpuSec = 0.4, calScanSec = 0.6, sfDir = "/tmp/sf", mode = "headline",
+      nQueries = 2, passes = 3, passStartedAt = Seq("t1"),
+      budgetSec = 600.0, budgetExceeded = false, partialPass = false,
+      queryCapSec = 60.0, capped = Seq("qb"),
+      billed = Map("qb" -> 61.3), demoted = Seq("q65_incremental_merge"))
+    assert(json.contains("\"billed_sec\":{\"qb\":61.3}"), json)
+    assert(json.contains("\"capped\":[\"qb\"]"), json)
+    assert(json.contains("\"demoted\":[\"q65_incremental_merge\"]"), json)
   }
 
   test("the CPU calibration probe measures fixed work and returns wall seconds") {
