@@ -14,6 +14,7 @@ import graft.storage.DurableStores
   *   sbt "runMain graft.StoreAdmin build   <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin refresh <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin compact <dataDir> [acceptStore ...]"
+  *   sbt "runMain graft.StoreAdmin migrate <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin drop    <dataDir> [store ...]"
   *   sbt "runMain graft.StoreAdmin list    <dataDir>"
   *
@@ -67,6 +68,14 @@ import graft.storage.DurableStores
   * root the gates share, refresh it before running Verify on it
   * (the gate roots in tools/durchain.sh are isolated for exactly
   * this reason).
+  * `migrate` (round 18, r17 verdict item 6) is the NON-destructive
+  * sibling of the escape hatch the fold-guard veto names: it opens
+  * each requested family with the CURRENT code — running any
+  * registered in-place migration (a params-only upgrade re-stamps the
+  * manifest; folds and files untouched) — and reports exactly what
+  * changed, per store, old params → new. A store already current
+  * reports that; a store whose params bump touches a LAYOUT key still
+  * hits the veto (by design — migrate cannot re-derive content).
   * `drop` removes catalog entries, files, and manifest. Root
   * selection: `spark.graft.store.root` conf, `GRAFT_STORE_ROOT` env,
   * else `<warehouse>/graft_stores`.
@@ -109,9 +118,30 @@ object StoreAdmin {
         (() => { graft.queries.CorpusOps.landmarkStore(s, d); () }),
       "sparse" -> (() => { graft.queries.CorpusOps.sparseStatsStore(s, d); () }))
 
+  /** The `migrate` verb's body, extracted so DurableStoreSpec can
+    * drive it against a spec-local store family: open each target with
+    * the current code (running any registered in-place migration) and
+    * render one report line per outcome — "migrated in place" with the
+    * params transition, or "already current". Drains the migration log
+    * around each build so a report line can never attribute another
+    * family's migration. */
+  private[graft] def runMigrate(targets: Seq[(String, () => Unit)],
+      dataDir: String): Seq[String] = {
+    DurableStores.drainMigrationLog() // discard unrelated earlier entries
+    targets.flatMap { case (st, build) =>
+      graft.engine.CacheRegistry.withRetained(build())
+      val ran = DurableStores.drainMigrationLog()
+      if (ran.isEmpty)
+        Seq(s"[store-admin] already current (no migration ran): $st ($dataDir)")
+      else ran.map { case (name, oldP, newP) =>
+        s"[store-admin] migrated in place: $name ('$oldP' -> '$newP') ($dataDir)"
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: StoreAdmin build|refresh|compact|drop|list <dataDir> [store ...]")
+      "usage: StoreAdmin build|refresh|compact|migrate|drop|list <dataDir> [store ...]")
     val (cmd, dataDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.configure(
@@ -176,6 +206,8 @@ object StoreAdmin {
             else
               s"[store-admin] nothing committed to fold: $st ($dataDir)")
           }
+      case "migrate" =>
+        runMigrate(targets, dataDir).foreach(println)
       case "drop" =>
         targets.foreach { case (st, _) =>
           DurableStores.drop(spark, dataDir, st)
@@ -187,7 +219,8 @@ object StoreAdmin {
           DurableStores.fingerprint(spark, dataDir))
         known.foreach(st => println(s"[store-admin] family: $st"))
       case other =>
-        sys.error(s"unknown command '$other' (build|refresh|compact|drop|list)")
+        sys.error(s"unknown command '$other' " +
+          "(build|refresh|compact|migrate|drop|list)")
     }
     spark.stop()
   }

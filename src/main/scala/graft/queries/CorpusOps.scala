@@ -358,7 +358,11 @@ object CorpusOps {
     import graft.storage.{DurableStores, Storage}
     val lmT = Storage.tableNameFor("graft_kcenter_landmarks", d)
     DurableStores.openOrBuild(s, d, "kcenter_landmarks", Seq(lmT),
-        params = "k=16") { st =>
+        params = "k=16",
+        // non-fold family, but the same in-place upgrade template (r17
+        // verdict item 2): a non-layout params bump re-stamps instead
+        // of rebuilding a corpus-sized landmark sweep
+        migrate = DurableStores.reStampMigration("k=16", Set("k"))) { st =>
       graft.engine.CacheRegistry.withRetained {
         st.appendTable(lmT, graft.operators.Coreset.landmarksWithRadius(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -465,7 +469,9 @@ object CorpusOps {
     val statsT = Storage.tableNameFor("graft_sparse_stats", d)
     val compT = Storage.tableNameFor("graft_sparse_components", d)
     DurableStores.openOrBuild(s, d, "sparse", Seq(statsT, compT),
-        params = "topM=16,buckets=16") { st =>
+        params = "topM=16,buckets=16",
+        migrate = DurableStores.reStampMigration("topM=16,buckets=16",
+          Set("topM", "buckets"))) { st =>
       graft.engine.CacheRegistry.withRetained {
         val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
         val stats = graft.engine.CacheRegistry.retain(

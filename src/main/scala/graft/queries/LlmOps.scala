@@ -384,7 +384,10 @@ object LlmOps {
     // are the corpus-sized frame, so this is the join whose Exchange
     // matters. The layout param invalidates pre-bucketed stores.
     DurableStores.openOrBuild(s, d, "clusters", Seq(tbl),
-        params = clusterParams, foldGuards = Seq("cluster_accept")) { st =>
+        params = clusterParams,
+        migrate = DurableStores.reStampMigration(clusterParams,
+          clusterLayoutKeys),
+        foldGuards = Seq("cluster_accept")) { st =>
       graft.engine.CacheRegistry.withRetained {
         val (sh, bands, chunks) = sketchStore(s, d)
         st.appendBucketed(tbl, Dedup.connectedComponents(
@@ -408,7 +411,9 @@ object LlmOps {
     import graft.storage.{DurableStores, Storage}
     val tbl = Storage.tableNameFor("graft_clusacc_labels", d)
     DurableStores.openOrBuild(s, d, "cluster_accept", Seq(tbl),
-        params = clusterAcceptParams) { st =>
+        params = clusterAcceptParams,
+        migrate = DurableStores.reStampMigration(clusterAcceptParams,
+          clusterLayoutKeys)) { st =>
       st.appendPartitioned(tbl,
         clusterStore(s, d).limit(0).withColumn("batch_id", lit("")),
         Seq("batch_id"))
@@ -668,6 +673,19 @@ object LlmOps {
   private val clusterParams = "threshold=0.8,k=32,bands=4,chunks=8,layout=bucketed16"
   private val clusterAcceptParams = "threshold=0.8,k=32,bands=4,chunks=8"
 
+  // LAYOUT keys per fold family (round 18, r17 verdict item 2): the
+  // params keys that determine the at-rest bytes. Every openOrBuild
+  // below registers DurableStores.reStampMigration over them, so a
+  // future params bump that only adds a NON-layout key (the
+  // "bounds=prop" shape of the r16 asof bump) upgrades stores in place
+  // — builder never runs, folds kept — instead of wedging deployments
+  // behind the fold-guard veto. Anyone adding a param that changes
+  // built content MUST add its key to the family's set here.
+  private val sketchLayoutKeys = Set("k", "bands", "chunks", "buckets")
+  private val cosineLayoutKeys = Set("cells")
+  private val clusterLayoutKeys =
+    Set("threshold", "k", "bands", "chunks", "layout")
+
   private[graft] def sketchStore(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.storage.{DurableStores, Storage}
@@ -675,7 +693,10 @@ object LlmOps {
     val bandT = Storage.tableNameFor("graft_sketch_bands", d)
     val chunkT = Storage.tableNameFor("graft_sketch_chunks", d)
     DurableStores.openOrBuild(s, d, "sketch", Seq(shT, bandT, chunkT),
-        params = sketchParams, foldGuards = Seq("sketch_accept")) { st =>
+        params = sketchParams,
+        migrate = DurableStores.reStampMigration(sketchParams,
+          sketchLayoutKeys),
+        foldGuards = Seq("sketch_accept")) { st =>
       graft.engine.CacheRegistry.withRetained {
         val sk = graft.engine.CacheRegistry.retain(Dedup.corpusSketch(
           t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
@@ -720,7 +741,10 @@ object LlmOps {
     val centT = Storage.tableNameFor("graft_cosidx_cents", d)
     val memT = Storage.tableNameFor("graft_cosidx_members", d)
     DurableStores.openOrBuild(s, d, "cosine_index", Seq(centT, memT),
-        params = cosineParams, foldGuards = Seq("cosine_accept")) { st =>
+        params = cosineParams,
+        migrate = DurableStores.reStampMigration(cosineParams,
+          cosineLayoutKeys),
+        foldGuards = Seq("cosine_accept")) { st =>
       graft.engine.CacheRegistry.withRetained {
         val idx = EmbeddingDedup.buildCosineIndex(
           t(s, d, "embeddings").filter(col("vec_id") % 10 =!= 0),
@@ -764,7 +788,9 @@ object LlmOps {
       // same params as the base sketch store: if the base layout
       // constants change and it rebuilds, deltas accepted under the
       // old constants must not survive into the new store's probes
-      Seq(shT, bandT, chunkT), params = sketchAcceptParams) { st =>
+      Seq(shT, bandT, chunkT), params = sketchAcceptParams,
+      migrate = DurableStores.reStampMigration(sketchAcceptParams,
+        sketchLayoutKeys)) { st =>
       val empty = Dedup.corpusSketch(
         t(s, d, "documents").limit(0), "doc_id", "text")
       st.appendPartitioned(shT,
@@ -963,7 +989,9 @@ object LlmOps {
     // cells param mirrors the base cosine store: deltas are assigned
     // under its centroids and must die with them
     DurableStores.openOrBuild(s, d, "cosine_accept", Seq(memT),
-        params = cosineParams) { st =>
+        params = cosineParams,
+        migrate = DurableStores.reStampMigration(cosineParams,
+          cosineLayoutKeys)) { st =>
       val (cents, _) = cosineStore(s, d)
       st.appendPartitioned(memT,
         EmbeddingDedup.assignToCells(cents,

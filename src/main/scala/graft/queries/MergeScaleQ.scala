@@ -104,6 +104,18 @@ object MergeScaleQ {
     * plus an md5 of the exact path — so two distinct dirs can never
     * share a table (a bare hashCode key would silently serve one dir's
     * store for another on collision, e.g. "Aa"/"BB"). */
+  /** LAYOUT keys of the merge family's build params (round 18, r17
+    * verdict item 2) — every key currently declared determines the
+    * at-rest bytes (the merge cutoff and bucket count shape the base;
+    * `gate` scopes the accept log's id domain), so today every bump of
+    * one of these rebuilds. The reStampMigration registered below
+    * exists for the NEXT kind of bump: a new non-layout key (the
+    * "bounds=prop" shape of the r16 asof upgrade) re-stamps stores in
+    * place — folds kept — instead of wedging deployments behind the
+    * fold-guard veto. Anyone adding a param that changes built content
+    * MUST add its key here. */
+  private val mergeLayoutKeys = Set("cutoff", "buckets", "gate")
+
   private[graft] def bucketedTableName(d: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -116,7 +128,9 @@ object MergeScaleQ {
     val tbl = bucketedTableName(d)
     val keys = Seq("website_id", "site_submission_id")
     DurableStores.openOrBuild(s, d, "nested_bucketed", Seq(tbl),
-        params = "buckets=32") { st =>
+        params = "buckets=32",
+        migrate = DurableStores.reStampMigration("buckets=32",
+          mergeLayoutKeys)) { st =>
       st.appendBucketed(tbl, nestedAtScale(s, d), keys, numBuckets = 32)
       Seq(DurableStores.TableMeta.bucketed(s, tbl, keys, 32))
     }
@@ -139,6 +153,8 @@ object MergeScaleQ {
     val keys = Seq("website_id", "site_submission_id")
     DurableStores.openOrBuild(s, d, "merged_base", Seq(tbl),
         params = s"cutoff=$cutoff,buckets=32",
+        migrate = DurableStores.reStampMigration(
+          s"cutoff=$cutoff,buckets=32", mergeLayoutKeys),
         foldGuards = Seq("merge_log")) { st =>
       st.appendBucketed(tbl,
         Merge.mergeSubmissions(bucketedNested(s, d)
@@ -232,13 +248,19 @@ object MergeScaleQ {
     // snapshot ids overlap the mball batch, and the cross-batch id
     // guard (correctly) refuses the overlap rather than double-merge
     DurableStores.openOrBuild(s, d, "merge_log", Seq(snapsT),
-        params = s"cutoff=$incrementalCutoff,buckets=32,gate=mball") { st =>
+        params = s"cutoff=$incrementalCutoff,buckets=32,gate=mball",
+        migrate = DurableStores.reStampMigration(
+          s"cutoff=$incrementalCutoff,buckets=32,gate=mball",
+          mergeLayoutKeys)) { st =>
       st.appendPartitioned(snapsT,
         empty.withColumn("batch_id", lit("")), Seq("batch_id"))
       Seq(DurableStores.TableMeta.partitioned(s, snapsT, Seq("batch_id")))
     }
     DurableStores.openOrBuild(s, d, "merge_accept", Seq(mergedT),
-        params = s"cutoff=$incrementalCutoff,buckets=32,gate=mball") { st =>
+        params = s"cutoff=$incrementalCutoff,buckets=32,gate=mball",
+        migrate = DurableStores.reStampMigration(
+          s"cutoff=$incrementalCutoff,buckets=32,gate=mball",
+          mergeLayoutKeys)) { st =>
       st.appendPartitioned(mergedT,
         Merge.mergeSubmissions(empty).withColumn("batch_id", lit("")),
         Seq("batch_id"))

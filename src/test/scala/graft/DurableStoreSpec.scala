@@ -421,6 +421,124 @@ class DurableStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("every fold family upgrades a params-only bump in place via its registered reStampMigration") {
+    // VERDICT r17 item 2: only the asof family had a migration path —
+    // for sketch/cosine/cluster/merge the next params bump wedged
+    // deployments behind the fold-guard veto until a manual (lossy)
+    // drop. Each family now registers reStampMigration over its LAYOUT
+    // keys: a bump that only adds a non-layout key (the r16 asof
+    // "bounds=prop" shape, simulated here by rewinding the manifest to
+    // a legacy params string) upgrades in place — the builder never
+    // runs, at-rest files untouched, the folded ledger (and therefore
+    // the folds' replay-no-op contract) survives.
+    val allStores = Seq("sketch", "sketch_accept", "clusters",
+      "cluster_accept", "cosine_index", "cosine_accept", "merged_base",
+      "merge_log", "merge_accept", "nested_bucketed")
+    withScratch(allStores) { (root, data) =>
+      val s = spark
+      val families: Seq[(String, String, () => Unit)] = Seq(
+        ("sketch", "sketch_accept",
+          () => { graft.queries.LlmOps.sketchStore(s, data); () }),
+        ("cosine_index", "cosine_accept",
+          () => { graft.queries.LlmOps.cosineStore(s, data); () }),
+        ("clusters", "cluster_accept",
+          () => { graft.queries.LlmOps.clusterStore(s, data); () }),
+        ("merged_base", "merge_log",
+          () => { graft.queries.MergeScaleQ.mergedBaseStore(s, data,
+            graft.queries.MergeScaleQ.incrementalCutoff); () }))
+      families.foreach { case (store, guard, build) =>
+        graft.engine.CacheRegistry.withRetained(build())
+        graft.engine.CacheRegistry.releaseAll()
+        // a compact folded a batch whose rows now live ONLY in this
+        // base — the exact state the fold guard protects (a rebuild
+        // would veto; only an in-place migration may proceed)
+        DurableStores.retireFoldedBatches(s, data, guard,
+          Set(s"mig_$store"))
+        val Some((params, tables)) =
+          DurableStores.manifestSummaryForTest(s, data, store)
+        DurableStores.reStampManifestParamsForTest(s, data, store,
+          params + ",legacy=1")
+        val dataFiles = storeMtimes(root).filter(!_._1.contains("/_meta/"))
+        coldCatalog(tables: _*)
+        DurableStores.drainMigrationLog()
+        graft.engine.CacheRegistry.withRetained(build())
+        graft.engine.CacheRegistry.releaseAll()
+        val ran = DurableStores.drainMigrationLog()
+        assert(ran.map(_._1) === Seq(store),
+          s"$store: exactly one migration must run, got $ran")
+        assert(ran.head._2 === params + ",legacy=1" &&
+          ran.head._3 === params, s"$store: $ran")
+        assert(storeMtimes(root).filter(!_._1.contains("/_meta/"))
+          === dataFiles,
+          s"$store: migration must not rewrite any at-rest file")
+        assert(DurableStores.manifestSummaryForTest(s, data, store)
+          .exists(_._1 === params),
+          s"$store: the manifest must be re-stamped under current params")
+        assert(DurableStores.foldedBatches(s, data, guard)
+          .contains(s"mig_$store"),
+          s"$store: the folded ledger must survive the upgrade")
+        assert(s.table(tables.head).count() > 0,
+          s"$store: the migrated store must still serve")
+      }
+      // a LAYOUT-key bump must still fall through to the rebuild
+      // contract — which the fold guard vetoes while folds exist, with
+      // the veto message naming the non-destructive exit (r17 item 6)
+      val Some((skParams, skTables)) =
+        DurableStores.manifestSummaryForTest(s, data, "sketch")
+      DurableStores.reStampManifestParamsForTest(s, data, "sketch",
+        skParams.replace("k=32", "k=31"))
+      coldCatalog(skTables: _*)
+      val ex = intercept[RuntimeException] {
+        graft.queries.LlmOps.sketchStore(s, data)
+      }
+      assert(ex.getMessage.contains("refusing to rebuild") &&
+        ex.getMessage.contains("StoreAdmin migrate"), ex.getMessage)
+      graft.engine.CacheRegistry.releaseAll()
+    }
+  }
+
+  test("StoreAdmin migrate applies the registered migration explicitly and reports the transition") {
+    // VERDICT r17 item 6: operators hitting the fold-guard veto had
+    // only `drop` (lossy) — `migrate` opens the family with the
+    // current code, runs any registered in-place migration, and
+    // reports exactly what changed (or that nothing needed to).
+    withScratch(Seq("spec_admin_mig")) { (root, data) =>
+      val s = spark
+      import s.implicits._
+      val tbl = Storage.tableNameFor("graft_spec_admin_mig", data)
+      var built = 0
+      def open(): Unit =
+        DurableStores.openOrBuild(s, data, "spec_admin_mig", Seq(tbl),
+          params = "v=2,buckets=4",
+          migrate = DurableStores.reStampMigration("v=2,buckets=4",
+            Set("buckets"))) { st =>
+          built += 1
+          st.appendTable(tbl, Seq(1L, 2L).toDF("x"))
+          Seq(DurableStores.TableMeta.plain(s, tbl))
+        }
+      val targets = Seq("spec_admin_mig" -> (() => open()))
+      // a fresh family builds; nothing to migrate, and the report says so
+      val r1 = StoreAdmin.runMigrate(targets, data)
+      assert(r1.exists(_.contains("already current")) && built === 1,
+        r1.toString)
+      // rewind the manifest to a legacy params form (old code had no
+      // `v` key — the next code version added a non-layout param)
+      DurableStores.reStampManifestParamsForTest(s, data,
+        "spec_admin_mig", "buckets=4")
+      coldCatalog(tbl)
+      val r2 = StoreAdmin.runMigrate(targets, data)
+      assert(r2.exists(l => l.contains("migrated in place") &&
+        l.contains("spec_admin_mig") &&
+        l.contains("'buckets=4' -> 'v=2,buckets=4'")), r2.toString)
+      assert(built === 1, "migrate must never rebuild")
+      assert(s.table(tbl).count() === 2)
+      // idempotent: a second migrate pass reports already-current
+      val r3 = StoreAdmin.runMigrate(targets, data)
+      assert(r3.exists(_.contains("already current")) && built === 1,
+        r3.toString)
+    }
+  }
+
   test("a pre-r16 asof_dim store upgrades in place: folds kept, bounds re-derived and recorded") {
     // the concrete store the ADVICE finding named: r15 manifests carry
     // the bare layout params; reopening with r16+ code must migrate —
