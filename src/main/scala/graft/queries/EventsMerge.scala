@@ -825,11 +825,13 @@ object EventsMerge {
     * hot-key spread for this exact shape) and the answers must still
     * hash-match q73's DuckDB oracle. Until now the conf-routed SQL path
     * had only in-JVM spec proof; q135 forces the explicit 'split:8'
-    * path instead. The conf is set only while the plan is ANALYZED
+    * path instead. The conf only matters while the plan is ANALYZED
     * (the lowering reads it during analysis; execution never re-reads
-    * it), and restored in a finally so no other gate inherits it. */
+    * it) and rides the gate's conf SIGNATURE into an isolated clone —
+    * see [[inIsolatedSession]] — so no other gate or caller can ever
+    * observe it. */
   private val q137AsofJoinSqlSkewConf: Q = (s, d) =>
-    inIsolatedSession(s) { s2 =>
+    inIsolatedSession(s, skewGateConfs) { s2 =>
       import s2.implicits._
       val ev = eventsTsMicros(s2, d)
       ev.filter($"event_type" === "click")
@@ -838,7 +840,6 @@ object EventsMerge {
       ev.filter($"event_type" === "purchase")
         .select($"user_id", $"event_id", $"ts", $"value")
         .createOrReplaceTempView("graft_asof_purchases")
-      s2.conf.set("spark.graft.asof.skewSplits", "8")
       s2.sql(
         """SELECT user_id, event_id AS click_id,
           |  asof.event_id AS purchase_id, asof.value AS purchase_value
@@ -858,39 +859,68 @@ object EventsMerge {
     * store root, lease backend) are copied across; the returned
     * DataFrame stays bound to the clone, which shares the context and
     * outlives the call. */
-  /** One clone per PARENT session, cached (weakly, so a stopped
-    * parent's clone can be collected): every `newSession()` builds a
-    * full SessionState and registers a listener bus on the shared
-    * context — per-call clones would accumulate across a bench sweep
-    * and bill that construction to the measured gate. The cache is
-    * safe because every conf-routed gate sets the SAME knob value
-    * (skewSplits=8) and owns distinct temp-view names; a future gate
-    * needing a DIFFERENT conf value must take its own clone. */
-  private val isolatedSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]
+  /** One clone per (PARENT session, gate-conf signature), cached
+    * (weakly by parent, so a stopped parent's clones can be
+    * collected): every `newSession()` builds a full SessionState and
+    * registers a listener bus on the shared context — per-call clones
+    * would accumulate across a bench sweep and bill that construction
+    * to the measured gate. Keying by the gate's conf values (round 18,
+    * r17 verdict item 3) makes the old comment-level contract ("every
+    * conf-routed gate sets the SAME knob value") self-enforcing: a
+    * future gate requesting a DIFFERENT value gets its own clone
+    * instead of silently racing the shared one. */
+  private final case class IsolatedClone(session: SparkSession,
+      lock: Object)
+  private val isolatedSessions = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[Seq[(String, String)], IsolatedClone]]
 
-  private def inIsolatedSession[A](s: SparkSession)(
+  /** Run `body` against a clone of `s` carrying `gateConfs` (the
+    * gate's own `spark.graft.*` knobs — applied here, not inside
+    * `body`, so the cache can key on them). The per-clone lock is held
+    * ACROSS the conf re-sync AND `body` (ADVICE r17): two concurrent
+    * gates sharing one clone can no longer interleave a re-sync's
+    * unset into each other's analysis — the conf-routed plan shape
+    * this machinery exists to preserve. `body` only ANALYZES (temp
+    * views + sql, no actions), so the lock is held for microseconds,
+    * and the gate confs it pins stay set on the clone afterwards for
+    * the returned DataFrame's lazy execution. Same-signature gates
+    * share a clone and serialize; different signatures never contend. */
+  private[graft] def inIsolatedSession[A](s: SparkSession,
+      gateConfs: Seq[(String, String)] = Nil)(
       body: SparkSession => A): A = {
-    val s2 = isolatedSessions.synchronized {
-      var c = isolatedSessions.get(s)
-      if (c == null) {
-        c = s.newSession()
-        graft.GraftSession.requireSqlSurface(c)
-        isolatedSessions.put(s, c)
+    val key = gateConfs.sortBy(_._1)
+    val clone = isolatedSessions.synchronized {
+      var perParent = isolatedSessions.get(s)
+      if (perParent == null) {
+        perParent = scala.collection.mutable.Map.empty
+        isolatedSessions.put(s, perParent)
       }
-      c
+      perParent.getOrElseUpdate(key, {
+        val c = s.newSession()
+        graft.GraftSession.requireSqlSurface(c)
+        IsolatedClone(c, new Object)
+      })
     }
-    // re-sync the caller's deployment confs each use (store root,
-    // lease knobs may have changed — or been UNSET — between gate
-    // invocations; the gate's own knob is set inside `body` after
-    // this sync, so clearing stale graft keys first is safe)
-    val parentGraft = s.conf.getAll.filter(_._1.startsWith("spark.graft."))
-    s2.conf.getAll.keysIterator
-      .filter(k => k.startsWith("spark.graft.") && !parentGraft.contains(k))
-      .toSeq.foreach(s2.conf.unset)
-    parentGraft.foreach { case (k, v) => s2.conf.set(k, v) }
-    body(s2)
+    clone.lock.synchronized {
+      val s2 = clone.session
+      // re-sync the caller's deployment confs each use (store root,
+      // lease knobs may have changed — or been UNSET — between gate
+      // invocations); the gate's own confs are re-applied after the
+      // sync, so clearing stale graft keys first is safe
+      val parentGraft = s.conf.getAll.filter(_._1.startsWith("spark.graft."))
+      s2.conf.getAll.keysIterator
+        .filter(k => k.startsWith("spark.graft.") && !parentGraft.contains(k))
+        .toSeq.foreach(s2.conf.unset)
+      parentGraft.foreach { case (k, v) => s2.conf.set(k, v) }
+      gateConfs.foreach { case (k, v) => s2.conf.set(k, v) }
+      body(s2)
+    }
   }
+
+  /** The conf signature every skew-routed SQL gate analyzes under. */
+  private val skewGateConfs =
+    Seq("spark.graft.asof.skewSplits" -> "8")
 
   /** The conf-routed split over the STORED dimension (round 16): with
     * only `skewSplits` set — no explicit path bounds — the lowering
@@ -901,13 +931,12 @@ object EventsMerge {
     * keeps the subquery path: its views read raw parquet, no catalog
     * table, no property. Same oracle as the rest of the family. */
   private val q138AsofJoinSqlSplitStored: Q = (s, d) =>
-    inIsolatedSession(s) { s2 =>
+    inIsolatedSession(s, skewGateConfs) { s2 =>
       import s2.implicits._
       eventsTsMicros(s2, d).filter($"event_type" === "click")
         .select($"user_id", $"event_id", $"ts")
         .createOrReplaceTempView("graft_asof_clicks_ss")
       asofDimStore(s2, d).createOrReplaceTempView("graft_asof_dim_ss")
-      s2.conf.set("spark.graft.asof.skewSplits", "8")
       s2.sql(
         """SELECT user_id, event_id AS click_id,
           |  asof.event_id AS purchase_id, asof.value AS purchase_value
@@ -931,7 +960,7 @@ object EventsMerge {
   private val q139AsofJoinSqlEffective: Q = (s, d) => {
     // the same idempotent sentinel accepts as q129 (replays no-op)
     acceptSentinelBatches(s, d)
-    inIsolatedSession(s) { s2 =>
+    inIsolatedSession(s, skewGateConfs) { s2 =>
       import s2.implicits._
       val ev = eventsTsMicros(s2, d)
       val clicks = ev.filter($"event_type" === "click")
@@ -954,7 +983,6 @@ object EventsMerge {
            |SELECT user_id, event_id, ts, value FROM `$accT`
            |WHERE batch_id IN ('a1', 'a2')""".stripMargin)
         .createOrReplaceTempView("graft_asof_dim_eff")
-      s2.conf.set("spark.graft.asof.skewSplits", "8")
       s2.sql(
         """SELECT user_id, event_id AS click_id,
           |  asof.event_id AS purchase_id, asof.value AS purchase_value

