@@ -160,15 +160,27 @@ private[storage] final class FsLeaseBackend(
   * until an operator deleted the lease by hand. [[observe]] throws
   * with the missing header's name; [[renew]] reports the tick Failed.
   *
-  * Renewals retry ONCE in-tick before reporting Failed: each Failed
-  * tick counts toward the 3-consecutive-failure fence arm, so without
-  * the retry a ~3×(staleMs/3) transient network blip could fence a
-  * healthy writer's publish. A sustained outage still fails both
-  * attempts of three consecutive ticks and fences exactly as before
-  * (StoreSpec pins both directions). Foreign outcomes are never
-  * retried — a foreign token is definitive, not transient. */
+  * Renewals retry with SHORT BOUNDED BACKOFF + JITTER inside a
+  * per-tick budget before reporting Failed (round 18, r17 verdict
+  * item 4 — the r17 single immediate retry still let a correlated
+  * 2–3-call outage shorter than the stale horizon fence a healthy
+  * holder): each Failed tick counts toward the 3-consecutive-failure
+  * fence arm, so an endpoint dropping a few consecutive calls per
+  * tick must never produce a Failed tick, while a sustained outage
+  * exhausts the budget and fails the tick exactly as before (StoreSpec
+  * pins both directions). The retry budget derives from the REMAINING
+  * tick allowance against the OBSERVED attempt cost (ADVICE r17's
+  * floor-dominated regime): a hung endpoint whose first attempt burned
+  * its scaled timeouts gets NO retry — the tick can never outgrow its
+  * staleMs/3 period and queue other leases' renewals on the shared
+  * heartbeat pool — while a fast-failing endpoint (503s, connection
+  * refused) retries several times within the budget. Jitter
+  * decorrelates many leases' retries against one endpoint blip.
+  * Foreign outcomes are never retried — a foreign token is
+  * definitive, not transient. */
 private[graft] final class HttpLeaseBackend(base: String, key: String,
-    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000)
+    connectTimeoutMs: Int = 5000, readTimeoutMs: Int = 10000,
+    renewRetryBudgetMs: Long = 2000L)
     extends LeaseBackend {
   private val url = new java.net.URL(base.stripSuffix("/") + "/" +
     java.net.URLEncoder.encode(key, "UTF-8"))
@@ -238,14 +250,30 @@ private[graft] final class HttpLeaseBackend(base: String, key: String,
     } catch { case _: java.io.IOException => None }
 
   def renew(token: String): RenewOutcome = {
-    val first = renewOnce(token)
-    first match {
-      // one immediate in-tick retry before the tick counts toward the
-      // fence arm — transient-blip tolerance without weakening the
-      // sustained-outage fence (class doc)
-      case RenewOutcome.Failed(_) => renewOnce(token)
-      case definitive => definitive
+    val deadlineNs = System.nanoTime() + renewRetryBudgetMs * 1000000L
+    var delayMs = 50L
+    var t0 = System.nanoTime()
+    var out = renewOnce(token)
+    // conservative running bound on one attempt's cost: the max seen
+    // this tick — a hung endpoint's timeout-bounded attempt makes the
+    // fit check below refuse further retries (floor-dominated regime)
+    var attemptMs = math.max(1L, (System.nanoTime() - t0) / 1000000L)
+    def retryFits: Boolean = {
+      val remainMs = (deadlineNs - System.nanoTime()) / 1000000L
+      // the next attempt is budgeted at twice the worst observed cost
+      // plus the backoff sleep — only retry when it provably fits
+      remainMs > delayMs + 2 * attemptMs + 20L
     }
+    while (out.isInstanceOf[RenewOutcome.Failed] && retryFits) {
+      val jitter = java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(delayMs / 2 + 1)
+      Thread.sleep(delayMs + jitter)
+      delayMs = math.min(delayMs * 2, 400L)
+      t0 = System.nanoTime()
+      out = renewOnce(token)
+      attemptMs = math.max(attemptMs, (System.nanoTime() - t0) / 1000000L)
+    }
+    out
   }
 
   private def renewOnce(token: String): RenewOutcome =

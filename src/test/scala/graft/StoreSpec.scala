@@ -849,31 +849,55 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
-  test("http lease renewals retry once in-tick: a flaky endpoint never fences, a sustained outage still does") {
-    // VERDICT r16 item 3: each Failed tick counts toward the
-    // 3-consecutive-failure fence arm, so a server dropping every
-    // first connection must NOT produce Failed ticks (the in-tick
-    // retry absorbs it), while a sustained outage must keep failing —
-    // and a foreign token must stay definitive (never retried into a
-    // false Renewed).
+  test("http lease renewals retry with backoff in-tick: multi-call blips never fence, a sustained outage still does") {
+    // VERDICT r17 item 4: the r16 single immediate retry absorbed one
+    // dropped call; a correlated TWO-call blip per tick still produced
+    // Failed ticks and could fence a healthy holder. With bounded
+    // backoff+jitter inside the tick budget, an endpoint dropping two
+    // consecutive calls per tick must never produce a Failed tick,
+    // while a sustained outage exhausts the budget and keeps failing —
+    // and a foreign token stays definitive (never retried into a false
+    // Renewed).
     import graft.storage.{HttpLeaseBackend, RenewOutcome}
     val srv = new CasLeaseServer
     try {
       val be = new HttpLeaseBackend(srv.url, "retry_spec",
-        connectTimeoutMs = 500, readTimeoutMs = 1000)
+        connectTimeoutMs = 500, readTimeoutMs = 1000,
+        renewRetryBudgetMs = 3000)
       assert(be.tryCreate("tok_mine"))
-      // transient: the tick's first GET eats the injected 503; the
+      // transient: the tick's first GET eats the injected 503; a
       // retry completes GET+PUT and the tick reports Renewed
       srv.failNext(1)
       assert(be.renew("tok_mine") == RenewOutcome.Renewed)
-      // sustained outage: both attempts fail, the tick reports Failed
-      // (three such ticks arm the fence exactly as before)
-      srv.failNext(100)
+      // two consecutive dropped calls per tick (the r17 advisor's
+      // correlated-blip case): attempts 1 and 2 each eat a 503,
+      // attempt 3 renews — the tick must still report Renewed
+      srv.failNext(2)
+      assert(be.renew("tok_mine") == RenewOutcome.Renewed)
+      // sustained outage: every attempt fails until the tick budget is
+      // exhausted, the tick reports Failed (three such ticks arm the
+      // fence exactly as before)
+      srv.failNext(1000)
       assert(be.renew("tok_mine").isInstanceOf[RenewOutcome.Failed])
       srv.failNext(0)
       // foreign is definitive: no retry may launder it into Renewed
       srv.force("tok_foreign", System.currentTimeMillis())
       assert(be.renew("tok_mine") == RenewOutcome.Foreign("tok_foreign"))
+      // retries are bounded by the tick budget, never open-ended: a
+      // persistently failing endpoint (here: lease absent, every
+      // attempt a fast 404) returns Failed within budget + one
+      // attempt, so a tick can never outgrow its renewal period and
+      // queue other leases on the shared heartbeat pool (the hung-
+      // endpoint variant is stricter still: the fit check sees the
+      // timeout-bounded attempt cost and refuses any retry at all —
+      // the ADVICE r17 floor-dominated regime)
+      srv.clear() // token absent: every renewOnce fails fast on 404
+      srv.failNext(0)
+      val t0 = System.nanoTime()
+      assert(be.renew("tok_mine").isInstanceOf[RenewOutcome.Failed])
+      val tookMs = (System.nanoTime() - t0) / 1000000L
+      assert(tookMs < 3000 + 1500,
+        s"tick must stay inside budget + one attempt, took $tookMs ms")
     } finally srv.stop()
   }
 
