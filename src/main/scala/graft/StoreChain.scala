@@ -397,8 +397,14 @@ object StoreChain {
           } catch {
             case e: IllegalStateException
                 if e.getMessage.contains("another process") =>
-              val holder = e.getMessage
-                .split("\\(", 2)(1).split(", lease", 2)(0)
+              // anchored regex with a graceful fallback (ADVICE r17):
+              // a drift in the contention message's shape degrades the
+              // JSON field instead of crashing the evidence phase with
+              // an ArrayIndexOutOfBoundsException
+              val holder = """\((.*?), lease """.r
+                .findFirstMatchIn(e.getMessage)
+                .map(_.group(1)).getOrElse("<unparsed>")
+                .replace("\\", "\\\\").replace("\"", "\\\"")
               val age = "age (\\d+)\\s*ms".r
                 .findFirstMatchIn(e.getMessage)
                 .map(_.group(1)).getOrElse("-1")

@@ -106,6 +106,20 @@ done
 # holder's identity and a sub-horizon observed age
 sbt -batch "runMain graft.StoreChain httptry $D" > $OUT/jvm7b.log 2>&1 || true
 grep -h '{"phase"' $OUT/jvm7b.log | tail -1 > $OUT/jvm7b.json
+# the contender must have FAILED against the live, healthy holder — an
+# acquisition here is a mutual-exclusion violation, the very property
+# this evidence exists to prove, and falsifies the run exactly like a
+# missing fence (ADVICE r17: this phase ran under '|| true' with its
+# JSON never asserted). The observed age must also be sub-horizon:
+# the holder was alive and renewing when the contender probed.
+grep -q '"acquired":false' $OUT/jvm7b.json
+python3 - $OUT/jvm7b.json <<'PYEOF'
+import json, sys
+j = json.load(open(sys.argv[1]))
+age = j["observed_lease_age_ms"]
+assert 0 <= age < int(__import__("os").environ["GRAFT_LEASE_STALE_MS"]), \
+    f"live-contention observed age {age} ms is not sub-horizon"
+PYEOF
 # partition the holder from the endpoint: read its token off the
 # lease, then tell the server to 503 that token's PUTs (renewals)
 python3 - <<'PYEOF' > $OUT/jvm7_partition.log 2>&1
