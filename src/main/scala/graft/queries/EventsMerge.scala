@@ -405,7 +405,12 @@ object EventsMerge {
     * companion's layout never depended on the bounds param, so its
     * migration is a pure re-stamp. Unknown old params fall through to
     * the rebuild contract (which the fold guard vetoes while folds
-    * exist). */
+    * exist). NOTE: the min/max aggregate below runs INSIDE
+    * openOrBuild's synchronized block — the DurableStores monitor is
+    * held across a (small, pruned, single-column) Spark job for the
+    * one open that migrates a pre-r16 store; acceptable because it is
+    * a once-per-store upgrade, but anything heavier belongs in a
+    * post-open step, not a migration hook. */
   private def asofDimMigration(s: SparkSession, d: String)
       : graft.storage.DurableStores.Migration = (oldParams, _, tables) =>
     if (oldParams != asofDimLayoutParams) None

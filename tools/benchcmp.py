@@ -35,9 +35,11 @@ def load(path):
         # pre-r17 artifacts carry no probe: normalization is impossible
         # on that side — say so instead of silently comparing raw time
         raise SystemExit(
-            f"{path}: no calibration_sec — pre-r17 artifact; re-bench the "
-            "commit on a current harness (see memory: bench-machine-band) "
-            "or compare raw times knowing the machine band confounds them")
+            f"{path}: no calibration_sec — artifact predates the probe; "
+            "re-bench that commit on the current machine (worktree at the "
+            "old commit, same invocation — README 'reading bench "
+            "artifacts') or compare raw times knowing the machine band "
+            "confounds them")
     return art, cal
 
 

@@ -114,10 +114,12 @@ grep -h '{"phase"' $OUT/jvm7b.log | tail -1 > $OUT/jvm7b.json
 # the holder was alive and renewing when the contender probed.
 grep -q '"acquired":false' $OUT/jvm7b.json
 python3 - $OUT/jvm7b.json <<'PYEOF'
-import json, sys
-j = json.load(open(sys.argv[1]))
+import json, os, sys
+line = open(sys.argv[1]).read()
+# the distilled line keeps sbt's "[info] " prefix — parse from the brace
+j = json.loads(line[line.index("{"):])
 age = j["observed_lease_age_ms"]
-assert 0 <= age < int(__import__("os").environ["GRAFT_LEASE_STALE_MS"]), \
+assert 0 <= age < int(os.environ["GRAFT_LEASE_STALE_MS"]), \
     f"live-contention observed age {age} ms is not sub-horizon"
 PYEOF
 # partition the holder from the endpoint: read its token off the
