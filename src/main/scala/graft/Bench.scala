@@ -320,6 +320,35 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Filesystem-metadata calibration probe: create, list, stat, and
+    * delete a fixed count of small files under a scratch temp dir.
+    * Store-heavy queries (accept probes, partitioned-store opens) are
+    * bounded by metadata latency, which the CPU+scan probe cannot see
+    * — round 18's session band measured ~1.0x `calibration_sec` while
+    * the same store queries ran 3–5x apart on the SAME code and
+    * machine 40 minutes apart. Emitted as `calibration.fsmeta_sec`
+    * for attribution (a store-heavy mover with flat cpu/scan but a
+    * moved fsmeta is an IO-band shift, not a plan regression); NOT
+    * folded into `calibration_sec`, whose cpu+scan meaning must stay
+    * comparable across rounds. */
+  private[graft] def fsMetaProbe(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_cal")
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 400) {
+      java.nio.file.Files.write(dir.resolve(s"f$i"), Array[Byte](1, 2, 3))
+      i += 1
+    }
+    val it = java.nio.file.Files.list(dir)
+    try it.forEach { p =>
+      java.nio.file.Files.size(p)
+      java.nio.file.Files.delete(p)
+    } finally it.close()
+    val sec = (System.nanoTime() - t0) / 1e9
+    java.nio.file.Files.delete(dir)
+    sec
+  }
+
   /** The artifact path a finished run may write: the official path
     * ONLY when the run is clean (budget not exceeded, nothing capped —
     * i.e. every query got its full `runs` samples); a degraded run
@@ -355,7 +384,8 @@ object Bench {
     * without a session. */
   private[graft] def renderArtifactJson(
       results: Seq[(String, Double, Double, Double, Int)],
-      calCpuSec: Double, calScanSec: Double, sfDir: String, mode: String,
+      calCpuSec: Double, calScanSec: Double, calFsMetaSec: Double,
+      sfDir: String, mode: String,
       nQueries: Int, passes: Int, passStartedAt: Seq[String],
       budgetSec: Double, budgetExceeded: Boolean, partialPass: Boolean,
       queryCapSec: Double, capped: Seq[String],
@@ -386,8 +416,10 @@ object Bench {
     val demotedJson = demoted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val passesJson = passStartedAt.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // calibration_sec stays cpu+scan (cross-round comparability);
+    // fsmeta_sec rides the breakdown only — see [[fsMetaProbe]]
     val calibrationSec = calCpuSec + calScanSec
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"n_samples":$nSamples,"statistic":"median_lower_middle","calibration_sec":$calibrationSec,"calibration":{"cpu_sec":$calCpuSec,"scan_sec":$calScanSec},"sf":"$sfDir","mode":"$mode","n_queries":$nQueries,"passes":$passes,"pass_started_at":$passesJson,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass,"query_cap_sec":$queryCapSec,"capped":$cappedJson,"billed_sec":$billedJson,"demoted":$demotedJson}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"n_samples":$nSamples,"statistic":"median_lower_middle","calibration_sec":$calibrationSec,"calibration":{"cpu_sec":$calCpuSec,"scan_sec":$calScanSec,"fsmeta_sec":$calFsMetaSec},"sf":"$sfDir","mode":"$mode","n_queries":$nQueries,"passes":$passes,"pass_started_at":$passesJson,"budget_sec":$budgetSec,"budget_exceeded":$budgetExceeded,"partial_pass":$partialPass,"query_cap_sec":$queryCapSec,"capped":$cappedJson,"billed_sec":$billedJson,"demoted":$demotedJson}"""
   }
 
   private[graft] final case class PassOutcome(
@@ -525,9 +557,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    val calFsMetaSec = fsMetaProbe()
     val calibrationSec = calCpuSec + calScanSec
     System.err.println(f"[bench] calibration: cpu $calCpuSec%.3f s, " +
-      f"scan $calScanSec%.3f s")
+      f"scan $calScanSec%.3f s, fsmeta $calFsMetaSec%.3f s")
     // calibration-aware pass planning (headline mode only — see the
     // object doc): demote the heavy inline composites while the
     // machine-scaled estimate does not fit the budget
@@ -567,9 +600,9 @@ object Bench {
         (name, sorted.head, medianOf(sorted), sorted.last, sorted.size)
       }
       val json = renderArtifactJson(results, calCpuSec, calScanSec,
-        sfDir, mode, names.size, passes, passStartedAt.toSeq, budgetSec,
-        budgetExceeded, partialPass, queryCapSec, capped.toSeq,
-        billed.toMap, demoted)
+        calFsMetaSec, sfDir, mode, names.size, passes,
+        passStartedAt.toSeq, budgetSec, budgetExceeded, partialPass,
+        queryCapSec, capped.toSeq, billed.toMap, demoted)
       // the driver snapshot keeps only a truncated tail of stdout, so
       // the full per-query map is also persisted to a committed file
       val target =

@@ -222,15 +222,18 @@ class BenchSpec extends AnyFunSuite {
     // and a machine-speed reference to normalize by
     val json = Bench.renderArtifactJson(
       results = Seq(("qa", 1.0, 1.5, 9.0, 3), ("qb", 2.0, 2.0, 2.0, 1)),
-      calCpuSec = 0.4, calScanSec = 0.6, sfDir = "/tmp/sf", mode = "headline",
+      calCpuSec = 0.4, calScanSec = 0.6, calFsMetaSec = 0.05,
+      sfDir = "/tmp/sf", mode = "headline",
       nQueries = 2, passes = 3, passStartedAt = Seq("t1", "t2", "t3"),
       budgetSec = 600.0, budgetExceeded = false, partialPass = false,
       queryCapSec = 60.0, capped = Nil)
     assert(json.contains("\"n_samples\":{\"qa\":3,\"qb\":1}"), json)
     assert(json.contains("\"statistic\":\"median_lower_middle\""), json)
+    // calibration_sec stays cpu+scan: the fsmeta probe is attribution
+    // breakdown only, never part of the normalization denominator
     assert(json.contains("\"calibration_sec\":1.0"), json)
-    assert(json.contains("\"calibration\":{\"cpu_sec\":0.4,\"scan_sec\":0.6}"),
-      json)
+    assert(json.contains("\"calibration\":{\"cpu_sec\":0.4," +
+      "\"scan_sec\":0.6,\"fsmeta_sec\":0.05}"), json)
     assert(json.contains("\"queries\":{\"qa\":1.5,\"qb\":2.0}"), json)
     assert(json.contains("\"billed_sec\":{}") &&
       json.contains("\"demoted\":[]"), json)
@@ -241,7 +244,8 @@ class BenchSpec extends AnyFunSuite {
     // that the cancellation bounded the capped query's spend
     val json = Bench.renderArtifactJson(
       results = Seq(("qa", 1.0, 1.5, 9.0, 3), ("qb", 60.0, 60.0, 60.0, 1)),
-      calCpuSec = 0.4, calScanSec = 0.6, sfDir = "/tmp/sf", mode = "headline",
+      calCpuSec = 0.4, calScanSec = 0.6, calFsMetaSec = 0.05,
+      sfDir = "/tmp/sf", mode = "headline",
       nQueries = 2, passes = 3, passStartedAt = Seq("t1"),
       budgetSec = 600.0, budgetExceeded = false, partialPass = false,
       queryCapSec = 60.0, capped = Seq("qb"),
@@ -249,6 +253,15 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"billed_sec\":{\"qb\":61.3}"), json)
     assert(json.contains("\"capped\":[\"qb\"]"), json)
     assert(json.contains("\"demoted\":[\"q65_incremental_merge\"]"), json)
+  }
+
+  test("the fsmeta calibration probe measures fixed metadata work") {
+    // store-heavy band shifts (r18: ~1.0x cpu+scan calibration while
+    // store probes ran 3-5x) are attributable only if the artifact
+    // carries a metadata-latency reference; pin that the probe runs,
+    // cleans up after itself, and returns a plausible duration
+    val a = Bench.fsMetaProbe()
+    assert(a > 0.0 && a < 60.0, s"implausible fsmeta probe: $a")
   }
 
   test("the CPU calibration probe measures fixed work and returns wall seconds") {
