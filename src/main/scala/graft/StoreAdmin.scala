@@ -129,12 +129,27 @@ object StoreAdmin {
       dataDir: String): Seq[String] = {
     DurableStores.drainMigrationLog() // discard unrelated earlier entries
     targets.flatMap { case (st, build) =>
-      graft.engine.CacheRegistry.withRetained(build())
+      // a family whose params bump touches a LAYOUT key still hits the
+      // fold-guard veto (migrate cannot re-derive content) — report it
+      // per store and keep migrating the REST instead of aborting the
+      // whole pass with one family's wedge
+      val veto =
+        try { graft.engine.CacheRegistry.withRetained(build()); None }
+        catch {
+          case e: RuntimeException
+              if Option(e.getMessage).exists(_.contains("refusing to rebuild")) =>
+            Some(e.getMessage.takeWhile(_ != '\n'))
+        }
       val ran = DurableStores.drainMigrationLog()
-      if (ran.isEmpty)
-        Seq(s"[store-admin] already current (no migration ran): $st ($dataDir)")
-      else ran.map { case (name, oldP, newP) =>
-        s"[store-admin] migrated in place: $name ('$oldP' -> '$newP') ($dataDir)"
+      veto match {
+        case Some(msg) =>
+          Seq(s"[store-admin] NOT migratable (layout change — the fold " +
+            s"guard vetoes a rebuild): $st ($dataDir): $msg")
+        case None if ran.isEmpty =>
+          Seq(s"[store-admin] already current (no migration ran): $st ($dataDir)")
+        case None => ran.map { case (name, oldP, newP) =>
+          s"[store-admin] migrated in place: $name ('$oldP' -> '$newP') ($dataDir)"
+        }
       }
     }
   }

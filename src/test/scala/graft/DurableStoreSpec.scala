@@ -536,6 +536,21 @@ class DurableStoreSpec extends AnyFunSuite {
       val r3 = StoreAdmin.runMigrate(targets, data)
       assert(r3.exists(_.contains("already current")) && built === 1,
         r3.toString)
+      // a LAYOUT-key bump under a non-empty folded ledger is NOT
+      // migratable: the verb must report the veto for that store and
+      // keep processing the remaining targets instead of aborting
+      DurableStores.retireFoldedBatches(s, data, "spec_admin_mig",
+        Set("am_x1"))
+      DurableStores.reStampManifestParamsForTest(s, data,
+        "spec_admin_mig", "v=2,buckets=8")
+      coldCatalog(tbl)
+      var other = 0
+      val r4 = StoreAdmin.runMigrate(
+        targets :+ ("spec_admin_other" -> (() => { other += 1 })), data)
+      assert(r4.exists(l => l.contains("NOT migratable") &&
+        l.contains("spec_admin_mig")), r4.toString)
+      assert(built === 1, "the veto must not rebuild")
+      assert(other === 1, "a vetoed family must not abort the rest")
     }
   }
 

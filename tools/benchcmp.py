@@ -65,6 +65,16 @@ def main(argv):
     print(f"new:  {args[1]}  calibration {ncal:.3f}s  "
           f"({len(nq)} queries, mode {new.get('mode', '?')})")
     print(f"machine ratio (new/base calibration): {ncal / bcal:.2f}x")
+    bfs = base.get("calibration", {}).get("fsmeta_sec")
+    nfs = new.get("calibration", {}).get("fsmeta_sec")
+    if bfs and nfs:
+        # store-heavy movers with a flat machine ratio but a moved
+        # fsmeta ratio are an IO-band shift, not a plan regression
+        print(f"fsmeta (metadata-latency) ratio: {nfs / bfs:.2f}x  "
+              f"({bfs:.3f}s -> {nfs:.3f}s)")
+    elif bfs or nfs:
+        print("fsmeta probe present on one side only "
+              "(the other artifact predates it)")
     rows = []
     for q in common:
         ratio = (nq[q] / ncal) / (bq[q] / bcal)
