@@ -80,12 +80,42 @@ object Coreset {
     assignTo(base, selectLandmarks(base, k))
   }
 
-  /** The greedy farthest-point traversal itself (driver-coordinated,
-    * k−1 TakeOrdered(1) rounds over the cached base). `base` must
-    * have columns (vec_id: long, v: array<float>). */
-  private def selectLandmarks(base: DataFrame,
-      k: Int): Vector[(Long, Array[Float])] = {
+  /** Row bound for the driver-local selection short-circuit (round 18):
+    * at or below it the cached base is collected ONCE and the greedy
+    * traversal runs on the driver — the k+1 driver-coordinated jobs
+    * (seed + k−1 TakeOrdered(1) rounds, each ~a job-launch latency;
+    * measured at sf0.1: q110's warm wall was ~1.9 s of which total task
+    * time was 0.3 s — pure scheduling) collapse to 2 (count + collect).
+    * 128k rows × 64-float vectors ≈ 33 MB — the bounded
+    * coordinator-read class of the CC edge collect (Dedup); a second
+    * rows×dim guard below caps the collect at ~32 MB of floats for
+    * wider embeddings. Past the bound the distributed loop runs
+    * unchanged (at 100 TB: over a deterministic hash-sample, per
+    * [[kCenterAssign]]'s note). */
+  private[graft] val localSelectMaxRows = 131072L
+
+  /** The greedy farthest-point traversal itself. `base` must have
+    * columns (vec_id: long, v: array<float>). Below
+    * [[localSelectMaxRows]] the traversal runs on the driver over one
+    * bounded collect; above it, driver-coordinated k−1 TakeOrdered(1)
+    * rounds over the cached base. Both paths compute the SAME doubles
+    * (float→double promotion, index-order fold — [[selectLocal]]
+    * mirrors DotProductExpr's loop) with the SAME orderings (NaN
+    * largest, least() skips NaN, ties by id), so the selected landmark
+    * sequence is identical — CoresetSpec pins local == distributed. */
+  private[graft] def selectLandmarks(base: DataFrame, k: Int,
+      localMaxRows: Long = localSelectMaxRows): Vector[(Long, Array[Float])] = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // one count materializes the callers' retained cache either way
+    val n = base.count()
+    if (n > 0 && n <= localMaxRows) {
+      val pts = base.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray))
+      // rows × dim cap: the row bound alone would let a 4096-dim
+      // corpus collect GBs
+      if (pts(0)._2.length.toLong * n <= (8L << 20))
+        return selectLocal(pts, k)
+    }
     def distTo(lm: Array[Float]): Column =
       lit(1.0) - cosFF(col("v"), typedlit(lm))
     val seed = base.orderBy(col("vec_id").asc).limit(1).collect()(0)
@@ -100,6 +130,75 @@ object Coreset {
         .limit(1).collect()
       if (picked.isEmpty) return lms // fewer vectors than k
       lms = lms :+ ((picked(0).getLong(0), picked(0).getSeq[Float](1).toArray))
+    }
+    lms
+  }
+
+  /** Driver-local greedy traversal — arithmetic and orderings mirror
+    * the distributed loop EXACTLY: dot is the same float→double
+    * promote-and-fold as DotProductExpr; d = 1.0 − dot/(n_v · n_lm)
+    * with norms precomputed per point (sqrt of the same self-dot the
+    * Column form computes); the running min over landmarks uses
+    * Spark's least() semantics (NaN skipped — least2 is a commutative
+    * monoid with NaN as identity, so the running fold equals the
+    * distributed reduce in any order); the per-round argmax uses
+    * Spark's descending double ordering (NaN largest — Double.compare)
+    * with ties by id asc. +0.0 normalizes a hypothetical -0.0 the way
+    * SQL comparisons do (d = 1.0 − cos cannot actually produce -0.0). */
+  private def selectLocal(pts: Array[(Long, Array[Float])],
+      k: Int): Vector[(Long, Array[Float])] = {
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val norms = pts.map { case (id, v) =>
+      val n = math.sqrt(dot(v, v))
+      // domain parity with the distributed traversal: ANSI division
+      // throws DIVIDE_BY_ZERO on a zero-norm vector there, so fail
+      // loudly here too instead of silently folding NaN distances
+      require(n != 0.0, s"zero-norm vector (vec_id=$id) has no cosine " +
+        "distance — the k-center traversal is defined on non-zero vectors")
+      n
+    }
+    def least2(a: Double, b: Double): Double =
+      if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
+    var seedIdx = 0
+    var i = 1
+    while (i < pts.length) {
+      if (pts(i)._1 < pts(seedIdx)._1) seedIdx = i
+      i += 1
+    }
+    var lms = Vector(pts(seedIdx))
+    val selected = scala.collection.mutable.Set(pts(seedIdx)._1)
+    // running min distance to the selected set, updated per new landmark
+    val minD = Array.fill(pts.length)(Double.NaN)
+    var lastLm = pts(seedIdx)
+    while (lms.size < k && selected.size < pts.length) {
+      val (_, lv) = lastLm
+      val nl = math.sqrt(dot(lv, lv))
+      var best = -1
+      var bestD = 0.0
+      var j = 0
+      while (j < pts.length) {
+        val (id, v) = pts(j)
+        minD(j) = least2(minD(j), 1.0 - dot(v, lv) / (norms(j) * nl) + 0.0)
+        if (!selected.contains(id)) {
+          val d = minD(j)
+          // Spark's (d desc, id asc) winner: NaN sorts largest
+          val better = best < 0 ||
+            java.lang.Double.compare(d, bestD) > 0 ||
+            (java.lang.Double.compare(d, bestD) == 0 && id < pts(best)._1)
+          if (better) { best = j; bestD = d }
+        }
+        j += 1
+      }
+      if (best < 0) return lms
+      lms = lms :+ pts(best)
+      selected += pts(best)._1
+      lastLm = pts(best)
     }
     lms
   }

@@ -106,6 +106,21 @@ object Dedup {
   private[graft] def spread(df: DataFrame): DataFrame =
     graft.Tables.spread(df)
 
+  /** Pin the candidate frame to full task width before the exact-
+    * Jaccard verification joins — the [[graft.engine.Spread]] trap, at
+    * the OTHER end of the pipeline: the candidate pair list is a few
+    * narrow columns (AQE sees KBs and coalesces its exchange to 1–2
+    * partitions), but each row then pays an array_intersect over two
+    * whole shingle sets — the CPU hot spot of every sketch-dedup
+    * composite. Measured at sf0.1 before this existed: the
+    * verification stage of q67/q62 ran as 2 tasks of ~1.8 s each on a
+    * 32-core session (ProfileQ; ~40% of the warm wall), with the other
+    * 30 cores idle. Keyed on the first verification join's key so the
+    * exchange doubles as that join's left-side distribution — at any
+    * scale the join needed this shuffle anyway. */
+  private def spreadForVerify(cands: DataFrame, key: String): DataFrame =
+    graft.engine.Spread.spreadForExplosion(cands, col(key))
+
   /** Bucketed candidate self-join over a (keys..., doc, simhash)
     * sketch table: (doc_a, doc_b) pairs sharing the bucket key, each
     * generated exactly once. With `saltSlices > 1` the left side
@@ -160,7 +175,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct() // a pair may collide in several bands
-    pairs
+    spreadForVerify(pairs, "doc_a")
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
@@ -433,8 +448,9 @@ object Dedup {
       // pigeonhole: any pair within Hamming < chunks shares a chunk
       .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
       .select("doc_a", "doc_b")
-    mhCands.unionByName(shCands)
-      .distinct() // a pair may collide in several buckets/sketches
+    spreadForVerify(mhCands.unionByName(shCands)
+        .distinct(), // a pair may collide in several buckets/sketches
+        "doc_a")
       .join(corpusShingles.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(corpusShingles.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
@@ -488,7 +504,7 @@ object Dedup {
     val shCands = bucketSelfJoinPairs(chunked, Seq("kind_key", "bucket"), saltSlices)
       .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
       .select("doc_a", "doc_b")
-    mhCands.unionByName(shCands).distinct()
+    spreadForVerify(mhCands.unionByName(shCands).distinct(), "doc_a")
       .join(base.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(base.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .filter(sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))
@@ -917,7 +933,7 @@ object SimhashPairs {
           Dedup.shingles(col(textCol)).as("sh")))
     val cands = pairs(docs, idCol, textCol, maxHamming = chunks - 1, chunks = chunks)
       .select(col("doc_a"), col("doc_b"))
-    cands
+    graft.engine.Spread.spreadForExplosion(cands, col("doc_a"))
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .filter(Dedup.sizeRatioAtLeast(col("sh_a"), col("sh_b"), threshold))

@@ -87,7 +87,14 @@ object PageStitch {
   def healedDocs(pages: DataFrame, idCol: String, tokensCol: String,
       k: Int = 8, maxOverlap: Int = 64): DataFrame = {
     val toks = pages.select(col(idCol).as("pid"), col(tokensCol).as("t"))
-    stitchPairs(pages, idCol, tokensCol, k, maxOverlap)
+    // pin the pair frame to full task width before the token joins:
+    // the stitch decisions are a few narrow columns (AQE coalesces to
+    // one task) but each joined row then pays an array concat + md5
+    // over two whole token streams — the same byte-blind-AQE trap as
+    // the dedup verification joins (ProfileQ: one 0.5 s single-task
+    // stage at gate scale)
+    graft.engine.Spread.spreadForExplosion(
+        stitchPairs(pages, idCol, tokensCol, k, maxOverlap), col("page_a"))
       .join(toks.select(col("pid").as("page_a"), col("t").as("ta")),
         Seq("page_a"))
       .join(toks.select(col("pid").as("page_b"), col("t").as("tb")),

@@ -228,7 +228,13 @@ object CorpusOps {
   private val q104PageStitch: Q = (s, d) => {
     import s.implicits._
     val k = 8
-    val tok = t(s, d, "documents")
+    // spread BEFORE tokenization: everything downstream (the page
+    // slices, the head side's ~57 positioned k-gram hashes per page,
+    // the overlap verification) is per-row CPU work that otherwise
+    // runs on the scan's 1–2 parquet splits at gate scale (ProfileQ:
+    // two 2-task stages carried ~85% of q104's task time). No-op at
+    // real scale (Tables.spread only widens under-partitioned scans).
+    val tok = graft.Tables.spread(t(s, d, "documents"))
       .select($"doc_id", graft.operators.Dedup.tokens($"text").as("w"))
       .withColumn("n", size($"w")).filter($"n" >= 16)
     val h = floor($"n" / 2).cast("int")
@@ -282,7 +288,9 @@ object CorpusOps {
   private val q107PageHeal: Q = (s, d) => {
     import s.implicits._
     val k = 8
-    val tok = t(s, d, "documents")
+    // same under-partitioned-scan spread as q104 (the heal adds two
+    // pair-scale joins on top of the same stitch pipeline)
+    val tok = graft.Tables.spread(t(s, d, "documents"))
       .select($"doc_id", graft.operators.Dedup.tokens($"text").as("w"))
       .withColumn("n", size($"w")).filter($"n" >= 16)
     val h = floor($"n" / 2).cast("int")

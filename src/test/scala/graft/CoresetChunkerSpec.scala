@@ -235,6 +235,30 @@ class CoresetChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-local landmark selection equals the distributed traversal (ties + NaN)") {
+    val s = spark
+    import s.implicits._
+    graft.engine.CacheRegistry.withRetained {
+      // (1+i%7, (3i)%5) collides every 35 ids — exact duplicate
+      // vectors make exact distance ties, so the (d desc, id asc)
+      // tiebreak is exercised on both paths. (Zero-norm vectors are
+      // outside both paths' domain: ANSI division throws on the
+      // distributed traversal too.)
+      val rows = (0L until 75L).map { i =>
+        (i, Array((1 + i % 7).toFloat, ((i * 3) % 5).toFloat))
+      }
+      val emb = rows.toDF("vec_id", "v")
+      val base = graft.engine.CacheRegistry.retain(
+        emb.select(col("vec_id").cast("long").as("vec_id"), col("v")))
+      val local = Coreset.selectLandmarks(base, 6)
+      val dist = Coreset.selectLandmarks(base, 6, localMaxRows = 0L)
+      assert(local.map(_._1) === dist.map(_._1),
+        s"landmark id sequences diverge: local=${local.map(_._1)} " +
+          s"distributed=${dist.map(_._1)}")
+      assert(local.map(_._2.toSeq) === dist.map(_._2.toSeq))
+    }
+  }
+
   test("hashedTfidf vectors are unit-norm and twins are mutual top-1") {
     val s = spark
     import s.implicits._
