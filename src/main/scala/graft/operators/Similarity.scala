@@ -201,8 +201,33 @@ object IvfAnn {
     * sample point. Cells that lose every member simply drop out. At
     * 100 TB, refine over a sample — the cell geometry converges long
     * before the full corpus is seen — then assign the full corpus once. */
+  /** Row bound for the driver-local refine short-circuit (round 18):
+    * refine's callers pass a bounded 1-in-4 hash sample, and the
+    * distributed loop costs `iters` dependent assign→mean pipelines —
+    * ~6 sequential stages of pure latency at gate scale (ProfileQ:
+    * q90's warm wall was 2.5 s of which total task time was 1.0 s).
+    * At or below the bound the sample is collected once and Lloyd runs
+    * on the driver. Centroid VALUES may differ from the distributed
+    * mean in the last ulp (double summation order) — which is exactly
+    * as nondeterministic as the distributed mean already is across
+    * partition orders, and provably irrelevant to every caller: the
+    * cell-bucketed operators' outputs are centroid-independent (their
+    * probe rule is complete for ANY centroid set and candidates are
+    * exact-verified — see [[EmbeddingDedup.cosinePairsBucketed]]).
+    * Same bounded-coordinator-read class as the CC edge collect and
+    * the k-center local traversal. */
+  private[graft] val localRefineMaxRows = 131072L
+
   def refine(embeddings: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame, iters: Int = 2): DataFrame = {
+      cents: DataFrame, iters: Int = 2,
+      localMaxRows: Long = localRefineMaxRows): DataFrame = {
+    val sample = embeddings.select(col(idCol), col(vecCol))
+    val n = sample.count()
+    if (n > 0 && n <= localMaxRows) {
+      val pts = sample.collect().map(_.getSeq[Float](1).toArray)
+      if (pts(0).length.toLong * n <= (8L << 20))
+        return refineLocal(embeddings.sparkSession, pts, cents, iters)
+    }
     var c = cents
     for (_ <- 1 to iters) {
       c = assign(embeddings, idCol, vecCol, c)
@@ -216,6 +241,56 @@ object IvfAnn {
             .as("centroid_vec"))
     }
     c
+  }
+
+  /** Driver-local Lloyd: nearest-centroid assignment mirrors
+    * [[assign]]'s (cos desc, centroid_id asc) winner via the same
+    * index-order double folds ([[Similarity.cosineJvm]]); per-cell
+    * means average each dimension as double and cast to float like the
+    * distributed agg; cells that lose every member drop out. Returns a
+    * local relation with `cents`' schema. */
+  private def refineLocal(spark: org.apache.spark.sql.SparkSession,
+      pts: Array[Array[Float]], cents: DataFrame, iters: Int): DataFrame = {
+    // (id row-value, vector), sorted by centroid_id the way the
+    // distributed window orders it (numeric ids numerically, anything
+    // else lexicographically) so assignment ties break by POSITION —
+    // earlier = smaller id, the window's (cos desc, centroid_id asc)
+    var cs = cents.collect()
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray))
+      .sortWith((a, b) => (a._1, b._1) match {
+        case (x: java.lang.Number, y: java.lang.Number) =>
+          x.longValue < y.longValue
+        case (x, y) => x.toString < y.toString
+      })
+    for (_ <- 1 to iters if cs.nonEmpty) {
+      val dim = cs(0)._2.length
+      val sums = Array.fill(cs.length)(new Array[Double](dim))
+      val counts = new Array[Long](cs.length)
+      pts.foreach { v =>
+        var best = 0
+        var bestCos = Similarity.cosineJvm(v, cs(0)._2) + 0.0
+        var i = 1
+        while (i < cs.length) {
+          val c = Similarity.cosineJvm(v, cs(i)._2) + 0.0
+          // strictly greater wins; ties keep the earlier (smaller id)
+          if (java.lang.Double.compare(c, bestCos) > 0) { best = i; bestCos = c }
+          i += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < v.length && j < dim) { s(j) += v(j).toDouble; j += 1 }
+        counts(best) += 1
+      }
+      cs = cs.zipWithIndex.collect { case ((id, _), i) if counts(i) > 0 =>
+        (id, sums(i).map(x => (x / counts(i)).toFloat))
+      }
+    }
+    val schema = cents.schema
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(cs.map { case (id, v) =>
+        org.apache.spark.sql.Row(id, v.toSeq)
+      }: _*)
+    spark.createDataFrame(rows, schema)
   }
 
   /** Assign each vector to its nearest centroid by cosine. */
@@ -279,8 +354,13 @@ object EmbeddingDedup {
     // norms once per VECTOR, not per pair — sqrt(dot(v,v)) here is the
     // same double the inline cosine would compute, so results are
     // bit-identical while the O(n²) stage does 1 dot per pair, not 3
-    val a = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("n_a"))
+    // spread the stream side of the declared all-pairs cross join: the
+    // n² dot products are map-side CPU a single-split scan serializes
+    // onto one task (no-op at real scale; the brute path is the oracle
+    // twin, so only its task layout changes, never its output)
+    val a = graft.Tables.spread(
+      embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("n_a")))
     val b = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("n_b"))
     a.crossJoin(b)

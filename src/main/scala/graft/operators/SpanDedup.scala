@@ -39,7 +39,12 @@ object SpanDedup {
   def positionalWindows(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = Dedup.tokens(col(textCol))
-    docs
+    // spread before the per-row window work: tokenization plus one
+    // xxhash64 per token position is CPU the scan's split count
+    // otherwise serializes (single-split parquet at gate scale ran the
+    // whole windowing as one 0.65 s task — ProfileQ q95/q97); no-op on
+    // scans that already carry >= parallelism splits
+    Dedup.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc"), explode(
@@ -115,7 +120,10 @@ object SpanDedup {
       .filter(col("doc") > col("owner"))
       .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
       .groupBy(col("doc")).agg(collect_set(col("p")).as("rm"))
-    docs
+    // the reconstruction side re-tokenizes every doc and filters its
+    // token array in place — the same per-row CPU the windowing pays,
+    // so it gets the same under-partitioned-scan spread
+    Dedup.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc"), Dedup.tokens(col(textCol)).as("toks"))
       .join(removed, Seq("doc"), "left")
       .withColumn("kept_arr", when(col("rm").isNull, col("toks"))
@@ -145,7 +153,9 @@ object SpanDedup {
     // the distinct is the single shuffle that builds the per-source set
     val toks = Dedup.tokens(col(textCol))
     val sh = graft.engine.CacheRegistry.retain(
-      docs.select(col(groupCol).as("src"), toks.as("toks"))
+      // same under-partitioned-scan spread as positionalWindows
+      Dedup.spread(docs.select(col(groupCol), col(textCol)))
+        .select(col(groupCol).as("src"), toks.as("toks"))
         .filter(size(col("toks")) >= k)
         .select(col("src"), explode(
           transform(sequence(lit(1), size(col("toks")) - lit(k - 1)),

@@ -56,6 +56,10 @@ object SparseVectors {
     * inline and stored-stats vector builds. */
   private def termStream(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
+    // NOT spread (round-18 A/B): the scan side is only tokenize +
+    // explode — the md5/bucket work runs AFTER the (doc, term) shuffle,
+    // already distributed — and the extra exchange of raw text rows
+    // measured as a regression (q113 2.25→2.80, q114 3.44→3.88)
     docs.select(col(idCol).as("doc_id"),
       explode(Dedup.tokens(lower(col(textCol)))).as("term"))
 

@@ -342,7 +342,11 @@ object CorpusOps {
     * xxhash64) plus one per-doc re-aggregation. */
   private val q111GramNovelty: Q = (s, d) => {
     import s.implicits._
-    val g = t(s, d, "documents")
+    // spread before the shingle explode + per-gram md5: the gram
+    // pipeline feeds BOTH the df aggregation and the join side, and a
+    // single-split scan ran each as a ~0.5 s single task (ProfileQ);
+    // no-op at real scale
+    val g = graft.Tables.spread(t(s, d, "documents"))
       .select($"doc_id",
         explode(graft.operators.Dedup.shingles($"text", 8)).as("g"))
       .select($"doc_id", md5($"g").as("gk"))

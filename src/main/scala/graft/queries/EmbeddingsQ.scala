@@ -58,8 +58,12 @@ object EmbeddingsQ {
     * approximate answer itself is hash-checked. */
   private val q74QuantizedKnn: Q = (s, d) => {
     import s.implicits._
+    // spread BEFORE quantization: the per-row int8 quantize plus the
+    // sample × corpus integer dots are map-side CPU a single-split
+    // scan serializes onto one task (ProfileQ: one 1.5 s task carried
+    // ~74% of q74's warm task time); no-op at real scale
     val z = graft.operators.Quantize.quantizeInt8(
-      t(s, d, "embeddings"), "embedding", "qv")
+      graft.Tables.spread(t(s, d, "embeddings")), "embedding", "qv")
     // int8 values are exact in float32 and every product/partial sum
     // stays below 2^24, so the native float DotProductExpr computes
     // the same exact integers as a double fold (and stays codegen'd —

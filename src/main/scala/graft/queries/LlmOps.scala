@@ -100,7 +100,11 @@ object LlmOps {
       .partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)
     val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       Similarity.dot(a, b)
-    val brute = emb.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    // spread the brute side: sample × corpus cosines are map-side CPU
+    // that a single-split scan serializes onto one task (ProfileQ: one
+    // 0.72 s task ≈ half of q101's warm task time); no-op at real scale
+    val brute = graft.Tables.spread(
+        emb.select($"vec_id".as("nid"), $"embedding".as("nv")))
       .crossJoin(broadcast(qs))
       .filter($"nid" =!= $"qid")
       .withColumn("cos",

@@ -85,8 +85,21 @@ object MergeScaleQ {
       size(col("files")).cast("long").as("n_files"))
   }
 
+  /** Pin the INLINE merge aggregation's exchange to full task width:
+    * the nested rows are heavy to MERGE (per-entity struct sort + JSON
+    * fold) but light in bytes, so AQE coalesces the entity-key
+    * exchange to half the cores (measured at sf0.1: the merge-agg
+    * stage ran 16 tasks of ~0.9 s — pinning halves its wall). Keyed on
+    * the entity key the groupBy needs, so the aggregate reuses this
+    * exchange — same shuffle count, pinned width. Inline paths only:
+    * the bucketed store paths (q83/q117) merge exchange-free and must
+    * never gain one (MergeSpec pins that plan). */
+  private def spreadForMerge(nested: org.apache.spark.sql.DataFrame) =
+    graft.engine.Spread.spreadForExplosion(
+      nested, col("website_id"), col("site_submission_id"))
+
   private val q55MergeScale: Q = (s, d) =>
-    webShape(Merge.mergeSubmissions(nestedAtScale(s, d)))
+    webShape(Merge.mergeSubmissions(spreadForMerge(nestedAtScale(s, d))))
 
   /** The bucketed nested store for q83: [[nestedAtScale]] materialized
     * once per sf dir via [[graft.storage.Storage.appendBucketed]]
@@ -188,7 +201,7 @@ object MergeScaleQ {
     val nested = nestedAtScale(s, d)
     val cutoff = lit(incrementalCutoff).cast("timestamp")
     val previousMerged = Merge.mergeSubmissions(
-      nested.filter($"scan_datetime" <= cutoff))
+      spreadForMerge(nested.filter($"scan_datetime" <= cutoff)))
     val newBatch = nested.filter($"scan_datetime" > cutoff)
     webShape(Merge.incrementalMergeSubmissions(previousMerged, nested, newBatch))
   }
