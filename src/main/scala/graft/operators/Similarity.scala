@@ -223,7 +223,12 @@ object IvfAnn {
       localMaxRows: Long = localRefineMaxRows): DataFrame = {
     val sample = embeddings.select(col(idCol), col(vecCol))
     val n = sample.count()
-    if (n > 0 && n <= localMaxRows) {
+    // empty sample: no refinement — return the seeds unchanged (the
+    // callers' exactness contract needs a NON-EMPTY centroid set, and
+    // a Lloyd pass over nothing would drop every cell). Folding the
+    // check here saves the callers' separate isEmpty() job.
+    if (n == 0) return cents
+    if (n <= localMaxRows) {
       val pts = sample.collect().map(_.getSeq[Float](1).toArray)
       if (pts(0).length.toLong * n <= (8L << 20))
         return refineLocal(embeddings.sparkSession, pts, cents, iters)
@@ -399,13 +404,10 @@ object EmbeddingDedup {
     val seeds = IvfAnn.centroids(embeddings, idCol, vecCol, numCells)
     // exactness requires a NON-EMPTY centroid set (any non-empty set is
     // complete; an empty one assigns nothing). A tiny corpus can leave
-    // the 1-in-4 refine sample empty — fall back to the raw seeds. The
-    // sample emptiness check runs BEFORE refine so only the frame
-    // actually used is ever retained (a refine of an empty sample is
-    // empty, so the branches are equivalent).
+    // the 1-in-4 refine sample empty — refine itself then returns the
+    // raw seeds (its n == 0 branch; DedupSpec pins the fallback).
     val cents = graft.engine.CacheRegistry.retain(
-      if (refineInput.isEmpty) seeds
-      else IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
+      IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
 
     // one narrow pass computes every (vector, centroid) angle — ids
     // and scalars ONLY: carrying the vector itself through the n×C
@@ -516,11 +518,10 @@ object EmbeddingDedup {
       numCells: Int = 16): CosineIndex = {
     val seeds = IvfAnn.centroids(corpus, idCol, vecCol, numCells)
     val refineInput = corpus.filter(pmod(xxhash64(col(idCol)), lit(4)) === 0)
-    // same empty-sample fallback as cosinePairsBucketed: exactness
-    // needs a non-empty centroid set; only the chosen frame is retained
+    // same empty-sample fallback as cosinePairsBucketed, folded into
+    // refine's n == 0 branch
     val cents = graft.engine.CacheRegistry.retain(
-      if (refineInput.isEmpty) seeds
-      else IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
+      IvfAnn.refine(refineInput, idCol, vecCol, seeds, iters = 2))
     val assigned = graft.engine.CacheRegistry.retain(
       assignToCells(cents, corpus, idCol, vecCol)
         .select(col("vid"), col("cell"), col("ang")))

@@ -72,4 +72,29 @@ class BpeTrainSpec extends AnyFunSuite {
       (1L, "a", "b", 1L),
       (2L, "<eos>", "<eos>", 3L))) // ab→[ab] (1) + xy→[x,y] (2)
   }
+
+  test("driver-local learning equals the distributed loop (ties + greedy folds)") {
+    val s = spark
+    import s.implicits._
+    // tie-rich corpus: repeated runs exercise the greedy fold's
+    // just-merged-tail case, equal counts exercise the (left, right)
+    // tie-break on both paths
+    val docs = Seq("aaab ab xy xy aaaa", "baba abab aaab",
+      "zz zz yy yy").toDF("text")
+    def run(localMax: Long) = {
+      val m = rows(BpeTrain.learnMerges(docs, "text", numMerges = 4,
+        localMaxWords = localMax))
+      val seg = BpeTrain.segmentations(docs, "text", numMerges = 4,
+        localMaxWords = localMax)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getString(3))).toSet
+      (m, seg)
+    }
+    graft.engine.CacheRegistry.withRetained {
+      val (lm, ls) = run(localMax = Long.MaxValue) // driver-local
+      val (dm, ds) = run(localMax = 0L)            // distributed
+      assert(lm === dm, s"merge sequences diverge: local=$lm dist=$dm")
+      assert(ls === ds)
+    }
+  }
 }
