@@ -430,7 +430,8 @@ object Dedup {
     * >= threshold) with doc_a < doc_b. */
   def multiSketchPairsFromStore(corpusShingles: DataFrame,
       corpusBands: DataFrame, corpusChunks: DataFrame,
-      threshold: Double = 0.8, chunks: Int = 8): DataFrame = {
+      threshold: Double = 0.8, chunks: Int = 8,
+      spreadVerify: Boolean = true): DataFrame = {
     val mhCands = corpusBands
       .select(col("band_id"), col("band_hash"), col("doc").as("doc_a"))
       .join(corpusBands.select(col("band_id"), col("band_hash"),
@@ -448,9 +449,14 @@ object Dedup {
       // pigeonhole: any pair within Hamming < chunks shares a chunk
       .filter(hamming(col("sim_a"), col("sim_b")) <= chunks - 1)
       .select("doc_a", "doc_b")
-    spreadForVerify(mhCands.unionByName(shCands)
-        .distinct(), // a pair may collide in several buckets/sketches
-        "doc_a")
+    // a pair may collide in several buckets/sketches → distinct;
+    // spreadVerify=false for BATCH-sized sketch frames (q123's
+    // internal-edge call), where the pinned exchange costs more than
+    // the 32-way verification buys — the corpus-scale callers (q119)
+    // keep the full-width verification
+    val dedupedCands = mhCands.unionByName(shCands).distinct()
+    (if (spreadVerify) spreadForVerify(dedupedCands, "doc_a")
+     else dedupedCands)
       .join(corpusShingles.select(col("doc").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(corpusShingles.select(col("doc").as("doc_b"), col("sh").as("sh_b")),

@@ -519,7 +519,7 @@ object LlmOps {
             bsh, bbands, bchunks, threshold = 0.8)
           .select(col("batch_doc"), col("corpus_doc")),
          Dedup.multiSketchPairsFromStore(bsh, bbands, bchunks,
-            threshold = 0.8)
+            threshold = 0.8, spreadVerify = false) // batch-sized frames
           .select(col("doc_a"), col("doc_b")))
       } else {
         (Dedup.incrementalMinhashPairsFromStore(
@@ -570,7 +570,7 @@ object LlmOps {
       bsh, bbands, bchunks, threshold = 0.8)
       .select($"batch_doc", $"corpus_doc")
     val bb = Dedup.multiSketchPairsFromStore(bsh, bbands, bchunks,
-      threshold = 0.8)
+      threshold = 0.8, spreadVerify = false) // batch-sized frames
       .select($"doc_a", $"doc_b")
     Dedup.incrementalConnectedComponents(stored, bc, bb)
       .select($"node".as("doc_id"), $"cluster".as("cluster_id"))
