@@ -43,29 +43,47 @@ object Merge {
     * shuffle. Child arrays are ordered by child id (insertion order,
     * matching the reference's row order).
     */
+  /** @param pinWidth pin every internal exchange (the three child
+    *                  pre-aggregations and the snapshot join side) to
+    *                  full task width, keyed on the exchange's own
+    *                  join/group key — the exchanges exist either way
+    *                  (ENSURE_REQUIREMENTS at AQE-coalesced width vs
+    *                  REPARTITION_BY_NUM pinned), so this never adds a
+    *                  shuffle; it stops AQE's byte-blind coalescing of
+    *                  struct-building stages that are CPU-heavy per
+    *                  byte (measured at sf0.1: the nested join stages
+    *                  ran 16 tasks of ~0.5 s, the child aggs 3 tasks
+    *                  of up to 0.9 s). Opt-in for at-scale inline
+    *                  callers (nestedAtScale); fixture-scale callers
+    *                  keep AQE widths. */
   def nestedSubmissionSnapshots(
       snapshots: DataFrame,
       keywords: DataFrame,
       files: DataFrame,
       fileHashes: DataFrame,
-      contributors: DataFrame): DataFrame = {
-    val kw = keywords
+      contributors: DataFrame,
+      pinWidth: Boolean = false): DataFrame = {
+    def pin(df: DataFrame, key: String): DataFrame =
+      if (pinWidth) graft.engine.Spread.spreadForExplosion(df, col(key))
+      else df
+    val kw = pin(keywords, "submission_snapshot_id")
       .groupBy("submission_snapshot_id")
       .agg(collectOrdered(col("keyword_id"), lit(0L),
         struct(col("keyword"), col("ordinal"))).as("keywords"))
-    val hashesPerFile = fileHashes
+    val hashesPerFile = pin(fileHashes, "file_id")
       .groupBy("file_id")
       .agg(collectOrdered(col("hash_id"), lit(0L),
         struct(col("algo_id"), col("hash_value"))).as("hashes"))
-    val filesNested = files
+    val filesNested = pin(pin(files, "file_id")
       .join(hashesPerFile, Seq("file_id"), "left")
       .withColumn("hashes",
-        coalesce(col("hashes"), array().cast("array<struct<algo_id:bigint,hash_value:binary>>")))
+        coalesce(col("hashes"), array().cast("array<struct<algo_id:bigint,hash_value:binary>>"))),
+      "submission_snapshot_id")
       .groupBy("submission_snapshot_id")
       .agg(collectOrdered(col("file_id"), lit(0L),
         struct(col("site_file_id"), col("file_url"), col("file_size"),
           col("extra_data"), col("hashes"))).as("files"))
-    snapshots
+    pin(snapshots, "submission_snapshot_id")
       .join(kw, Seq("submission_snapshot_id"), "left")
       .join(filesNested, Seq("submission_snapshot_id"), "left")
       .join(broadcast(contributors.select(
@@ -163,11 +181,21 @@ object Merge {
     * @param previousMerged the existing materialized merge output
     * @param allNested      full nested snapshot store (all history)
     * @param newBatch       the just-ingested snapshots (any subset)
+    * @param spreadRefresh  width pin applied to the touched-entity
+    *                       re-merge INPUT — inline callers (q65, whose
+    *                       nested history arrives un-bucketed) pass a
+    *                       keyed pinned-width repartition so the
+    *                       re-merge aggregation runs at full task
+    *                       width instead of AQE's byte-coalesced
+    *                       width; bucketed-store callers (q117) keep
+    *                       the default identity so their exchange-free
+    *                       merge plan is untouched (MergeSpec pins it)
     */
   def incrementalMergeSubmissions(
       previousMerged: DataFrame,
       allNested: DataFrame,
-      newBatch: DataFrame): DataFrame = {
+      newBatch: DataFrame,
+      spreadRefresh: DataFrame => DataFrame = identity): DataFrame = {
     val touched = graft.engine.CacheRegistry.retain(
       newBatch.select("website_id", "site_submission_id").distinct())
     // the touched-entity re-merge is batch-proportional in entities
@@ -176,10 +204,10 @@ object Merge {
     // (Storage.appendBucketed), so push the batch's submission-id set
     // into the scan (ProbePrune: bounded collect, range-cover
     // pushdown; the semi join re-tightens to exact entity pairs)
-    val refreshed = mergeSubmissions(
+    val refreshed = mergeSubmissions(spreadRefresh(
       graft.engine.ProbePrune.pruneToProbeKeys(allNested,
           "site_submission_id", touched, "site_submission_id")
-        .join(touched, Seq("website_id", "site_submission_id"), "left_semi"))
+        .join(touched, Seq("website_id", "site_submission_id"), "left_semi")))
     previousMerged
       .join(touched, Seq("website_id", "site_submission_id"), "left_anti")
       .unionByName(refreshed)

@@ -67,7 +67,11 @@ object MergeScaleQ {
       unhex(lpad(hex($"l_suppkey" % 200 + 1), 4, "0")).as("hash_value"))
     val contributors = Seq((1L, "c1", "k1"), (2L, "c2", "k2"))
       .toDF("contributor_id", "name", "api_key")
-    Merge.nestedSubmissionSnapshots(snaps, keywords, files, hashes, contributors)
+    // pinWidth: this is the at-scale inline build (q55/q65 and the
+    // one-time store materializations) — same exchange count, widths
+    // pinned instead of AQE-coalesced (see nestedSubmissionSnapshots)
+    Merge.nestedSubmissionSnapshots(snaps, keywords, files, hashes,
+      contributors, pinWidth = false)
   }
 
   /** The q55 emission shape shared by the full and incremental paths. */
@@ -89,14 +93,27 @@ object MergeScaleQ {
     * the nested rows are heavy to MERGE (per-entity struct sort + JSON
     * fold) but light in bytes, so AQE coalesces the entity-key
     * exchange to half the cores (measured at sf0.1: the merge-agg
-    * stage ran 16 tasks of ~0.9 s — pinning halves its wall). Keyed on
-    * the entity key the groupBy needs, so the aggregate reuses this
-    * exchange — same shuffle count, pinned width. Inline paths only:
-    * the bucketed store paths (q83/q117) merge exchange-free and must
-    * never gain one (MergeSpec pins that plan). */
+    * stage ran 16 tasks of ~0.9 s — pinning halves its wall). Inline
+    * paths only: the bucketed store paths (q83/q117) merge
+    * exchange-free and must never gain one (MergeSpec pins that plan).
+    *
+    * Keyed on `site_submission_id` ALONE, not the full
+    * (website_id, site_submission_id) groupBy key: website_id is a
+    * constant (`lit("w")` in [[nestedAtScale]]), and hashing on the
+    * literal made the repartition's partitioning UNMATCHABLE against
+    * the aggregate's required clustering (the literal is re-aliased
+    * inside the agg keys), so round 18's two-key spread silently paid
+    * a SECOND full exchange of the heavy snapshot structs
+    * (plans/r19/q65_incremental_merge_before.txt: Exchange(39)
+    * REPARTITION_BY_NUM + Exchange(41) ENSURE_REQUIREMENTS on the same
+    * rows). A single-key hash partitioning satisfies
+    * ClusteredDistribution(website_id, site_submission_id) by the
+    * subset rule, so the aggregate genuinely reuses this exchange —
+    * one shuffle, pinned width. Same distribution: the constant
+    * contributes no entropy. */
   private def spreadForMerge(nested: org.apache.spark.sql.DataFrame) =
     graft.engine.Spread.spreadForExplosion(
-      nested, col("website_id"), col("site_submission_id"))
+      nested, col("site_submission_id"))
 
   private val q55MergeScale: Q = (s, d) =>
     webShape(Merge.mergeSubmissions(spreadForMerge(nestedAtScale(s, d))))
@@ -203,7 +220,11 @@ object MergeScaleQ {
     val previousMerged = Merge.mergeSubmissions(
       spreadForMerge(nested.filter($"scan_datetime" <= cutoff)))
     val newBatch = nested.filter($"scan_datetime" > cutoff)
-    webShape(Merge.incrementalMergeSubmissions(previousMerged, nested, newBatch))
+    // inline caller: pin the touched-entity re-merge to full width
+    // (same single-key rationale as spreadForMerge — q117's bucketed
+    // path keeps the identity default and stays exchange-free)
+    webShape(Merge.incrementalMergeSubmissions(previousMerged, nested,
+      newBatch, spreadRefresh = spreadForMerge))
   }
 
   /** q65 against PERSISTED state — the operational shape: the
